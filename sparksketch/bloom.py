@@ -1,0 +1,625 @@
+"""The centerpiece: a hybrid dynamically-scalable cascading multidimensional
+Bloom filter as a mergeable byte-array sketch over Spark DataFrames.
+
+Architecture (Spark-first re-derivation of /root/reference/src/filter.rs):
+
+- **Shard routing** — every key is routed to one of ``n_shards`` logical
+  shards by a seeded JVM hash (``pmod(xxhash64(key, seed[0]), n_shards)``),
+  the Spark analogue of the reference's shard vector + jump-hash routing
+  (filter.rs:120-137).  Jump consistent hash is only needed to *resize a live
+  shard vector*, which the reference never does (shard count is fixed after
+  init, filter.rs:190), so ``pmod`` is equivalent for fixed n — documented
+  deviation.  All rows of a shard land in one partition
+  (``repartition(P, shard_id)``), so each shard is built by exactly one task
+  with exact local capacities and no atomics (the reference needs
+  ``AtomicU64::fetch_or`` because shards are concurrently written,
+  filter.rs:323; a Spark partition is single-threaded).
+- **Tiers** — each shard holds ``cfg.tiers`` (default 2) independent cascades
+  with disjoint (h1, h2) seed families: *cartographer* and *inheritor*
+  (filter.rs:20-21, 444-458).  A key must match in **every** tier
+  (AND-cascade, filter.rs:45-55) — the reference's signature accuracy
+  mechanism; effective FPR ≈ product of tier FPRs.
+- **Cascading levels** — instead of the reference's in-place rebuild-at-2m
+  rehash (filter.rs:227-274), which is hostile to distributed merging, a
+  shard-tier grows by *freezing* its active level and opening the next with
+  ``m_{l+1} = 2·m_l`` when fill reaches the reference's rehash threshold
+  (``m/n <= threshold``, filter.rs:373-375).  Deterministic geometry
+  ``m_l = m0·2^l`` with ``k_l = optimal_k(m_l, expected_n(m_l))``
+  (filter.rs:377-389) makes same-level arrays always OR-compatible, so merges
+  are associative + commutative and never clear bits → zero false negatives
+  survive any merge order.
+- **Hashing** — Kirsch–Mitzenmacher double hashing (filter.rs:303-311) off
+  two JVM-computed ``xxhash64`` base hashes per tier (xxh3_128 → xxh64 is a
+  documented deviation; zero-FN and the FPR bound are seed-family-agnostic).
+  The shuffle carries only the shard id + 2·tiers int64 hashes per row
+  (~40 B), never the key text — at 100 TB input the shuffle is ~GBs.
+- **Merge** — ``treeReduce`` OR-merges per-shard byte blobs in log depth.
+  Disjoint shards concatenate; same-shard same-level bitsets OR and their
+  key counts add.  A merged level whose fill exceeds capacity is flagged
+  (``overflowed``) — compaction = re-aggregating the source table, which is
+  the distributed replacement for the reference's per-shard WAL
+  (filter.rs:347-371, 490-524): the immutable input table *is* the key log.
+
+Query paths:
+
+- :func:`with_membership` — broadcast the (small) filter blob, probe with a
+  vectorized pandas UDF over JVM-precomputed hash columns.
+- :func:`membership_join` — at 10^12-doc scale the filter itself is TBs and
+  must stay distributed: keep the builder's per-shard state DataFrame and
+  join probes to it on ``shard_id`` (co-partitioned equi-join), checking
+  membership per shard group.  No driver collection anywhere.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksketch.config import Accuracy, BloomConfig, InitialCapacity, Throughput, expected_n, optimal_k
+from sparksketch.hashing import (
+    HASH_SEED_SELECTION,
+    hash_col,
+    km_indices,
+    set_bits,
+    spark_xxhash64,
+    test_bits,
+    tier_hash_cols,
+    to_u64,
+)
+
+_MAGIC = b"SKBF"
+_VERSION = 2
+
+
+@dataclass
+class Level:
+    """One frozen-or-active Bloom bit-array of a shard-tier cascade.
+
+    Mirrors the reference's ``Shard`` bit state (filter.rs:279-288):
+    ``m`` bits (power of two), ``k`` hash functions, ``n`` keys inserted,
+    packed into a uint64 word array (filter.rs:403-407)."""
+
+    idx: int
+    m: int
+    k: int
+    n: int
+    bits: np.ndarray  # uint64[m // 64]
+
+    @classmethod
+    def fresh(cls, idx: int, m0: int, threshold: float) -> "Level":
+        m = m0 << idx
+        return cls(idx=idx, m=m, k=optimal_k(m, expected_n(m, threshold)), n=0,
+                   bits=np.zeros(m // 64, dtype=np.uint64))
+
+    def capacity(self, threshold: float) -> int:
+        return expected_n(self.m, threshold)
+
+    def fill_fpr(self) -> float:
+        """(1 - e^{-kn/m})^k for the *actual* fill — the standard Bloom FPR."""
+        if self.n == 0:
+            return 0.0
+        return (1.0 - math.exp(-self.k * self.n / self.m)) ** self.k
+
+    def copy(self) -> "Level":
+        return Level(self.idx, self.m, self.k, self.n, self.bits.copy())
+
+
+def _merge_levels(a: list[Level], b: list[Level]) -> list[Level]:
+    """OR same-index levels, keep extras. Associative + commutative."""
+    out: dict[int, Level] = {lv.idx: lv.copy() for lv in a}
+    for lv in b:
+        if lv.idx in out:
+            tgt = out[lv.idx]
+            assert tgt.m == lv.m and tgt.k == lv.k, "geometry mismatch"
+            tgt.bits |= lv.bits
+            tgt.n += lv.n
+        else:
+            out[lv.idx] = lv.copy()
+    return [out[i] for i in sorted(out)]
+
+
+@dataclass
+class BloomFilterState:
+    """Driver-side value object for a (possibly partial) filter: a map of
+    shard_id → per-tier level cascades, plus the frozen geometry."""
+
+    tiers: int
+    n_shards: int
+    m0: int
+    threshold: float
+    rehash: bool
+    shards: dict[int, list[list[Level]]] = field(default_factory=dict)
+
+    # ---------------- construction ----------------
+
+    @classmethod
+    def empty(cls, cfg: BloomConfig, n_shards: int, m0: int | None = None) -> "BloomFilterState":
+        return cls(tiers=cfg.tiers, n_shards=n_shards, m0=m0 or cfg.m0,
+                   threshold=cfg.threshold, rehash=cfg.rehash)
+
+    # ---------------- serialization ----------------
+
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        buf.write(_MAGIC)
+        buf.write(struct.pack("<BBBxIId", _VERSION, self.tiers, int(self.rehash),
+                              self.n_shards, len(self.shards), self.threshold))
+        buf.write(struct.pack("<Q", self.m0))
+        for sid in sorted(self.shards):
+            buf.write(struct.pack("<I", sid))
+            for tier_levels in self.shards[sid]:
+                buf.write(struct.pack("<H", len(tier_levels)))
+                for lv in tier_levels:
+                    buf.write(struct.pack("<IQHQ", lv.idx, lv.m, lv.k, lv.n))
+                    buf.write(lv.bits.tobytes())
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilterState":
+        if data[:4] != _MAGIC:
+            raise ValueError("not a sparksketch bloom blob")
+        off = 4
+        ver, tiers, rehash, n_shards, n_entries, threshold = struct.unpack_from("<BBBxIId", data, off)
+        off += struct.calcsize("<BBBxIId")
+        if ver != _VERSION:
+            raise ValueError(f"unsupported blob version {ver}")
+        (m0,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        st = cls(tiers=tiers, n_shards=n_shards, m0=m0, threshold=threshold, rehash=bool(rehash))
+        for _ in range(n_entries):
+            (sid,) = struct.unpack_from("<I", data, off)
+            off += 4
+            tiers_levels = []
+            for _t in range(tiers):
+                (n_levels,) = struct.unpack_from("<H", data, off)
+                off += 2
+                levels = []
+                for _l in range(n_levels):
+                    idx, m, k, n = struct.unpack_from("<IQHQ", data, off)
+                    off += struct.calcsize("<IQHQ")
+                    nbytes = m // 8
+                    bits = np.frombuffer(data[off : off + nbytes], dtype=np.uint64).copy()
+                    off += nbytes
+                    levels.append(Level(idx, m, k, n, bits))
+                tiers_levels.append(levels)
+            st.shards[sid] = tiers_levels
+        return st
+
+    # ---------------- merge (associative + commutative) ----------------
+
+    def merge(self, other: "BloomFilterState") -> "BloomFilterState":
+        if (self.tiers, self.n_shards, self.m0, self.threshold) != (
+            other.tiers, other.n_shards, other.m0, other.threshold
+        ):
+            raise ValueError("cannot merge filters with different geometry")
+        out = BloomFilterState(self.tiers, self.n_shards, self.m0, self.threshold, self.rehash)
+        for sid in set(self.shards) | set(other.shards):
+            a = self.shards.get(sid)
+            b = other.shards.get(sid)
+            if a is None:
+                out.shards[sid] = [[lv.copy() for lv in t] for t in b]
+            elif b is None:
+                out.shards[sid] = [[lv.copy() for lv in t] for t in a]
+            else:
+                out.shards[sid] = [_merge_levels(a[t], b[t]) for t in range(self.tiers)]
+        return out
+
+    # ---------------- queries ----------------
+
+    def _route(self, key: str | bytes) -> int:
+        h = spark_xxhash64(key, HASH_SEED_SELECTION[0])
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        return signed % self.n_shards  # Python % == Spark pmod for positive n
+
+    def contains(self, key: str | bytes) -> bool:
+        """Driver-side single-key probe (tests / point lookups) — exact
+        replica of the distributed path via the Spark-parity XXH64.
+        Counterpart of ``contains`` filter.rs:45-55."""
+        cascade = self.shards.get(self._route(key))
+        if cascade is None:
+            return False
+        for t in range(self.tiers):
+            h1 = np.array([spark_xxhash64(key, HASH_SEED_SELECTION[2 + 2 * t])], dtype=np.uint64)
+            h2 = np.array([spark_xxhash64(key, HASH_SEED_SELECTION[3 + 2 * t])], dtype=np.uint64)
+            if not any(test_bits(lv.bits, km_indices(h1, h2, lv.k, lv.m))[0] for lv in cascade[t]):
+                return False  # short-circuit across tiers, like filter.rs:48-54
+        return True
+
+    def contains_hashes(self, shard: np.ndarray, tier_hashes: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+        """Vectorized membership over precomputed hashes.
+
+        ``shard`` int64[n]; ``tier_hashes[t] = (h1 uint64[n], h2 uint64[n])``.
+        Groups rows by shard, tests each tier's cascade (OR over levels,
+        AND over tiers)."""
+        n = shard.shape[0]
+        result = np.zeros(n, dtype=bool)
+        order = np.argsort(shard, kind="stable")
+        sorted_sid = shard[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sorted_sid)) + 1, [n]))
+        for si in range(len(starts) - 1):
+            rows = order[starts[si] : starts[si + 1]]
+            cascade = self.shards.get(int(sorted_sid[starts[si]]))
+            if cascade is None:
+                continue
+            ok = np.ones(rows.shape[0], dtype=bool)
+            for t in range(self.tiers):
+                h1 = tier_hashes[t][0][rows]
+                h2 = tier_hashes[t][1][rows]
+                tier_ok = np.zeros(rows.shape[0], dtype=bool)
+                for lv in cascade[t]:
+                    pending = ~tier_ok
+                    if not pending.any():
+                        break
+                    idx = km_indices(h1[pending], h2[pending], lv.k, lv.m)
+                    tier_ok[pending] = test_bits(lv.bits, idx)
+                ok &= tier_ok
+                if not ok.any():
+                    break
+            result[rows] = ok
+        return result
+
+    # ---------------- stats ----------------
+
+    @property
+    def key_count(self) -> int:
+        return sum(lv.n for c in self.shards.values() for t in c for lv in t) // max(self.tiers, 1)
+
+    @property
+    def bit_size(self) -> int:
+        return sum(lv.m for c in self.shards.values() for t in c for lv in t)
+
+    def fpr_bound(self) -> float:
+        """Upper bound on FPR for a probe: worst shard's product over tiers of
+        the union bound over levels of per-level fill FPR."""
+        worst = 0.0
+        for cascade in self.shards.values():
+            p = 1.0
+            for t in range(self.tiers):
+                p *= min(1.0, sum(lv.fill_fpr() for lv in cascade[t]))
+            worst = max(worst, p)
+        return worst
+
+    def configured_fpr_bound(self) -> float:
+        """The configured per-probe bound: each tier contributes at most
+        (levels)·0.6185^threshold; tiers multiply (filter.rs:373-383
+        semantics; see SURVEY.md §1.3)."""
+        max_levels = max((len(t) for c in self.shards.values() for t in c), default=1)
+        per_tier = min(1.0, max_levels * (0.6185 ** self.threshold))
+        return per_tier ** self.tiers
+
+    def overflowed_levels(self) -> list[tuple[int, int, int]]:
+        """(shard, tier, level) whose merged key count exceeds capacity —
+        signals a compaction (re-aggregation of the source table) is advised."""
+        out = []
+        for sid, cascade in self.shards.items():
+            for t, levels in enumerate(cascade):
+                for lv in levels:
+                    if lv.n > lv.capacity(self.threshold):
+                        out.append((sid, t, lv.idx))
+        return out
+
+
+# ====================================================================
+# distributed build
+# ====================================================================
+
+_ROUTE = "_skshard"
+_STATE_SCHEMA = "shard int, rows long, state binary"
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def resolve_m0(cfg: BloomConfig, n_shards: int, expected_keys: int | None) -> int:
+    """Size the initial level from a cardinality hint so the cascade opens
+    few levels (the mergeable analogue of pre-sizing the reference's shards).
+    Never below the configured m0 (/root/reference/src/filter.rs:149-154)."""
+    if not expected_keys:
+        return cfg.m0
+    per_shard = max(1, expected_keys // n_shards)
+    return max(cfg.m0, _next_pow2(int(per_shard * cfg.threshold)))
+
+
+def hash_probe_cols(col: str | Column, tiers: int, n_shards: int) -> list[Column]:
+    """Shard-routing + tier hash columns, all JVM-side (codegen'd)."""
+    route = F.pmod(hash_col(col, HASH_SEED_SELECTION[0]), F.lit(n_shards).cast("long")).cast("long").alias(_ROUTE)
+    return [route, *tier_hash_cols(col, tiers)]
+
+
+def _insert_batch(cascade: list[list[Level]], tier_h: list[tuple[np.ndarray, np.ndarray]],
+                  m0: int, threshold: float, rehash: bool) -> None:
+    """Insert a batch of (h1,h2) rows into every tier of one shard cascade,
+    opening new levels at the reference's fill threshold (filter.rs:92-118:
+    the scale trigger; level-open replaces CAS + rehash channel + catch-up)."""
+    for t, (h1, h2) in enumerate(tier_h):
+        levels = cascade[t]
+        pos, total = 0, h1.shape[0]
+        while pos < total:
+            lv = levels[-1]
+            if rehash:
+                room = lv.capacity(threshold) - lv.n
+                if room <= 0:
+                    levels.append(Level.fresh(lv.idx + 1, m0, threshold))
+                    continue
+                take = min(room, total - pos)
+            else:
+                take = total - pos  # fixed geometry: absorb everything (FPR degrades, flagged)
+            idx = km_indices(h1[pos : pos + take], h2[pos : pos + take], lv.k, lv.m)
+            set_bits(lv.bits, idx)
+            lv.n += take
+            pos += take
+
+
+def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
+                        checkpoint_dir: str | None, fingerprint: str | None,
+                        completed: frozenset[int]):
+    tiers, threshold, rehash = cfg.tiers, cfg.threshold, cfg.rehash
+
+    def fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        if checkpoint_dir and pid in completed:
+            # resume: replay the checkpointed state WITHOUT consuming the
+            # input iterator — the task finishes without scanning its split
+            # (per-partition lineage, north_rule).
+            path = os.path.join(checkpoint_dir, f"part-{pid:05d}.bin")
+            with open(path, "rb") as f:
+                blob = f.read()
+            st = BloomFilterState.from_bytes(blob)
+            for sid in sorted(st.shards):
+                one = BloomFilterState(tiers, n_shards, m0, threshold, rehash)
+                one.shards[sid] = st.shards[sid]
+                rows = sum(lv.n for lv in st.shards[sid][0])
+                yield pa.RecordBatch.from_pydict({
+                    "shard": pa.array([sid], pa.int32()),
+                    "rows": pa.array([rows], pa.int64()),
+                    "state": pa.array([one.to_bytes()], pa.binary()),
+                })
+            return
+
+        local: dict[int, list[list[Level]]] = {}
+        nrows = 0
+        for batch in batches:
+            sid_arr = batch.column(_ROUTE).to_numpy(zero_copy_only=False).astype(np.int64)
+            tier_cols = []
+            for t in range(tiers):
+                tier_cols.append((
+                    to_u64(batch.column(f"_skh_{t}a").to_numpy(zero_copy_only=False)),
+                    to_u64(batch.column(f"_skh_{t}b").to_numpy(zero_copy_only=False)),
+                ))
+            nrows += batch.num_rows
+            order = np.argsort(sid_arr, kind="stable")
+            sorted_sid = sid_arr[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(sorted_sid)) + 1, [len(sorted_sid)]))
+            for si in range(len(starts) - 1):
+                rows = order[starts[si] : starts[si + 1]]
+                sid = int(sorted_sid[starts[si]])
+                cascade = local.get(sid)
+                if cascade is None:
+                    cascade = [[Level.fresh(0, m0, threshold)] for _ in range(tiers)]
+                    local[sid] = cascade
+                _insert_batch(cascade, [(h1[rows], h2[rows]) for h1, h2 in tier_cols],
+                              m0, threshold, rehash)
+
+        if checkpoint_dir:
+            st = BloomFilterState(tiers, n_shards, m0, threshold, rehash, local)
+            blob = st.to_bytes()
+            tmp = os.path.join(checkpoint_dir, f".part-{pid:05d}.tmp")
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(checkpoint_dir, f"part-{pid:05d}.bin"))
+            meta = {"pid": pid, "rows": nrows, "fingerprint": fingerprint,
+                    "shards": sorted(local), "bytes": len(blob)}
+            mtmp = os.path.join(checkpoint_dir, f".part-{pid:05d}.meta.tmp")
+            with open(mtmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(mtmp, os.path.join(checkpoint_dir, f"part-{pid:05d}.meta.json"))
+
+        for sid in sorted(local):
+            one = BloomFilterState(tiers, n_shards, m0, threshold, rehash)
+            one.shards[sid] = local[sid]
+            rows = sum(lv.n for lv in local[sid][0])
+            yield pa.RecordBatch.from_pydict({
+                "shard": pa.array([sid], pa.int32()),
+                "rows": pa.array([rows], pa.int64()),
+                "state": pa.array([one.to_bytes()], pa.binary()),
+            })
+
+    return fn
+
+
+def build_fingerprint(cfg: BloomConfig, n_shards: int, m0: int, partitions: int,
+                      col: str, input_id: str) -> str:
+    payload = f"{cfg.tiers}|{cfg.threshold}|{cfg.rehash}|{n_shards}|{m0}|{partitions}|{col}|{input_id}"
+    return format(spark_xxhash64(payload, 7), "016x")
+
+
+def completed_partitions(checkpoint_dir: str | None, fingerprint: str) -> frozenset[int]:
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return frozenset()
+    done = set()
+    for name in os.listdir(checkpoint_dir):
+        if name.endswith(".meta.json"):
+            try:
+                with open(os.path.join(checkpoint_dir, name)) as f:
+                    meta = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if meta.get("fingerprint") == fingerprint and os.path.exists(
+                os.path.join(checkpoint_dir, f"part-{meta['pid']:05d}.bin")
+            ):
+                done.add(int(meta["pid"]))
+    return frozenset(done)
+
+
+def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig(),
+                       n_shards: int | None = None, partitions: int | None = None,
+                       expected_keys: int | None = None,
+                       checkpoint_dir: str | None = None, input_id: str = "",
+                       enforce_key_limit: bool = True) -> tuple[DataFrame, dict]:
+    """Distributed build → DataFrame of ``(shard int, rows long, state binary)``.
+
+    This is the at-scale product: the filter stays a DataFrame (never
+    collected), queryable via :func:`membership_join` and persistable with
+    plain ``.write.parquet``.  Plan shape: parquet scan → Project (key cast,
+    guard filter, JVM hash columns — all whole-stage codegen) → Exchange on
+    shard id (~40 B/row) → MapInArrow (numpy bit kernel) — one shuffle total.
+    """
+    spark = df.sparkSession
+    n_shards = n_shards or cfg.shards
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    m0 = resolve_m0(cfg, n_shards, expected_keys)
+
+    keyed = df.select(F.col(col).cast("string").alias("_skkey"))
+    if enforce_key_limit:
+        # The reference *documents* a 1 MB key cap but never enforces it
+        # (README.md:14-15 vs filter.rs:509-510); we make the contract real.
+        keyed = keyed.filter(F.octet_length("_skkey") <= cfg.max_key_bytes)
+    hashed = keyed.select(*hash_probe_cols("_skkey", cfg.tiers, n_shards))
+    routed = hashed.repartition(partitions, F.col(_ROUTE))
+
+    fingerprint = build_fingerprint(cfg, n_shards, m0, partitions, col, input_id)
+    completed = completed_partitions(checkpoint_dir, fingerprint)
+    fn = _build_partition_fn(cfg, n_shards, m0, checkpoint_dir, fingerprint, completed)
+    states = routed.mapInArrow(fn, _STATE_SCHEMA)
+    info = {"n_shards": n_shards, "partitions": partitions, "m0": m0,
+            "fingerprint": fingerprint, "resumed_partitions": sorted(completed)}
+    return states, info
+
+
+def build_bloom(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig(),
+                n_shards: int | None = None, partitions: int | None = None,
+                expected_keys: int | None = None, checkpoint_dir: str | None = None,
+                input_id: str = "", enforce_key_limit: bool = True,
+                tree_depth: int | None = None) -> BloomFilterState:
+    """Build and **treeReduce OR-merge** into a single driver-side filter.
+
+    Use for filters that fit on the driver (up to ~GBs); at 10^12-doc scale
+    prefer :func:`build_bloom_states` + :func:`membership_join`."""
+    states, info = build_bloom_states(df, col, cfg, n_shards, partitions, expected_keys,
+                                      checkpoint_dir, input_id, enforce_key_limit)
+    blobs = states.select("state").rdd.map(lambda r: bytes(r[0]))
+    parts = info["partitions"]
+    depth = tree_depth or max(2, int(math.ceil(math.log2(max(parts, 2)))))
+    if blobs.isEmpty():
+        return BloomFilterState.empty(cfg, info["n_shards"], info["m0"])
+    merged = blobs.treeReduce(merge_blobs, depth=min(depth, 5))
+    return BloomFilterState.from_bytes(merged)
+
+
+def merge_blobs(a: bytes, b: bytes) -> bytes:
+    return BloomFilterState.from_bytes(a).merge(BloomFilterState.from_bytes(b)).to_bytes()
+
+
+# ====================================================================
+# membership queries
+# ====================================================================
+
+_BC_CACHE: dict[int, BloomFilterState] = {}
+_BC_SEQ = [0]  # driver-side counter for broadcast cache keys (Broadcast has no .id in PySpark 4)
+
+
+def with_membership(df: DataFrame, col: str, state: BloomFilterState,
+                    out: str = "is_member") -> DataFrame:
+    """Append a boolean membership column — broadcast-filter mode.
+
+    Hashes are computed JVM-side; the pandas UDF does only numpy index math
+    against the broadcast blob (deserialized once per worker).  Zero false
+    negatives by construction; false positives ≤ the configured bound."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(state.to_bytes())
+    _BC_SEQ[0] += 1
+    bc_key = _BC_SEQ[0]
+    tiers = state.tiers
+
+    @F.pandas_udf("boolean")
+    def probe(*cols):
+        cached = _BC_CACHE.get(bc_key)
+        if cached is None:
+            cached = BloomFilterState.from_bytes(bc.value)
+            _BC_CACHE[bc_key] = cached
+        shard = cols[0].to_numpy(dtype=np.int64, na_value=0)
+        tier_hashes = [
+            (to_u64(cols[1 + 2 * t].to_numpy(dtype=np.int64, na_value=0)),
+             to_u64(cols[2 + 2 * t].to_numpy(dtype=np.int64, na_value=0)))
+            for t in range(tiers)
+        ]
+        import pandas as pd
+        return pd.Series(cached.contains_hashes(shard, tier_hashes))
+
+    hcols = hash_probe_cols(F.col(col).cast("string"), tiers, state.n_shards)
+    return df.withColumn(out, probe(*hcols))
+
+
+def membership_join(probes: DataFrame, col: str, states: DataFrame,
+                    tiers: int, n_shards: int, out: str = "is_member") -> DataFrame:
+    """Distributed membership for filters too big to broadcast.
+
+    ``states`` is the output of :func:`build_bloom_states` (or the same
+    re-read from parquet).  Probes gain shard + hash columns (JVM), then an
+    equi-join on shard id co-locates each probe with exactly the shard blobs
+    it needs; a grouped Arrow kernel tests membership. Shuffle cost: probes
+    ~40 B/row + the shard states once."""
+    hcols = hash_probe_cols(F.col(col).cast("string"), tiers, n_shards)
+    keyed = probes.withColumn("_skrow", F.monotonically_increasing_id())
+    hashed = keyed.select("_skrow", *hcols)
+    # shard states may be partial (several rows per shard from separate
+    # builds); pre-merge them per shard so the join side is one row/shard.
+    merged = states.groupBy("shard").applyInPandas(_merge_state_rows, "shard int, state binary")
+    joined = hashed.join(merged, hashed[_ROUTE] == merged["shard"], "left")
+
+    def check(batches):
+        for batch in batches:
+            rowid = batch.column("_skrow").to_numpy(zero_copy_only=False)
+            n = batch.num_rows
+            result = np.zeros(n, dtype=bool)
+            blobs = batch.column("state")
+            shard_col = batch.column(_ROUTE).to_numpy(zero_copy_only=False).astype(np.int64)
+            # group rows by shard (same shard → same blob)
+            valid = pa.compute.is_valid(blobs).to_numpy(zero_copy_only=False)
+            if valid.any():
+                order = np.argsort(shard_col, kind="stable")
+                s_sorted = shard_col[order]
+                starts = np.concatenate(([0], np.flatnonzero(np.diff(s_sorted)) + 1, [n]))
+                h_cols = []
+                for t in range(tiers):
+                    h_cols.append((
+                        to_u64(batch.column(f"_skh_{t}a").to_numpy(zero_copy_only=False)),
+                        to_u64(batch.column(f"_skh_{t}b").to_numpy(zero_copy_only=False)),
+                    ))
+                for si in range(len(starts) - 1):
+                    rows = order[starts[si] : starts[si + 1]]
+                    i0 = int(rows[0])
+                    if not blobs[i0].is_valid:
+                        continue
+                    st = BloomFilterState.from_bytes(blobs[i0].as_py())
+                    result[rows] = st.contains_hashes(
+                        shard_col[rows], [(h1[rows], h2[rows]) for h1, h2 in h_cols]
+                    )
+            yield pa.RecordBatch.from_pydict({
+                "_skrow": pa.array(rowid, pa.int64()),
+                out: pa.array(result, pa.bool_()),
+            })
+
+    flags = joined.mapInArrow(check, f"_skrow long, {out} boolean")
+    return keyed.join(flags, "_skrow", "left").drop("_skrow").fillna({out: False})
+
+
+def _merge_state_rows(pdf):
+    import pandas as pd
+    blob = None
+    for b in pdf["state"]:
+        blob = bytes(b) if blob is None else merge_blobs(blob, bytes(b))
+    return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "state": [blob]})

@@ -1,0 +1,39 @@
+"""SparkSession factory with the engine's canonical local-mode settings.
+
+Local mode (``local[N]``) is the sandbox stand-in for a multi-executor
+cluster; the same code ships to a real cluster via ``spark-submit
+--py-files`` (see sparksketch/jobs/build_filter.py) where these settings
+come from spark-defaults / the submit command instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "sparksketch", cores: int | str | None = None,
+              shuffle_partitions: int | None = None, extra: dict | None = None) -> SparkSession:
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cores) if str(cores).isdigit() else 32
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

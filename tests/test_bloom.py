@@ -1,0 +1,219 @@
+"""Reference-guarantee tests for the cascading Bloom filter (SURVEY.md §5.2).
+
+Ports the semantics of /root/reference/tests/sync_test.rs:24-68 to the
+distributed build: zero false negatives over every inserted key, observed
+FPR ≤ the configured bound on a disjoint probe set, plus the merge laws the
+north rule requires (associativity/commutativity via shuffled merge order).
+All data and seeds are fixed → tests are fully deterministic.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.bloom import (
+    BloomFilterState,
+    build_bloom,
+    build_bloom_states,
+    membership_join,
+    merge_blobs,
+    resolve_m0,
+    with_membership,
+)
+from sparksketch.config import Accuracy, BloomConfig, InitialCapacity, Throughput, expected_n, optimal_k
+
+N_KEYS = 20_000
+N_SHARDS = 64
+PARTS = 8
+
+
+def _keys_df(spark, start, end):
+    # decimal string keys, mirroring sync_test.rs:46-48 (i.to_string())
+    return spark.range(start, end).select(F.col("id").cast("string").alias("key"))
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    df = _keys_df(spark, 0, N_KEYS)
+    cfg = BloomConfig(accuracy=Accuracy.HIGH)
+    state = build_bloom(df, "key", cfg, n_shards=N_SHARDS, partitions=PARTS)
+    return cfg, state
+
+
+# ---------------- geometry parity (reference formulas) ----------------
+
+def test_knob_resolution():
+    assert Throughput.LOW.shards == 2**11 and Throughput.MEDIUM.shards == 2**12 and Throughput.HIGH.shards == 2**13
+    assert InitialCapacity.VERY_HIGH.m0 == 2**15
+    assert Accuracy.LOW.threshold == 12.0 and Accuracy.MEDIUM.threshold == 15.0 and Accuracy.HIGH.threshold == 19.0
+
+
+def test_level_geometry():
+    cfg = BloomConfig()
+    assert cfg.m0 == 4096 and cfg.threshold == 15.0
+    # k = round((m/n)·ln2) per filter.rs:381-383; at the threshold boundary
+    # k = 8 / 10 / 13 for accuracy Low/Medium/High (SURVEY.md §1.3)
+    assert cfg.level_k(0) == 10
+    assert BloomConfig(accuracy=Accuracy.LOW).level_k(0) == 8
+    assert BloomConfig(accuracy=Accuracy.HIGH).level_k(0) == 13
+    assert cfg.level_m(3) == 4096 * 8
+    assert expected_n(4096, 15.0) == 273
+    assert optimal_k(4096, 273) == 10
+
+
+def test_resolve_m0_from_hint():
+    cfg = BloomConfig()
+    m0 = resolve_m0(cfg, n_shards=64, expected_keys=1_000_000)
+    # per-shard 15625 keys × 15 bits/key = 234375 → next pow2 = 2^18
+    assert m0 == 2**18
+    assert resolve_m0(cfg, 64, None) == cfg.m0
+    assert resolve_m0(cfg, 64, 10) == cfg.m0  # never below configured m0
+
+
+# ---------------- reference guarantees ----------------
+
+def test_zero_false_negatives(spark, built):
+    cfg, state = built
+    df = _keys_df(spark, 0, N_KEYS)
+    flagged = with_membership(df, "key", state)
+    misses = flagged.filter(~F.col("is_member")).count()
+    assert misses == 0  # sync_test.rs:60-66 analogue
+
+
+def test_fpr_within_configured_bound(spark, built):
+    cfg, state = built
+    probes = _keys_df(spark, N_KEYS, 2 * N_KEYS)  # disjoint range
+    fp = with_membership(probes, "key", state).filter(F.col("is_member")).count()
+    bound = state.configured_fpr_bound()
+    # deterministic dataset: with Accuracy.HIGH the expected FP count is ≪ 1
+    assert fp / N_KEYS <= max(bound, 1e-9), f"observed fpr {fp / N_KEYS} > bound {bound}"
+    assert state.fpr_bound() <= state.configured_fpr_bound() * 1.5
+
+
+def test_driver_contains_matches_distributed(spark, built):
+    _, state = built
+    for key in ["0", "1", "19999", "5000"]:
+        assert state.contains(key)
+    absent = [str(x) for x in range(N_KEYS, N_KEYS + 200)]
+    assert sum(state.contains(a) for a in absent) == 0
+
+
+def test_key_count_and_size(built):
+    _, state = built
+    assert state.key_count == N_KEYS
+    assert state.bit_size > 0
+    assert not state.overflowed_levels()
+
+
+# ---------------- merge laws (north rule) ----------------
+
+def test_merge_associative_commutative_shuffled(spark):
+    df = _keys_df(spark, 0, 5000)
+    states, info = build_bloom_states(df, "key", BloomConfig(), n_shards=16, partitions=PARTS)
+    blobs = [bytes(r.state) for r in states.collect()]
+    assert len(blobs) == 16
+
+    def fold(order):
+        acc = blobs[order[0]]
+        for i in order[1:]:
+            acc = merge_blobs(acc, blobs[i])
+        return acc
+
+    base = fold(list(range(len(blobs))))
+    rng = random.Random(42)
+    for _ in range(5):
+        order = list(range(len(blobs)))
+        rng.shuffle(order)
+        assert fold(order) == base  # byte-identical under any merge order
+
+    # tree-shaped vs linear fold
+    def tree(items):
+        if len(items) == 1:
+            return items[0]
+        mid = len(items) // 2
+        return merge_blobs(tree(items[:mid]), tree(items[mid:]))
+
+    assert tree(blobs) == base
+
+
+def test_merge_two_builds_unions_keys(spark):
+    cfg = BloomConfig()
+    a = build_bloom(_keys_df(spark, 0, 3000), "key", cfg, n_shards=16, partitions=4)
+    b = build_bloom(_keys_df(spark, 3000, 6000), "key", cfg, n_shards=16, partitions=4)
+    u = a.merge(b)
+    assert u.key_count == 6000
+    for k in ["0", "2999", "3000", "5999"]:
+        assert u.contains(k)
+    assert BloomFilterState.from_bytes(u.to_bytes()).contains("4242")
+
+
+def test_merge_rejects_geometry_mismatch(spark):
+    a = build_bloom(_keys_df(spark, 0, 100), "key", BloomConfig(), n_shards=8, partitions=2)
+    b = build_bloom(_keys_df(spark, 0, 100), "key", BloomConfig(accuracy=Accuracy.HIGH), n_shards=8, partitions=2)
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+# ---------------- cascade growth / rehash semantics ----------------
+
+def test_cascade_opens_levels(spark):
+    # 5000 keys into 4 shards: ~1250/shard vs level-0 capacity 273 → growth
+    state = build_bloom(_keys_df(spark, 0, 5000), "key", BloomConfig(), n_shards=4, partitions=2)
+    depths = [len(t) for c in state.shards.values() for t in c]
+    assert max(depths) >= 2
+    # deterministic geometry: level l has m = m0 << l
+    for cascade in state.shards.values():
+        for tier in cascade:
+            for lv in tier:
+                assert lv.m == state.m0 << lv.idx
+
+
+def test_rehash_off_fixed_geometry(spark):
+    # rehash=False → single level absorbs everything; overflow flagged
+    state = build_bloom(_keys_df(spark, 0, 5000), "key", BloomConfig(rehash=False), n_shards=4, partitions=2)
+    for cascade in state.shards.values():
+        for tier in cascade:
+            assert len(tier) == 1
+    assert state.overflowed_levels()
+    # zero FN still holds even when overfull
+    df = _keys_df(spark, 0, 5000)
+    assert with_membership(df, "key", state).filter(~F.col("is_member")).count() == 0
+
+
+def test_expected_keys_hint_single_level(spark):
+    state = build_bloom(_keys_df(spark, 0, 20000), "key", BloomConfig(), n_shards=8,
+                        partitions=4, expected_keys=20000)
+    for cascade in state.shards.values():
+        for tier in cascade:
+            assert len(tier) == 1
+
+
+# ---------------- key guard ----------------
+
+def test_max_key_guard(spark):
+    big = "x" * (2**20 + 1)
+    df = spark.createDataFrame([("small",), (big,)], "key string")
+    state = build_bloom(df, "key", BloomConfig(), n_shards=4, partitions=2)
+    assert state.contains("small")
+    assert not state.contains(big)
+    assert state.key_count == 1
+
+
+# ---------------- distributed membership join ----------------
+
+def test_membership_join_matches_broadcast(spark):
+    cfg = BloomConfig()
+    df = _keys_df(spark, 0, 4000)
+    states, info = build_bloom_states(df, "key", cfg, n_shards=16, partitions=4)
+    states = states.cache()
+    state = BloomFilterState.from_bytes(
+        states.select("state").rdd.map(lambda r: bytes(r[0])).reduce(merge_blobs)
+    )
+    probes = _keys_df(spark, 3000, 8000)
+    via_join = membership_join(probes, "key", states, cfg.tiers, 16)
+    via_bc = with_membership(probes, "key", state)
+    a = {r.key: r.is_member for r in via_join.collect()}
+    b = {r.key: r.is_member for r in via_bc.collect()}
+    assert a == b
+    assert all(a[str(k)] for k in range(3000, 4000))  # inserted range all present
