@@ -1,0 +1,159 @@
+"""The shared mergeable partial/final pattern for all sketches.
+
+Every sketch in the library (Bloom has its own sharded variant in bloom.py;
+HLL/CMS/t-digest/KLL use this module) follows the same distributed shape —
+the Spark-native reformulation of the reference's "insert into a shared
+mutable structure" model:
+
+1. **Project** — key/value extraction + JVM-side ``xxhash64`` hash columns
+   (whole-stage codegen; the Python kernel never hashes).
+2. **Partial** — ``mapInArrow`` builds one sketch per *scan partition*
+   (map-side combine: NO shuffle of raw rows for global sketches — at 100 TB
+   this is the difference between shuffling nothing and shuffling everything).
+3. **Final** — ``treeReduce`` merges the per-partition byte blobs in log
+   depth, or, for per-group sketches, a ``groupBy(group)`` over the tiny
+   (groups × partitions) partial-state table — the shuffle moves sketch
+   blobs, not rows.
+
+A sketch class implements: ``update_hashes(*h: np.uint64[])`` or
+``update_values(v: np.float64[])``, ``merge(other) -> self``, ``to_bytes()``,
+classmethod ``from_bytes(data)``.  Merges must be associative + commutative
+(verified in tests by shuffling merge order).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksketch.hashing import hash_col, to_u64
+
+_STATE_SCHEMA = "state binary"
+_GROUP_STATE_SCHEMA = "group string, state binary"
+
+
+def _proj_cols(col, seeds: tuple[int, ...] | None, numeric: bool):
+    if seeds is not None:
+        key = F.col(col).cast("string")
+        return [hash_col(key, s).alias(f"_h{i}") for i, s in enumerate(seeds)]
+    if numeric:
+        return [F.col(col).cast("double").alias("_v0")]
+    raise ValueError("sketch needs seeds= (hash sketch) or numeric=True (value sketch)")
+
+
+def _update_from_batch(sk, batch: pa.RecordBatch, rows: np.ndarray | None,
+                       seeds: tuple[int, ...] | None, numeric: bool) -> None:
+    if seeds is not None:
+        hs = []
+        for i in range(len(seeds)):
+            h = to_u64(batch.column(f"_h{i}").to_numpy(zero_copy_only=False))
+            hs.append(h if rows is None else h[rows])
+        sk.update_hashes(*hs)
+    else:
+        v = batch.column("_v0").to_numpy(zero_copy_only=False)
+        sk.update_values(v if rows is None else v[rows])
+
+
+def build_sketch(df: DataFrame, col: str, factory: Callable, *,
+                 seeds: tuple[int, ...] | None = None, numeric: bool = False,
+                 tree_depth: int | None = None):
+    """Global sketch over a column. Zero shuffles: partials per scan
+    partition, blobs treeReduce-merged."""
+    proj = df.select(*_proj_cols(col, seeds, numeric))
+    if numeric:
+        proj = proj.filter(F.col("_v0").isNotNull())
+
+    def fn(batches):
+        ctx = TaskContext.get()
+        sk = factory(ctx.partitionId() if ctx else 0)
+        for batch in batches:
+            _update_from_batch(sk, batch, None, seeds, numeric)
+        yield pa.RecordBatch.from_pydict({"state": pa.array([sk.to_bytes()], pa.binary())})
+
+    states = proj.mapInArrow(fn, _STATE_SCHEMA)
+    blobs = states.rdd.map(lambda r: bytes(r[0]))
+    cls = type(factory(0))
+
+    def merge_blob(a: bytes, b: bytes) -> bytes:
+        return cls.from_bytes(a).merge(cls.from_bytes(b)).to_bytes()
+
+    if blobs.isEmpty():
+        return factory(0)
+    n_parts = states.rdd.getNumPartitions()
+    depth = tree_depth or max(2, min(5, int(math.ceil(math.log2(max(n_parts, 2))))))
+    return cls.from_bytes(blobs.treeReduce(merge_blob, depth=depth))
+
+
+def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, *,
+                    seeds: tuple[int, ...] | None = None, numeric: bool = False,
+                    shuffle_partitions: int | None = None) -> DataFrame:
+    """Per-group sketches with explicit map-side combine.
+
+    Phase 1 builds one sketch per (scan-partition × group) — the skew-robust
+    step: a hot group's rows are combined locally in every partition, so the
+    phase-2 shuffle sees at most ``partitions`` blobs per group no matter how
+    skewed the group is (this is what salting achieves for raw-row shuffles,
+    obtained structurally here).  Phase 2 merges blobs per group.
+
+    Returns DataFrame ``(group string, state binary)``.
+    """
+    proj = df.select(F.col(group_col).cast("string").alias("_g"), *_proj_cols(col, seeds, numeric))
+    if numeric:
+        proj = proj.filter(F.col("_v0").isNotNull())
+    cls = type(factory(0))
+
+    def partial(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        local: dict[str, object] = {}
+        for batch in batches:
+            enc = pc.dictionary_encode(batch.column("_g"))
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            groups = enc.dictionary.to_pylist()
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(sc)) + 1, [len(sc)]))
+            for si in range(len(starts) - 1):
+                rows = order[starts[si] : starts[si + 1]]
+                g = groups[sc[starts[si]]]
+                sk = local.get(g)
+                if sk is None:
+                    sk = factory(pid)
+                    local[g] = sk
+                _update_from_batch(sk, batch, rows, seeds, numeric)
+        if local:
+            yield pa.RecordBatch.from_pydict({
+                "group": pa.array(list(local.keys()), pa.string()),
+                "state": pa.array([sk.to_bytes() for sk in local.values()], pa.binary()),
+            })
+
+    partials = proj.mapInArrow(partial, _GROUP_STATE_SCHEMA)
+
+    def merge_group(pdf):
+        import pandas as pd
+        acc = None
+        for blob in pdf["state"]:
+            nxt = cls.from_bytes(bytes(blob))
+            acc = nxt if acc is None else acc.merge(nxt)
+        return pd.DataFrame({"group": [pdf["group"].iloc[0]], "state": [acc.to_bytes()]})
+
+    grouped = partials.groupBy("group")
+    return grouped.applyInPandas(merge_group, _GROUP_STATE_SCHEMA)
+
+
+def estimate_col(cls, method: str = "estimate", args: tuple = (), dtype: str = "double"):
+    """A pandas UDF turning a state-blob column into an estimate column."""
+    @F.pandas_udf(dtype)
+    def est(blobs):
+        import pandas as pd
+        out = [getattr(cls.from_bytes(bytes(b)), method)(*args) if b is not None else None
+               for b in blobs]
+        return pd.Series(out)
+    return est

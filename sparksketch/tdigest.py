@@ -1,0 +1,146 @@
+"""t-digest — centroid-merge quantile sketch (Dunning & Ertl, public paper).
+
+Merging-digest variant: buffered points + existing centroids are sorted and
+re-clustered in one pass under the k1-ish size bound
+``cap(q) = 4·N·δ⁻¹·q(1-q)``, which concentrates small clusters at the tails
+(rank error is relative to q(1−q), tightest at extreme quantiles).
+Deterministic — no RNG — so merges in a fixed tree order reproduce exactly.
+Mergeable: merge = concatenate centroid lists + one compress pass.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from sparksketch import sketch as _sk
+
+_MAGIC = b"TDG1"
+
+
+class TDigest:
+    def __init__(self, delta: float = 200.0):
+        self.delta = float(delta)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+        self._buf_n = 0
+
+    # ---- updates ----
+
+    def update_values(self, x: np.ndarray) -> None:
+        x = np.asarray(x, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        if x.size == 0:
+            return
+        self._buf.append(x)
+        self._buf_n += x.size
+        if self._buf_n >= 32 * int(self.delta):
+            self._compress()
+
+    def _compress(self) -> None:
+        if self._buf_n == 0 and self.means.size <= 2 * int(self.delta):
+            return
+        if self._buf:
+            pts = np.concatenate(self._buf)
+            means = np.concatenate([self.means, pts])
+            weights = np.concatenate([self.weights, np.ones(pts.size)])
+            self._buf, self._buf_n = [], 0
+        else:
+            means, weights = self.means, self.weights
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        cur_m, cur_w = means[0], weights[0]
+        q_done = 0.0
+        for i in range(1, means.size):
+            q_mid = q_done + (cur_w + weights[i]) / (2.0 * total)
+            cap = 4.0 * total * q_mid * (1.0 - q_mid) / self.delta
+            if cur_w + weights[i] <= max(cap, 1.0):
+                cur_m += (means[i] - cur_m) * weights[i] / (cur_w + weights[i])
+                cur_w += weights[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q_done += cur_w / total
+                cur_m, cur_w = means[i], weights[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    # ---- merge / serde ----
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._compress()
+        o = other
+        o._compress()
+        self.means = np.concatenate([self.means, o.means])
+        self.weights = np.concatenate([self.weights, o.weights])
+        self._compress()
+        return self
+
+    def to_bytes(self) -> bytes:
+        self._compress()
+        n = self.means.size
+        return (_MAGIC + struct.pack("<dI", self.delta, n)
+                + self.means.tobytes() + self.weights.tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        assert data[:4] == _MAGIC
+        delta, n = struct.unpack_from("<dI", data, 4)
+        t = cls(delta)
+        off = 4 + struct.calcsize("<dI")
+        t.means = np.frombuffer(data[off : off + 8 * n], dtype=np.float64).copy()
+        t.weights = np.frombuffer(data[off + 8 * n : off + 16 * n], dtype=np.float64).copy()
+        return t
+
+    # ---- queries ----
+
+    @property
+    def n(self) -> float:
+        return float(self.weights.sum()) + float(self._buf_n)
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        w = self.weights
+        total = w.sum()
+        # centroid midpoints in cumulative-rank space
+        cum = np.cumsum(w) - w / 2.0
+        target = q * total
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    def rank(self, x: float) -> float:
+        """Approximate rank of x in [0,1]."""
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        w = self.weights
+        total = w.sum()
+        cum = np.cumsum(w) - w / 2.0
+        r = float(np.interp(x, self.means, cum, left=0.0, right=total))
+        return r / total
+
+
+def tdigest_build(df: DataFrame, col: str, delta: float = 200.0) -> TDigest:
+    """Global quantile sketch over a numeric column. Zero shuffles."""
+    return _sk.build_sketch(df, col, lambda pid: TDigest(delta), numeric=True)
+
+
+def tdigest_by_group(df: DataFrame, group_col: str, col: str, delta: float = 200.0) -> DataFrame:
+    return _sk.sketch_by_group(df, group_col, col, lambda pid: TDigest(delta), numeric=True)

@@ -1,0 +1,156 @@
+"""HLL / CMS / t-digest / KLL: estimate bounds vs exact Spark aggregates,
+merge laws, group-by sketch pattern (SURVEY.md §5.2 item 4)."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.cms import CMS, cms_build, cms_topk
+from sparksketch.hll import HLL, hll_by_group, hll_distinct
+from sparksketch.kll import KLL, kll_build
+from sparksketch.sketch import estimate_col
+from sparksketch.tdigest import TDigest, tdigest_build, tdigest_by_group
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# ---------------- HLL ----------------
+
+def test_hll_global_within_bound(events):
+    exact = events.select(F.countDistinct("user_id")).collect()[0][0]
+    est = hll_distinct(events, "user_id", p=14)
+    assert abs(est - exact) / exact <= 3 * HLL(14).rel_error()
+
+
+def test_hll_by_group_within_bound(spark, events):
+    states = hll_by_group(events, "event_type", "user_id", p=12)
+    got = {r.group: r.est for r in states.withColumn("est", estimate_col(HLL)("state")).collect()}
+    exact = {r.event_type: r.d for r in
+             events.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert set(got) == set(exact)
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e <= 3 * HLL(12).rel_error(), g
+
+
+def test_hll_merge_byte_identical_any_order():
+    rng = np.random.default_rng(0)
+    parts = []
+    for i in range(6):
+        h = HLL(12)
+        h.update_hashes(rng.integers(0, 2**64, 5000, dtype=np.uint64))
+        parts.append(h.to_bytes())
+
+    def fold(order):
+        acc = HLL.from_bytes(parts[order[0]])
+        for i in order[1:]:
+            acc = acc.merge(HLL.from_bytes(parts[i]))
+        return acc.to_bytes()
+
+    base = fold(list(range(6)))
+    r = random.Random(1)
+    for _ in range(4):
+        order = list(range(6))
+        r.shuffle(order)
+        assert fold(order) == base
+
+
+# ---------------- CMS ----------------
+
+def test_cms_exact_for_small_key_space(documents):
+    sk = cms_build(documents, "source", d=5, w=8192)
+    exact = {r.source: r["count"] for r in documents.groupBy("source").count().collect()}
+    # few distinct sources in 8192 columns → collisions in all 5 rows are
+    # essentially impossible → CMS == exact (and never under)
+    for key, cnt in exact.items():
+        q = sk.query(key)
+        assert q >= cnt
+        assert q == cnt, f"{key}: {q} != {cnt}"
+    top = cms_topk(sk, list(exact), k=3)
+    true_top = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert top == true_top
+
+
+def test_cms_overestimate_bounded(events):
+    sk = cms_build(events, "user_id", d=5, w=2048)
+    exact = {str(r.user_id): r["count"] for r in events.groupBy("user_id").count().limit(200).collect()}
+    for key, cnt in exact.items():
+        q = sk.query(key)
+        assert q >= cnt
+        assert q - cnt <= sk.error_bound()
+
+
+def test_cms_merge_commutative():
+    rng = np.random.default_rng(3)
+    parts = []
+    for _ in range(4):
+        c = CMS(4, 512)
+        c.update_hashes(rng.integers(0, 2**64, 2000, dtype=np.uint64),
+                        rng.integers(0, 2**64, 2000, dtype=np.uint64))
+        parts.append(c.to_bytes())
+    a = CMS.from_bytes(parts[0]).merge(CMS.from_bytes(parts[1])).merge(
+        CMS.from_bytes(parts[2])).merge(CMS.from_bytes(parts[3]))
+    b = CMS.from_bytes(parts[3]).merge(CMS.from_bytes(parts[2])).merge(
+        CMS.from_bytes(parts[1])).merge(CMS.from_bytes(parts[0]))
+    assert a.to_bytes() == b.to_bytes()
+
+
+# ---------------- t-digest ----------------
+
+def test_tdigest_rank_error(events):
+    sk = tdigest_build(events, "value", delta=200)
+    vals = np.sort(np.array([r.value for r in events.select("value").collect()]))
+    assert sk.n == len(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = sk.quantile(q)
+        rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(rank - q) <= 0.02, f"q={q} rank={rank}"
+
+
+def test_tdigest_by_group(events):
+    states = tdigest_by_group(events, "event_type", "value", delta=100)
+    got = {r.group: r.med for r in
+           states.withColumn("med", estimate_col(TDigest, "quantile", (0.5,))("state")).collect()}
+    pdf = events.select("event_type", "value").toPandas()
+    for g, med in got.items():
+        vals = np.sort(pdf[pdf.event_type == g].value.values)
+        rank = np.searchsorted(vals, med) / len(vals)
+        assert abs(rank - 0.5) <= 0.05, g
+
+
+# ---------------- KLL ----------------
+
+def test_kll_rank_error(documents):
+    sk = kll_build(documents, "n_chars", k=200)
+    vals = np.sort(np.array([r.n_chars for r in documents.select("n_chars").collect()], dtype=float))
+    assert sk.n == len(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = sk.quantile(q)
+        rank = np.searchsorted(vals, est, side="right") / len(vals)
+        assert abs(rank - q) <= 0.035, f"q={q} rank={rank}"
+
+
+def test_kll_merge_bounds():
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 1, 60_000)
+    a, b, c = KLL(200, 1), KLL(200, 2), KLL(200, 3)
+    a.update_values(vals[:20000])
+    b.update_values(vals[20000:40000])
+    c.update_values(vals[40000:])
+    m = a.merge(b).merge(c)
+    assert m.n == 60_000
+    sv = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(sv, m.quantile(q), side="right") / len(sv)
+        assert abs(rank - q) <= 0.035

@@ -1,0 +1,76 @@
+"""Synthetic webpages: determinism, extraction invariant, skew salting."""
+
+from pyspark.sql import functions as F
+
+from sparksketch.webtext import (
+    enforce_key_limit,
+    extract_text,
+    hot_hosts,
+    salted_host,
+    unsalt,
+    webpages,
+)
+
+N = 20_000
+
+
+def _content_sum(df):
+    # order-insensitive content fingerprint
+    return df.select(F.expr("bit_xor(xxhash64(url, text, lang))").alias("s")).collect()[0].s
+
+
+def test_webpages_shape_and_uniqueness(spark):
+    df = webpages(spark, N, seed=42, partitions=8).cache()
+    assert df.count() == N
+    assert df.select("url").distinct().count() == N
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.schema["html"].dataType.simpleString() == "binary"
+    assert df.schema["warc_ts"].dataType.simpleString() == "timestamp"
+
+
+def test_webpages_deterministic_across_parallelism(spark):
+    a = _content_sum(webpages(spark, 5000, seed=42, partitions=2))
+    b = _content_sum(webpages(spark, 5000, seed=42, partitions=8))
+    assert a == b
+    c = _content_sum(webpages(spark, 5000, seed=7, partitions=8))
+    assert c != a  # different seed → different corpus
+
+
+def test_extraction_byte_identical(spark):
+    """The input_hint per-row invariant: extract(html) == text for every url."""
+    df = webpages(spark, 5000, seed=42, partitions=4)
+    ext = extract_text(df)
+    bad = ext.filter(F.col("extracted_text") != F.col("text")).count()
+    assert bad == 0
+    # and as raw bytes, not just string equality
+    bad_bytes = ext.filter(
+        F.encode(F.col("extracted_text"), "UTF-8") != F.encode(F.col("text"), "UTF-8")
+    ).count()
+    assert bad_bytes == 0
+
+
+def test_host_skew_and_salting(spark):
+    df = webpages(spark, N, seed=42, partitions=8).cache()
+    hot = hot_hosts(df, fraction=0.04)
+    assert hot == ["h0000.example.com", "h0001.example.com", "h0002.example.com"]
+    salted = salted_host(df, hot=hot, n_salt=16).cache()
+    counts = {r.host_salted: r["count"] for r in salted.groupBy("host_salted").count().collect()}
+    # hottest raw host ≈ 15% of rows; after salting no key exceeds ~2%
+    assert max(counts.values()) < N * 0.025
+    # salted keys reassemble to true hosts exactly
+    back = (
+        salted.groupBy(unsalt("host_salted").alias("host2")).count()
+        .withColumnRenamed("count", "n2")
+    )
+    orig = salted.groupBy("host").count()
+    joined = orig.join(back, orig.host == back.host2)
+    assert joined.filter(F.col("count") != F.col("n2")).count() == 0
+
+
+def test_key_guard_drops_oversize(spark):
+    df = webpages(spark, 50_000, seed=42, partitions=8).cache()
+    over = df.filter(F.octet_length("text") > 2**20).count()
+    assert over > 0  # generator produces over-limit rows
+    kept = enforce_key_limit(df, "text")
+    assert kept.count() == 50_000 - over
+    assert kept.filter(F.octet_length("text") > 2**20).count() == 0
