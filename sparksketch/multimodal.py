@@ -1,0 +1,154 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata.
+
+The Spark-side machinery — schemas, batch iteration, partition sizing, UDF
+signatures — is real and tested; the *codec* step is a deliberate stub
+(image/audio libraries are not in this container).  ``decoder="fake"`` uses
+a deterministic synthetic codec (documented header format below) so the full
+pipeline runs end-to-end in tests; ``decoder="real"`` raises
+``NotImplementedError`` at the exact seam where PIL/ffmpeg would slot in.
+
+Fake media format (for the deterministic codec):
+    bytes 0-3   magic b"FMED"
+    bytes 4-5   width  (uint16 LE)
+    bytes 6-7   height (uint16 LE)
+    bytes 8-9   n_frames (uint16 LE; 1 = still image)
+    bytes 10..  payload: n_frames · width · height bytes (grayscale)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("media_id long, media binary, mime string, width int, height int, "
+                "n_frames int, source_url string")
+
+_MAGIC = b"FMED"
+
+
+def synth_media(spark: SparkSession, n_rows: int, seed: int = 42,
+                partitions: int | None = None, max_dim: int = 64) -> DataFrame:
+    """Deterministic fake media table (pure function of row id)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            rng_mix = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed))
+            w = (rng_mix % np.uint64(max_dim - 8) + np.uint64(8)).astype(np.int32)
+            h = ((rng_mix >> np.uint64(17)) % np.uint64(max_dim - 8) + np.uint64(8)).astype(np.int32)
+            frames = ((rng_mix >> np.uint64(33)) % np.uint64(4) + np.uint64(1)).astype(np.int32)
+            blobs = []
+            for i in range(len(ids)):
+                size = int(w[i]) * int(h[i]) * int(frames[i])
+                payload = (np.arange(size, dtype=np.uint64) * np.uint64(2654435761)
+                           + rng_mix[i]) % np.uint64(256)
+                blobs.append(
+                    _MAGIC + struct.pack("<HHH", int(w[i]), int(h[i]), int(frames[i]))
+                    + payload.astype(np.uint8).tobytes()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(blobs, pa.binary()),
+                    pa.array(np.where(frames > 1, "video/fake", "image/fake"), pa.string()),
+                    pa.array(w, pa.int32()),
+                    pa.array(h, pa.int32()),
+                    pa.array(frames, pa.int32()),
+                    pa.array(np.char.add("https://media.example.com/m", ids.astype("U20")), pa.string()),
+                ],
+                names=["media_id", "media", "mime", "width", "height", "n_frames", "source_url"],
+            )
+
+    return spark.range(0, n_rows, 1, parts).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def _parse_header(blob: bytes) -> tuple[int, int, int]:
+    if blob[:4] != _MAGIC:
+        raise ValueError("not fake-media format")
+    return struct.unpack("<HHH", blob[4:10])
+
+
+def decode_features(df: DataFrame, media_col: str = "media", decoder: str = "fake",
+                    n_features: int = 16) -> DataFrame:
+    """media binary → feature vector array<float>[n_features].
+
+    ``fake``: deterministic per-frame-mean + byte-histogram features through
+    the same mapInPandas plumbing a real extractor would use.
+    ``real``: the seam for an actual decode —
+    raises NotImplementedError (no image/audio libs in this container)."""
+    if decoder == "real":
+        def boom(_it):
+            raise NotImplementedError(
+                "real media decode needs PIL/torchvision/ffmpeg — not in this "
+                "container; wire the decoder here"
+            )
+            yield  # pragma: no cover
+        return df.mapInPandas(boom, f"media_id long, features array<float>")
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def fn(it):
+        for pdf in it:
+            feats = []
+            for blob in pdf[media_col]:
+                b = bytes(blob)
+                w, h, nf = _parse_header(b)
+                pix = np.frombuffer(b, dtype=np.uint8, offset=10).astype(np.float32)
+                hist, _ = np.histogram(pix, bins=n_features - 2, range=(0, 256))
+                v = np.concatenate((
+                    [pix.mean() / 255.0, float(nf)],
+                    hist / max(pix.size, 1),
+                )).astype(np.float32)
+                feats.append(v)
+            yield pdf[["media_id"]].assign(features=feats)
+
+    return df.mapInPandas(fn, "media_id long, features array<float>")
+
+
+def resize_stub(df: DataFrame, media_col: str = "media", target: int = 32) -> DataFrame:
+    """Nearest-neighbor resize of fake media (the real seam would call a
+    codec); demonstrates binary-in/binary-out batch plumbing."""
+
+    def fn(it):
+        for pdf in it:
+            out = []
+            for blob in pdf[media_col]:
+                b = bytes(blob)
+                w, h, nf = _parse_header(b)
+                pix = np.frombuffer(b, dtype=np.uint8, offset=10).reshape(nf, h, w)
+                yi = (np.arange(target) * h // target)
+                xi = (np.arange(target) * w // target)
+                small = pix[:, yi][:, :, xi]
+                out.append(_MAGIC + struct.pack("<HHH", target, target, nf) + small.tobytes())
+            yield pdf.assign(**{media_col: out, "width": target, "height": target})
+
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(fn, schema)
+
+
+def sample_frames(df: DataFrame, media_col: str = "media", every: int = 2) -> DataFrame:
+    """Video → exploded rows of sampled frames (frame_idx, frame binary).
+    The frame-sampling pattern for video corpora: one input row fans out to
+    ceil(n_frames / every) rows."""
+
+    def fn(it):
+        import pandas as pd
+        for pdf in it:
+            rows = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, blob in zip(pdf["media_id"], pdf[media_col]):
+                b = bytes(blob)
+                w, h, nf = _parse_header(b)
+                pix = np.frombuffer(b, dtype=np.uint8, offset=10).reshape(nf, h, w)
+                for fi in range(0, nf, every):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(fi)
+                    rows["frame"].append(_MAGIC + struct.pack("<HHH", w, h, 1) + pix[fi].tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "media_id long, frame_idx int, frame binary")

@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the training-pipeline contract:
+
+- **brute-force cosine top-k** — the exactness baseline: per-partition
+  vectorized numpy scores + local top-k, then a driver merge of
+  (partitions × k) candidates.  Linear scan, zero shuffles; at 10^12 rows
+  this is the "score everything once" pattern (still the right tool for
+  one-off queries over a column-pruned parquet scan).
+- **sign-LSH buckets** — the scale path for repeated queries / all-pairs
+  near-dup: random-hyperplane signatures bucket vectors so probes only scan
+  their bucket (+ multi-probe neighbors); exact rerank inside the bucket.
+
+Kernels consume the Arrow list buffers directly (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mat_of(batch_col, dim: int) -> np.ndarray:
+    """list<float> column → (n, dim) float32 matrix via the flat buffer."""
+    arr = batch_col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = flat[offsets[0] : offsets[-1]]
+    return flat.reshape(-1, dim)
+
+
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(vec_col).alias("d")).first().d
+
+
+def cosine_topk(df: DataFrame, vec_col: str, id_col: str, query: np.ndarray,
+                k: int = 10, dim: int | None = None) -> list[tuple[int, float]]:
+    """Exact top-k by cosine similarity to ``query``. One scan, no shuffle:
+    each partition emits its local top-k, the driver merges P·k rows."""
+    dim = dim or infer_dim(df, vec_col)
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+
+    def fn(batches):
+        best_ids: list[np.ndarray] = []
+        best_sims: list[np.ndarray] = []
+        for batch in batches:
+            ids = batch.column("_id").to_numpy(zero_copy_only=False)
+            mat = _mat_of(batch.column("_v"), dim)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qn) / np.maximum(norms, 1e-30)
+            if sims.shape[0] > k:
+                part = np.argpartition(-sims, k)[:k]
+            else:
+                part = np.arange(sims.shape[0])
+            best_ids.append(ids[part])
+            best_sims.append(sims[part])
+        if best_ids:
+            ids = np.concatenate(best_ids)
+            sims = np.concatenate(best_sims)
+            if ids.shape[0] > k:
+                part = np.argpartition(-sims, k)[:k]
+                ids, sims = ids[part], sims[part]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(sims.astype(np.float64))],
+                names=["_id", "sim"],
+            )
+
+    proj = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    local = proj.mapInArrow(fn, "_id long, sim double").collect()
+    rows = sorted(((r._id, r.sim) for r in local), key=lambda t: (-t[1], t[0]))[:k]
+    return [(int(i), float(s)) for i, s in rows]
+
+
+def cosine_topk_df(df: DataFrame, vec_col: str, id_col: str, query: np.ndarray,
+                   k: int = 10, dim: int | None = None, round_to: int | None = None) -> DataFrame:
+    """Same exact top-k but fully declarative (JVM expressions only) —
+    the oracle-checkable variant: dot product via ``zip_with``+``aggregate``
+    (whole-stage codegen), then a global ``orderBy().limit(k)`` which Spark
+    executes as per-partition TakeOrdered + driver merge (no full sort)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), qarr, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    sim = dot / (norm * F.lit(qn))
+    out = df.select(F.col(id_col), sim.alias("sim"))
+    if round_to is not None:
+        out = out.select(id_col, F.round("sim", round_to).alias("sim"))
+    return out.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+
+
+# ====================================================================
+# sign-LSH (random hyperplanes)
+# ====================================================================
+
+def lsh_planes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng((0x51617, seed))
+    return rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str, planes: np.ndarray,
+                    out: str = "bucket") -> DataFrame:
+    """Append the sign-LSH bucket id (int64 of packed sign bits)."""
+    dim, n_planes = planes.shape
+    pl = planes  # closure-captured; small (dim × planes)
+
+    def fn(batches):
+        for batch in batches:
+            mat = _mat_of(batch.column(vec_col), dim)
+            signs = (mat @ pl) > 0
+            bucket = np.zeros(mat.shape[0], dtype=np.uint64)
+            for j in range(n_planes):
+                bucket |= signs[:, j].astype(np.uint64) << np.uint64(j)
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(bucket.view(np.int64))],
+                names=[*batch.schema.names, out],
+            )
+
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInArrow(fn, f"{out_schema}, `{out}` bigint")
+
+
+def lsh_query(df_bucketed: DataFrame, vec_col: str, id_col: str, query: np.ndarray,
+              planes: np.ndarray, k: int = 10, multiprobe: int = 1) -> list[tuple[int, float]]:
+    """ANN probe: scan only the query's bucket (plus buckets within
+    ``multiprobe`` sign flips), exact cosine rerank inside."""
+    q = np.asarray(query, dtype=np.float32)
+    signs = (q @ planes) > 0
+    n_planes = planes.shape[1]
+    base = 0
+    for j in range(n_planes):
+        base |= int(signs[j]) << j
+    buckets = {base}
+    if multiprobe >= 1:
+        for j in range(n_planes):
+            buckets.add(base ^ (1 << j))
+    if multiprobe >= 2:
+        for j in range(n_planes):
+            for i in range(j + 1, n_planes):
+                buckets.add(base ^ (1 << j) ^ (1 << i))
+    cand = df_bucketed.filter(F.col("bucket").isin([b - (1 << 64) if b >= (1 << 63) else b for b in buckets]))
+    return cosine_topk(cand, vec_col, id_col, q, k=k, dim=planes.shape[0])
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                             threshold: float = 0.95, n_planes: int = 12,
+                             seed: int = 7, dim: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold: bucket by sign-LSH, exact
+    cosine only within buckets (vectorized per bucket group)."""
+    dim = dim or infer_dim(df, vec_col)
+    planes = lsh_planes(dim, n_planes, seed)
+    bucketed = with_lsh_bucket(
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", planes,
+    ).repartition(F.col("bucket"))
+
+    def pairs_fn(batches):
+        # a bucket never spans partitions (repartition on bucket) but can
+        # span Arrow batches within one — gather the whole partition first
+        id_chunks, bucket_chunks, mat_chunks = [], [], []
+        for batch in batches:
+            id_chunks.append(batch.column("_id").to_numpy(zero_copy_only=False))
+            bucket_chunks.append(batch.column("bucket").to_numpy(zero_copy_only=False))
+            mat_chunks.append(_mat_of(batch.column("_v"), dim))
+        if id_chunks:
+            ids = np.concatenate(id_chunks)
+            buckets = np.concatenate(bucket_chunks)
+            mat = np.concatenate(mat_chunks)
+            norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+            unit = mat / norms[:, None]
+            order = np.argsort(buckets, kind="stable")
+            sb = buckets[order]
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(sb)) + 1, [len(sb)]))
+            out_a, out_b, out_s = [], [], []
+            for gi in range(len(bounds) - 1):
+                rows = order[bounds[gi] : bounds[gi + 1]]
+                if rows.shape[0] < 2:
+                    continue
+                u = unit[rows]
+                sims = u @ u.T
+                ai, bi = np.triu_indices(rows.shape[0], k=1)
+                hit = sims[ai, bi] >= threshold
+                out_a.append(ids[rows[ai[hit]]])
+                out_b.append(ids[rows[bi[hit]]])
+                out_s.append(sims[ai[hit], bi[hit]].astype(np.float64))
+            if out_a:
+                a = np.concatenate(out_a)
+                b = np.concatenate(out_b)
+                s = np.concatenate(out_s)
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(lo, pa.int64()), pa.array(hi, pa.int64()), pa.array(s)],
+                    names=["id_a", "id_b", "cosine"],
+                )
+
+    # group whole buckets per task: mapInArrow sees each repartitioned
+    # partition; grouping within the kernel handles multiple buckets/task
+    return bucketed.mapInArrow(pairs_fn, "id_a long, id_b long, cosine double").distinct()

@@ -1,0 +1,159 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path expressions are JVM built-ins (codegen'd, pushdown-friendly);
+only the rolling-hash fingerprint drops to a vectorized Arrow kernel.
+Each operator is deliberately simple and *exactly specified* so the DuckDB
+oracle can reproduce it (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "como"],
+    "pt": ["o", "que", "não", "uma", "com", "para", "por", "mais", "dos", "como"],
+}
+
+
+def tokens_col(col: str | Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens_col(col)).cast("long")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks each
+    count separately (a cheap regex proxy for BPE tokenizers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    boundary = (r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"
+                r"|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])")
+    return F.size(
+        F.filter(F.split(c, boundary), lambda t: F.trim(t) != "")
+    ).cast("long")
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Appends deterministic quality-scoring features:
+
+    - n_chars, n_tokens, mean_token_len
+    - alpha_ratio / digit_ratio / punct_ratio / space_ratio (char classes)
+    - stopword_ratio (English stopword hits / tokens)
+    - quality_score in [0,1]: penalizes too-short/too-long docs, low alpha
+      ratio, missing stopwords
+    """
+    c = F.col(col)
+    n_chars = F.length(c).cast("long")
+    toks = tokens_col(col)
+    n_tokens = F.size(toks).cast("long")
+    nz = F.greatest(n_chars, F.lit(1)).cast("double")
+    alpha = (n_chars - F.length(F.regexp_replace(c, "[A-Za-z]", ""))) / nz
+    digit = (n_chars - F.length(F.regexp_replace(c, "[0-9]", ""))) / nz
+    space = (n_chars - F.length(F.regexp_replace(c, r"\s", ""))) / nz
+    punct = (n_chars - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))) / nz
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_position(stops, F.lower(t)) > 0))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double")
+    mean_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    length_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.least(alpha * F.lit(1.25), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * F.lit(0.3)
+        + length_ok * F.lit(0.2)
+        + F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_chars_t", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", F.round(mean_tok, 4))
+        .withColumn("alpha_ratio", F.round(alpha, 4))
+        .withColumn("digit_ratio", F.round(digit, 4))
+        .withColumn("space_ratio", F.round(space, 4))
+        .withColumn("punct_ratio", F.round(punct, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language heuristic: the language whose stopword list
+    hits the most tokens wins; ties and zero hits → 'und' (undetermined).
+    Deterministic, JVM-only."""
+    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
+    scores = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_position(arr, t) > 0)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # greatest() on structs orders by hits then lang (desc tie-break is the
+    # *last* alphabetically; fixed + documented)
+    best = F.greatest(*scores)
+    return df.withColumn(
+        out, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint_md5(col: str | Column) -> Column:
+    """Exact-content fingerprint (md5 hex) — oracle-checkable in DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.encode(c, "UTF-8"))
+
+
+def rolling_fingerprint(df: DataFrame, col: str, id_col: str, window: int = 8,
+                        keep: int = 4) -> DataFrame:
+    """Winnowing-style robust fingerprint: the ``keep`` smallest of the
+    rolling-window polynomial hashes of the byte stream, xor-folded to one
+    int64.  Stable under content reordering at window granularity."""
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("_id")
+            arr = batch.column("_t")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: off[-1]].astype(np.uint64)
+            n = len(arr)
+            out = np.zeros(n, dtype=np.uint64)
+            B = np.uint64(1099511628211)
+            # rolling polynomial hash over the flat byte buffer, windows that
+            # cross document boundaries are masked out per row below
+            if data.size >= window:
+                h = np.zeros(data.size - window + 1, dtype=np.uint64)
+                for j in range(window):
+                    h = h * B + data[j : data.size - window + 1 + j]
+                for i in range(n):
+                    s, e = off[i], off[i + 1]
+                    if e - s >= window:
+                        hw = h[s : e - window + 1]
+                        k = min(keep, hw.size)
+                        sel = np.partition(hw, k - 1)[:k]
+                        acc = np.uint64(0xCBF29CE484222325)
+                        for v in np.sort(sel):
+                            acc = (acc ^ v) * B
+                        out[i] = acc
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out.view(np.int64))], names=["_id", "fingerprint"]
+            )
+
+    proj = df.select(F.col(id_col).cast("long").alias("_id"), F.col(col).cast("string").alias("_t"))
+    return proj.mapInArrow(fn, "_id long, fingerprint bigint").withColumnRenamed("_id", id_col)

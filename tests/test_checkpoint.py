@@ -1,0 +1,75 @@
+"""Resume semantics: completed partitions replay from checkpoint, the final
+blob is identical, and a changed fingerprint invalidates old state
+(SURVEY.md §5.2 item 6)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from sparksketch.bloom import build_bloom, build_fingerprint, completed_partitions, resolve_m0
+from sparksketch.checkpoint import checkpoint_metas, clear_checkpoint, load_state, save_state
+from sparksketch.config import Accuracy, BloomConfig
+
+
+def _keys(spark, n):
+    return spark.range(0, n).select(F.col("id").cast("string").alias("key"))
+
+
+def test_checkpoint_write_and_resume_identical(spark, tmp_path):
+    chk = str(tmp_path / "chk")
+    cfg = BloomConfig()
+    df = _keys(spark, 8000)
+
+    full = build_bloom(df, "key", cfg, n_shards=16, partitions=8,
+                       checkpoint_dir=chk, input_id="keys8000")
+    metas = checkpoint_metas(chk)
+    assert len(metas) == 8
+    assert sum(m["rows"] for m in metas) == 8000
+    fp = metas[0]["fingerprint"]
+    assert all(m["fingerprint"] == fp for m in metas)
+
+    # simulate a killed run: 3 of 8 partitions lost their state
+    for pid in (1, 4, 6):
+        os.remove(os.path.join(chk, f"part-{pid:05d}.bin"))
+        os.remove(os.path.join(chk, f"part-{pid:05d}.meta.json"))
+    assert len(completed_partitions(chk, fp)) == 5
+
+    resumed = build_bloom(df, "key", cfg, n_shards=16, partitions=8,
+                          checkpoint_dir=chk, input_id="keys8000")
+    assert resumed.to_bytes() == full.to_bytes()
+    assert len(checkpoint_metas(chk)) == 8  # lost partitions re-checkpointed
+
+
+def test_fingerprint_changes_invalidate(spark, tmp_path):
+    chk = str(tmp_path / "chk2")
+    cfg = BloomConfig()
+    m0 = resolve_m0(cfg, 16, None)
+    fp1 = build_fingerprint(cfg, 16, m0, 8, "key", "a")
+    assert build_fingerprint(cfg, 16, m0, 8, "key", "b") != fp1
+    assert build_fingerprint(cfg, 16, m0, 4, "key", "a") != fp1
+    assert build_fingerprint(BloomConfig(accuracy=Accuracy.HIGH), 16, m0, 8, "key", "a") != fp1
+
+    build_bloom(_keys(spark, 1000), "key", cfg, n_shards=16, partitions=8,
+                checkpoint_dir=chk, input_id="a")
+    # a different input_id must not reuse those checkpoints
+    other_fp = build_fingerprint(cfg, 16, m0, 8, "key", "b")
+    assert completed_partitions(chk, other_fp) == frozenset()
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    state = build_bloom(_keys(spark, 2000), "key", BloomConfig(), n_shards=8, partitions=4)
+    path = str(tmp_path / "filter.bin")
+    n = save_state(state, path)
+    assert n > 0
+    loaded = load_state(path)
+    assert loaded.to_bytes() == state.to_bytes()
+    assert loaded.contains("1999") and not loaded.contains("2001")
+
+
+def test_clear_checkpoint(spark, tmp_path):
+    chk = str(tmp_path / "chk3")
+    build_bloom(_keys(spark, 500), "key", BloomConfig(), n_shards=4, partitions=2,
+                checkpoint_dir=chk, input_id="x")
+    assert checkpoint_metas(chk)
+    clear_checkpoint(chk)
+    assert not checkpoint_metas(chk)

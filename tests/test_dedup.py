@@ -1,0 +1,123 @@
+"""Dedup operators: exact, MinHash+LSH recall/precision on engineered
+near-dupes, SimHash Hamming candidates, exact n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.dedup import (
+    exact_dedup,
+    exact_dedup_ids,
+    exact_jaccard,
+    lsh_candidates,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    signature_jaccard,
+    simhash,
+    simhash_candidates,
+)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight",
+    "a completely different document about spark distributed computing and sketch data structures",
+    "numpy vectorized kernels make arrow batches fast while python loops make everything very slow",
+    "web pages from common crawl contain html markup text content and many duplicated boilerplates",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    i = 0
+    for b in BASE:
+        for copy in range(3):  # 3 exact copies each
+            rows.append((i, b))
+            i += 1
+        # near-dup: one word changed
+        rows.append((i, b.replace("the", "a", 1)))
+        i += 1
+    # unrelated fillers
+    for j in range(40):
+        rows.append((i, f"filler document number {j} with unique tokens alpha{j} beta{j} gamma{j} delta{j} epsilon{j}"))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, corpus):
+    ids = exact_dedup_ids(corpus, "text", "doc_id")
+    distinct_texts = corpus.select("text").distinct().count()
+    assert ids.count() == distinct_texts
+    full = exact_dedup(corpus, "text", "doc_id")
+    assert full.count() == distinct_texts
+    # representative is the min id of each duplicate group
+    assert full.filter(F.col("doc_id") == 0).count() == 1
+    assert full.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_finds_near_dupes(spark, corpus):
+    pairs = minhash_dedup_pairs(corpus, "text", "doc_id", threshold=0.5,
+                                num_perm=64, bands=16, shingle=5).cache()
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every exact-copy pair within a 4-row group (0,1,2 copies; 3 = near-dup)
+    for g in range(len(BASE)):
+        base = g * 4
+        for x in (0, 1, 2):
+            for y in (x + 1, x + 2):
+                if y <= 2:
+                    assert (base + x, base + y) in got, f"exact pair {(base+x, base+y)}"
+        # near-dup row should pair with at least one copy
+        assert any((base + c, base + 3) in got for c in (0, 1, 2))
+    # no cross-group false positives above threshold
+    for (a, b) in got:
+        assert a // 4 == b // 4 or max(a, b) >= len(BASE) * 4
+
+
+def test_signature_jaccard_exact_copy_is_one(spark, corpus):
+    sig = minhash_signatures(corpus, "text", "doc_id", num_perm=32, bands=8)
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    est = signature_jaccard(pairs, sig, "doc_id").collect()[0].est_jaccard
+    assert est == 1.0
+
+
+def test_exact_jaccard_on_candidates(spark, corpus):
+    pairs = spark.createDataFrame([(0, 1), (0, 3), (0, 5)], "id_a long, id_b long")
+    j = {(r.id_a, r.id_b): r.jaccard for r in
+         exact_jaccard(pairs, corpus, "text", "doc_id").collect()}
+    assert j[(0, 1)] == 1.0          # exact copies
+    assert 0.5 < j[(0, 3)] < 1.0     # near-dup
+    assert j[(0, 5)] < 0.2           # different documents
+
+
+def test_simhash_candidates(spark):
+    # long doc: a 1-token edit flips few of the 64 bits → inside the
+    # 4-block pigeonhole guarantee (hamming ≤ 3 ⇒ some 16-bit block equal)
+    words = [f"token{i}" for i in range(200)]
+    long_doc = " ".join(words)
+    edited = " ".join(["changed" if i == 50 else w for i, w in enumerate(words)])
+    other = " ".join(f"unrelated{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, long_doc), (2, edited), (3, other)],
+        "doc_id long, text string",
+    )
+    sh = simhash(df, "text", "doc_id", max_chars=8192).cache()
+    sig = {r.doc_id: r.simhash for r in sh.collect()}
+    assert sig[0] == sig[1]  # identical docs → identical signatures
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sig[0], sig[2]) < ham(sig[0], sig[3])
+    cands = simhash_candidates(sh, "doc_id", max_hamming=3).cache()
+    got = {(r.id_a, r.id_b): r.hamming for r in cands.collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got  # near-dup within the hamming ball
+    assert (0, 3) not in got  # unrelated doc far away
+
+
+def test_lsh_bucket_truncation_guard(spark):
+    # 600 identical docs → one bucket; pair blowup must be capped
+    df = spark.createDataFrame([(i, "same text for everyone here") for i in range(600)],
+                               "doc_id long, text string")
+    sig = minhash_signatures(df, "text", "doc_id", num_perm=16, bands=4)
+    pairs = lsh_candidates(sig, "doc_id", max_bucket=50)
+    n = pairs.count()
+    assert 0 < n <= 50 * 49 / 2

@@ -1,0 +1,100 @@
+"""Similarity search: brute-force exactness, LSH recall, near-dup pairs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.similarity import (
+    cosine_topk,
+    cosine_topk_df,
+    embedding_near_dup_pairs,
+    infer_dim,
+    lsh_planes,
+    lsh_query,
+    with_lsh_bucket,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float32)
+    return ids, mat
+
+
+def _exact_topk(ids, mat, q, k):
+    qn = q / np.linalg.norm(q)
+    sims = (mat @ qn) / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+    order = np.lexsort((ids, -sims))[:k]
+    return [(int(ids[i]), float(sims[i])) for i in order]
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[0]
+    got = cosine_topk(emb, "embedding", "vec_id", q, k=10)
+    want = _exact_topk(ids, mat, q, 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-5
+    assert got[0][0] == int(ids[0])  # self is its own nearest neighbor
+
+
+def test_cosine_topk_df_matches_kernel(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[7]
+    via_df = [(r.vec_id, r.sim) for r in
+              cosine_topk_df(emb, "embedding", "vec_id", q, k=5).collect()]
+    via_kernel = cosine_topk(emb, "embedding", "vec_id", q, k=5)
+    assert [a[0] for a in via_df] == [b[0] for b in via_kernel]
+
+
+def test_lsh_query_recall(emb, emb_np):
+    ids, mat = emb_np
+    dim = infer_dim(emb, "embedding")
+    planes = lsh_planes(dim, n_planes=8)
+    bucketed = with_lsh_bucket(
+        emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding"),
+        "embedding", planes).cache()
+    hits = 0
+    for probe in range(5):
+        qid = int(ids[probe * 11])
+        q = mat[probe * 11]
+        ann = lsh_query(bucketed, "embedding", "vec_id", q, planes, k=5, multiprobe=2)
+        assert ann[0][0] == qid  # the query's own vector is always recalled
+        exact = {t[0] for t in _exact_topk(ids, mat, q, 5)}
+        hits += len({a for a, _ in ann} & exact)
+    # these embeddings are near-random 64-dim (NN cosine ≈ 0.37), the
+    # adversarial case for sign-LSH; deterministic seeds → stable recall
+    assert hits >= 10  # ≥40% recall@5 with multiprobe=2 on 8 planes
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        if i < 10:  # 10 engineered near-dups
+            noisy = v + rng.standard_normal(16).astype(np.float32) * 0.01
+            rows.append((100 + i, noisy.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.98,
+                                     n_planes=6, dim=16).cache()
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    found = sum((i, 100 + i) in got for i in range(10))
+    assert found >= 8  # sign-LSH recall on ~0.9999-cosine dupes
+    # every reported pair really is above threshold (no false positives)
+    vecs = dict(rows)
+    for (a, b) in got:
+        va, vb = np.array(vecs[a]), np.array(vecs[b])
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos >= 0.98 - 1e-4, (a, b, cos)

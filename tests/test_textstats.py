@@ -1,0 +1,85 @@
+"""Text analysis: token counts, quality features, language ID, fingerprints."""
+
+from pyspark.sql import functions as F
+
+from sparksketch.textstats import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    lang_id,
+    quality_features,
+    rolling_fingerprint,
+    token_count,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("  spaced   out  ",), ("",), ("single",), ("  ",)], "t string"
+    )
+    got = [r.n for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [3, 2, 0, 1, 0]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello, world! x2",)], "t string")
+    n = df.select(bpe_ish_token_count("t").alias("n")).collect()[0].n
+    # hello , world ! x 2 → 6
+    assert n == 6
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat and it was happy about that outcome."),
+         (2, "000 111 222 333 444 555"),
+         (3, "x")],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in quality_features(df).collect()}
+    good, digits, tiny = rows[1], rows[2], rows[3]
+    assert good.quality_score > 0.8
+    assert digits.digit_ratio > 0.6
+    assert digits.quality_score < 0.4
+    assert tiny.n_tokens == 1
+    assert tiny.quality_score < 0.6
+    assert abs(good.alpha_ratio + good.space_ratio + good.punct_ratio
+               + good.digit_ratio - 1.0) < 0.01
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park and it was good for them"),
+         (2, "der hund und die katze sind nicht auf der wiese mit dem ball"),
+         (3, "le chat est dans la maison et les enfants sont pour une fois pas la"),
+         (4, "el perro y el gato que es una historia por la manana con amigos"),
+         (5, "zzz qqq xxx www")],
+        "id long, text string",
+    )
+    got = {r.id: r.lang_pred for r in lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "es"
+    assert got[5] == "und"
+
+
+def test_fingerprint_md5_matches_duckdb(spark):
+    import duckdb
+    vals = ["hello world", "", "κλεψύδρα", "a" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r.f for r in df.select(fingerprint_md5("t").alias("f")).collect()]
+    want = [duckdb.sql(f"SELECT md5(?)", params=[v]).fetchone()[0] for v in vals]
+    assert got == want
+
+
+def test_rolling_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog repeatedly today"),
+         (2, "the quick brown fox jumps over the lazy dog repeatedly today"),
+         (3, "a totally different string of words goes here instead of that"),
+         (4, "x")],  # shorter than the window
+        "id long, text string",
+    )
+    got = {r.id: r.fingerprint for r in rolling_fingerprint(df, "text", "id").collect()}
+    assert got[1] == got[2]          # identical content → identical fingerprint
+    assert got[1] != got[3]
+    assert got[4] == 0               # sub-window content → sentinel 0
