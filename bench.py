@@ -1,0 +1,138 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline is the reference's own metric — Bloom build throughput
+(docs/sec) — plus the companion sketches, dedup, similarity, text analysis
+and a relational query, all at sf0.1 scale.  The synthetic web corpus
+(~500k pages at sf0.1) is generated once into .bench_data/ and then read
+back as parquet so the benched jobs include a real columnar scan with
+pushdown, like production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_WEBPAGES = int(5_000_000 * SF)
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+
+
+def ensure_webpages(spark, n):
+    path = os.path.join(DATA_DIR, f"webpages_{n}.parquet")
+    if not os.path.exists(path):
+        from sparksketch.webtext import webpages
+        webpages(spark, n, seed=42, partitions=max(CPUS, 8)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def main() -> int:
+    if not os.path.isdir(SF_DIR):
+        print(json.dumps({"error": f"SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}"}))
+        return 2
+
+    from pyspark.sql import functions as F
+
+    from sparksketch.bloom import BloomConfig, build_bloom, with_membership
+    from sparksketch.cms import cms_build, cms_topk
+    from sparksketch.dedup import exact_dedup_ids, minhash_dedup_pairs, simhash
+    from sparksketch.hll import HLL, hll_by_group, hll_distinct
+    from sparksketch.kll import kll_build
+    from sparksketch.session import get_spark
+    from sparksketch.similarity import cosine_topk
+    from sparksketch.sketch import estimate_col
+    from sparksketch.tdigest import tdigest_build
+    from sparksketch.textstats import lang_id, quality_features
+    from sparksketch.webtext import extract_text, hot_hosts
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS,
+                      extra={"spark.ui.showConsoleProgress": "false"})
+
+    wp = ensure_webpages(spark, N_WEBPAGES)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    # --- the headline: bloom build over the web corpus ---
+    state = bench("bloom_build", lambda: build_bloom(
+        wp, "url", BloomConfig(), n_shards=4 * CPUS, partitions=CPUS,
+        expected_keys=N_WEBPAGES))
+    extras["bloom_docs_per_sec"] = round(N_WEBPAGES / timings["bloom_build"], 1)
+    extras["bloom_fpr_bound"] = state.fpr_bound()
+
+    # --- probe throughput: all inserted + equal number of absent keys ---
+    def probe():
+        probes = wp.select("url").union(
+            spark.range(N_WEBPAGES).select(
+                F.concat(F.lit("https://absent.example.com/x"), F.col("id").cast("string")).alias("url")))
+        return with_membership(probes, "url", state).filter(~F.col("is_member")).count()
+    absent = bench("bloom_probe", probe)
+    extras["bloom_probe_keys_per_sec"] = round(2 * N_WEBPAGES / timings["bloom_probe"], 1)
+    extras["bloom_fn_or_fp_violations"] = float(abs(absent - N_WEBPAGES))
+
+    # --- companion sketches ---
+    bench("hll_distinct_urls", lambda: hll_distinct(wp, "url", p=14))
+    bench("hll_by_lang", lambda: hll_by_group(wp, "lang", "url", p=12)
+          .withColumn("est", estimate_col(HLL)("state")).collect())
+    bench("cms_hosts", lambda: cms_build(
+        wp.select(F.parse_url("url", F.lit("HOST")).alias("host")), "host", d=5, w=65536))
+    bench("tdigest_events_value", lambda: tdigest_build(events, "value").quantile(0.5))
+    bench("kll_docs_nchars", lambda: kll_build(docs, "n_chars").quantile(0.99))
+
+    # --- webtext ops ---
+    bench("extract_text", lambda: extract_text(wp, passthrough=["text"])
+          .filter(F.col("extracted_text") != F.col("text")).count())
+    bench("quality_lang", lambda: lang_id(quality_features(wp))
+          .agg(F.avg("quality_score"), F.count("lang_pred")).collect())
+
+    # --- dedup ---
+    bench("dedup_exact_docs", lambda: exact_dedup_ids(docs, "text", "doc_id").count())
+    bench("dedup_minhash_docs", lambda: minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.8).count())
+    bench("simhash_docs", lambda: simhash(docs, "text", "doc_id").count())
+
+    # --- similarity ---
+    qv = np.array(emb.first().embedding, dtype=np.float32)
+    bench("cosine_topk", lambda: cosine_topk(emb, "embedding", "vec_id", qv, k=10))
+
+    # --- relational surface ---
+    bench("q1_pricing", lambda: lineitem
+          .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity"), F.count("*")).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "sparksketch_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "extras": {**extras, "cores": CPUS, "webpages": N_WEBPAGES},
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -214,6 +214,31 @@ class BloomFilterState:
                 out.shards[sid] = [_merge_levels(a[t], b[t]) for t in range(self.tiers)]
         return out
 
+    def merge_into(self, other: "BloomFilterState") -> "BloomFilterState":
+        """In-place OR-merge of ``other`` into self — O(|other|) instead of
+        O(|self| + |other|); the right fold primitive for collect-and-merge
+        (a copying fold over P partials is quadratic in filter size)."""
+        if (self.tiers, self.n_shards, self.m0, self.threshold) != (
+            other.tiers, other.n_shards, other.m0, other.threshold
+        ):
+            raise ValueError("cannot merge filters with different geometry")
+        for sid, cascade in other.shards.items():
+            mine = self.shards.get(sid)
+            if mine is None:
+                self.shards[sid] = cascade  # adopt (caller must not reuse other)
+                continue
+            for t in range(self.tiers):
+                levels = {lv.idx: lv for lv in mine[t]}
+                for lv in cascade[t]:
+                    tgt = levels.get(lv.idx)
+                    if tgt is None:
+                        mine[t].append(lv)
+                    else:
+                        tgt.bits |= lv.bits
+                        tgt.n += lv.n
+                mine[t].sort(key=lambda l: l.idx)
+        return self
+
     # ---------------- queries ----------------
 
     def _route(self, key: str | bytes) -> int:
@@ -338,7 +363,7 @@ def hash_probe_cols(col: str | Column, tiers: int, n_shards: int) -> list[Column
 
 
 def _insert_batch(cascade: list[list[Level]], tier_h: list[tuple[np.ndarray, np.ndarray]],
-                  m0: int, threshold: float, rehash: bool) -> None:
+                  m0: int, threshold: float, rehash: bool, cap_div: int = 1) -> None:
     """Insert a batch of (h1,h2) rows into every tier of one shard cascade,
     opening new levels at the reference's fill threshold (filter.rs:92-118:
     the scale trigger; level-open replaces CAS + rehash channel + catch-up)."""
@@ -348,7 +373,7 @@ def _insert_batch(cascade: list[list[Level]], tier_h: list[tuple[np.ndarray, np.
         while pos < total:
             lv = levels[-1]
             if rehash:
-                room = lv.capacity(threshold) - lv.n
+                room = max(lv.capacity(threshold) // cap_div, 1) - lv.n
                 if room <= 0:
                     levels.append(Level.fresh(lv.idx + 1, m0, threshold))
                     continue
@@ -363,7 +388,11 @@ def _insert_batch(cascade: list[list[Level]], tier_h: list[tuple[np.ndarray, np.
 
 def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
                         checkpoint_dir: str | None, fingerprint: str | None,
-                        completed: frozenset[int]):
+                        completed: frozenset[int], cap_div: int = 1):
+    """``cap_div=1``: routed mode — each shard is owned by one task, level
+    capacities are exact.  ``cap_div=P``: scan-local mode — every task may
+    touch every shard, so each task gets a 1/P share of each level's
+    capacity; the OR-merge then fills levels to ≤ their global capacity."""
     tiers, threshold, rehash = cfg.tiers, cfg.threshold, cfg.rehash
 
     def fn(batches):
@@ -410,7 +439,7 @@ def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
                     cascade = [[Level.fresh(0, m0, threshold)] for _ in range(tiers)]
                     local[sid] = cascade
                 _insert_batch(cascade, [(h1[rows], h2[rows]) for h1, h2 in tier_cols],
-                              m0, threshold, rehash)
+                              m0, threshold, rehash, cap_div)
 
         if checkpoint_dir:
             st = BloomFilterState(tiers, n_shards, m0, threshold, rehash, local)
@@ -468,14 +497,28 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
                        n_shards: int | None = None, partitions: int | None = None,
                        expected_keys: int | None = None,
                        checkpoint_dir: str | None = None, input_id: str = "",
-                       enforce_key_limit: bool = True) -> tuple[DataFrame, dict]:
+                       enforce_key_limit: bool = True, route: bool = True) -> tuple[DataFrame, dict]:
     """Distributed build → DataFrame of ``(shard int, rows long, state binary)``.
 
     This is the at-scale product: the filter stays a DataFrame (never
     collected), queryable via :func:`membership_join` and persistable with
-    plain ``.write.parquet``.  Plan shape: parquet scan → Project (key cast,
-    guard filter, JVM hash columns — all whole-stage codegen) → Exchange on
-    shard id (~40 B/row) → MapInArrow (numpy bit kernel) — one shuffle total.
+    plain ``.write.parquet``.
+
+    Two physical modes:
+
+    - ``route=True`` (default, the 10^12-doc mode): parquet scan → Project
+      (key cast, guard filter, JVM hash columns — whole-stage codegen) →
+      Exchange on shard id (~40 B/row, never the text) → MapInArrow (numpy
+      bit kernel).  Each shard is built by exactly one task with exact
+      level capacities, and per-task memory is filter_size / n_shards —
+      mandatory when the filter is far bigger than one task's memory.
+    - ``route=False`` (scan-local): no shuffle at all — every scan
+      partition builds 1/P-capacity sub-levels for the shards it sees and
+      the OR-merge aligns them (map-side partial aggregation).  Each task
+      may hold the whole filter, so use it when filter_size fits in a task
+      (up to ~GBs).  Measured: the post-shuffle row→Arrow conversion has a
+      serial component that caps routed-mode scaling on one box; scan-local
+      scales with cores until memory bandwidth.
     """
     spark = df.sparkSession
     n_shards = n_shards or cfg.shards
@@ -488,11 +531,18 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
         # (README.md:14-15 vs filter.rs:509-510); we make the contract real.
         keyed = keyed.filter(F.octet_length("_skkey") <= cfg.max_key_bytes)
     hashed = keyed.select(*hash_probe_cols("_skkey", cfg.tiers, n_shards))
-    routed = hashed.repartition(partitions, F.col(_ROUTE))
+    if route:
+        routed = hashed.repartition(partitions, F.col(_ROUTE))
+        cap_div = 1
+    else:
+        routed = hashed.coalesce(partitions)
+        partitions = routed.rdd.getNumPartitions()
+        cap_div = max(partitions, 1)
 
-    fingerprint = build_fingerprint(cfg, n_shards, m0, partitions, col, input_id)
+    fingerprint = build_fingerprint(cfg, n_shards, m0, partitions, col,
+                                    f"{input_id}|route={int(route)}")
     completed = completed_partitions(checkpoint_dir, fingerprint)
-    fn = _build_partition_fn(cfg, n_shards, m0, checkpoint_dir, fingerprint, completed)
+    fn = _build_partition_fn(cfg, n_shards, m0, checkpoint_dir, fingerprint, completed, cap_div)
     states = routed.mapInArrow(fn, _STATE_SCHEMA)
     info = {"n_shards": n_shards, "partitions": partitions, "m0": m0,
             "fingerprint": fingerprint, "resumed_partitions": sorted(completed)}
@@ -502,21 +552,47 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
 def build_bloom(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig(),
                 n_shards: int | None = None, partitions: int | None = None,
                 expected_keys: int | None = None, checkpoint_dir: str | None = None,
-                input_id: str = "", enforce_key_limit: bool = True,
-                tree_depth: int | None = None) -> BloomFilterState:
-    """Build and **treeReduce OR-merge** into a single driver-side filter.
+                input_id: str = "", enforce_key_limit: bool = True, route: bool = True,
+                merge: str = "auto", tree_depth: int | None = None) -> BloomFilterState:
+    """Build and OR-merge into a single driver-side filter.
 
-    Use for filters that fit on the driver (up to ~GBs); at 10^12-doc scale
-    prefer :func:`build_bloom_states` + :func:`membership_join`."""
+    ``merge='driver'`` collects the per-shard blobs once and folds them on
+    the driver — one Spark job total; right whenever the filter fits in
+    driver memory.  ``merge='tree'`` is the log-depth distributed
+    ``treeReduce`` for filters too large to fold in one process (the
+    executors OR blobs pairwise; the driver only sees the final one) — at
+    that size also consider never collecting at all
+    (:func:`build_bloom_states` + :func:`membership_join`).
+    ``'auto'``: driver below 512 shards, tree above."""
     states, info = build_bloom_states(df, col, cfg, n_shards, partitions, expected_keys,
-                                      checkpoint_dir, input_id, enforce_key_limit)
-    blobs = states.select("state").rdd.map(lambda r: bytes(r[0]))
+                                      checkpoint_dir, input_id, enforce_key_limit, route)
+    if merge == "auto":
+        merge = "driver" if info["n_shards"] <= 512 else "tree"
+    if merge == "driver":
+        blobs = [bytes(r[0]) for r in states.select("state").collect()]
+        if not blobs:
+            return BloomFilterState.empty(cfg, info["n_shards"], info["m0"])
+        acc = BloomFilterState.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc.merge_into(BloomFilterState.from_bytes(b))
+        return acc
+    rdd = states.select("state").rdd.map(lambda r: bytes(r[0]))
     parts = info["partitions"]
     depth = tree_depth or max(2, int(math.ceil(math.log2(max(parts, 2)))))
-    if blobs.isEmpty():
+    # treeAggregate with an empty-blob zero avoids a separate isEmpty() job
+    # (which would re-run the whole build pipeline)
+    merged = rdd.treeAggregate(b"", _merge_or_adopt, _merge_or_adopt, depth=min(depth, 5))
+    if merged == b"":
         return BloomFilterState.empty(cfg, info["n_shards"], info["m0"])
-    merged = blobs.treeReduce(merge_blobs, depth=min(depth, 5))
     return BloomFilterState.from_bytes(merged)
+
+
+def _merge_or_adopt(a: bytes, b: bytes) -> bytes:
+    if a == b"":
+        return b
+    if b == b"":
+        return a
+    return merge_blobs(a, b)
 
 
 def merge_blobs(a: bytes, b: bytes) -> bytes:

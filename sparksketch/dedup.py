@@ -89,7 +89,47 @@ def _shingle_hash_col(col: str, shingle: int, max_chars: int) -> F.Column:
     )
 
 
-def _minhash_kernel(num_perm: int, bands: int, seed: int):
+def _shingle_window_hashes(arr: pa.Array, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """String column → (window-hash uint64 array gathered per row, per-row
+    start offsets into it, per-row window counts).
+
+    Byte-level n-gram hashing as one vectorized polynomial roll over the
+    column's flat UTF-8 buffer + a splitmix64 finalizer — zero per-shingle
+    JVM string allocations (a `transform(sequence, xxhash64(substring))`
+    formulation allocates one JVM String per shingle; at 20M shingles the
+    GC pressure dominated the whole pipeline)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: off[-1]].astype(np.uint64)
+    off = off - off[0]
+    lens = np.diff(off)
+    B = np.uint64(0x100000001B3)
+    if data.size >= n:
+        W = np.zeros(data.size - n + 1, dtype=np.uint64)
+        for j in range(n):
+            W = W * B + data[j : data.size - n + 1 + j]
+    else:
+        W = np.zeros(0, dtype=np.uint64)
+    win_counts = np.where(lens >= n, lens - n + 1, np.where(lens > 0, 1, 0)).astype(np.int64)
+    g_starts = np.concatenate(([0], np.cumsum(win_counts)))
+    total = int(g_starts[-1])
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), win_counts)
+    pos = np.arange(total, dtype=np.int64) - g_starts[row_of] + off[:-1][row_of]
+    sel = W[np.minimum(pos, max(W.size - 1, 0))] if W.size else np.zeros(total, dtype=np.uint64)
+    # rows shorter than the window: hash their own bytes (window would cross
+    # into the next row); rare, so a scalar loop is fine
+    short = np.flatnonzero((lens > 0) & (lens < n))
+    for i in short:
+        h = np.uint64(0)
+        for byte in data[off[i] : off[i + 1]]:
+            h = h * B + byte
+        sel[g_starts[i]] = h
+    from sparksketch.hashing import splitmix64
+    return splitmix64(sel), g_starts[:-1], win_counts
+
+
+def _minhash_kernel(num_perm: int, bands: int, seed: int, shingle: int):
     rows_per_band = num_perm // bands
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE61, num_perm, dtype=np.uint64)
@@ -98,13 +138,13 @@ def _minhash_kernel(num_perm: int, bands: int, seed: int):
     def fn(batches):
         for batch in batches:
             ids = batch.column("_id")
-            flat, starts, lengths = _flat_list(batch.column("_sh"))
+            flat, starts, counts = _shingle_window_hashes(batch.column("_t"), shingle)
             n = batch.num_rows
             sig = np.zeros((num_perm, n), dtype=np.uint64)
             if flat.size:
                 # affine permutation per hash function; wrap-around mod 2^64
-                # over already-mixed xxhash64 values
-                nonempty = lengths > 0
+                # over splitmix64-finalized window hashes
+                nonempty = counts > 0
                 ne_starts = starts[nonempty]
                 for p in range(num_perm):
                     perm = flat * a[p] + b[p]
@@ -136,11 +176,11 @@ def minhash_signatures(df: DataFrame, col: str, id_col: str, num_perm: int = 64,
         raise ValueError("num_perm must be divisible by bands")
     proj = df.select(
         F.col(id_col).cast("long").alias("_id"),
-        _shingle_hash_col(col, shingle, max_chars).alias("_sh"),
+        F.substring(F.col(col).cast("string"), 1, max_chars).alias("_t"),
     )
     out = proj.mapInArrow(
-        _minhash_kernel(num_perm, bands, seed),
-        f"_id long, sig array<bigint>, band_keys array<bigint>",
+        _minhash_kernel(num_perm, bands, seed, shingle),
+        "_id long, sig array<bigint>, band_keys array<bigint>",
     )
     return out.withColumnRenamed("_id", id_col)
 

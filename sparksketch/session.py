@@ -28,10 +28,21 @@ def get_spark(app: str = "sparksketch", cores: int | str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # default 10k-row Arrow batches measured ~2× faster JVM→Python than
+        # 64k on wide text rows (see BENCH notes); don't raise it
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        # local mode: shuffle through tmpfs and skip compression — measured
+        # ~20% off the shuffle floor on this box (real clusters set
+        # spark.local.dir to fast local disks instead)
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = (builder.config("spark.local.dir", shm)
+                   .config("spark.shuffle.compress", "false")
+                   .config("spark.shuffle.spill.compress", "false"))
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

