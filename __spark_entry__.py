@@ -90,6 +90,21 @@ def _bloom_partkey_screen(spark: SparkSession, sf: str) -> DataFrame:
             .filter(~F.col("is_member")).select("p_partkey"))
 
 
+def _bloom_by_source_zero_fn(spark: SparkSession, sf: str) -> DataFrame:
+    # per-group filters (bloom_by_group): every text of a source must be a
+    # member of that source's filter — zero FN per group, certified per row
+    from sparksketch.bloom import GroupBloom, bloom_by_group
+    docs = _T(spark, sf, "documents")
+    states = bloom_by_group(docs, "source", "text", BloomConfig(),
+                            expected_keys_per_group=1000)
+    filters = {r.group: GroupBloom.from_bytes(bytes(r.state)) for r in states.collect()}
+    rows = docs.select("source", "text").collect()
+    ok_by_source: dict[str, bool] = {}
+    for r in rows:
+        ok_by_source[r.source] = ok_by_source.get(r.source, True) and filters[r.source].contains(r.text)
+    return spark.createDataFrame(sorted(ok_by_source.items()), "source string, ok boolean")
+
+
 def _hll_users_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     ev = _T(spark, sf, "events")
     p = 13
@@ -265,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom (the centerpiece)
         "bloom_zero_fn": _bloom_zero_fn,
         "bloom_partkey_screen": _bloom_partkey_screen,
+        "bloom_by_source_zero_fn": _bloom_by_source_zero_fn,
         # companion sketches
         "hll_users_by_event_type": _hll_users_by_event_type,
         "hll_distinct_docs": _hll_distinct_docs,
@@ -330,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_zero_fn": "SELECT count(*) AS n_keys, CAST(0 AS BIGINT) AS false_negatives FROM customer",
         "bloom_partkey_screen": ("SELECT DISTINCT p_partkey FROM part "
                                  "WHERE p_partkey NOT IN (SELECT c_custkey FROM customer)"),
+        "bloom_by_source_zero_fn": "SELECT DISTINCT source, TRUE AS ok FROM documents",
         "hll_users_by_event_type": ("SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
                                     "TRUE AS hll_ok FROM events GROUP BY event_type"),
         "hll_distinct_docs": "SELECT COUNT(DISTINCT text) AS n_exact, TRUE AS hll_ok FROM documents",

@@ -699,3 +699,70 @@ def _merge_state_rows(pdf):
     for b in pdf["state"]:
         blob = bytes(b) if blob is None else merge_blobs(blob, bytes(b))
     return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "state": [blob]})
+
+
+# ====================================================================
+# per-group filters (the "group-by sketches" row of SURVEY.md §2.2)
+# ====================================================================
+
+class GroupBloom:
+    """A single-shard cascading filter as a mergeable group sketch — plugs
+    the Bloom cascade into :func:`sparksketch.sketch.sketch_by_group` so
+    per-lang / per-host filters come out of the same map-side-combine
+    pattern as the other sketches.  Shard routing is pointless inside a
+    group sketch (the group IS the shard), so n_shards = 1."""
+
+    def __init__(self, cfg: BloomConfig | None = None, m0: int | None = None,
+                 cap_div: int = 1):
+        self.cfg = cfg or BloomConfig()
+        m0 = m0 or self.cfg.m0
+        self.cap_div = cap_div
+        self.state = BloomFilterState(self.cfg.tiers, 1, m0, self.cfg.threshold, self.cfg.rehash)
+        self.state.shards[0] = [[Level.fresh(0, m0, self.cfg.threshold)]
+                                for _ in range(self.cfg.tiers)]
+
+    def update_hashes(self, *hs: np.ndarray) -> None:
+        tier_h = [(hs[2 * t], hs[2 * t + 1]) for t in range(self.cfg.tiers)]
+        _insert_batch(self.state.shards[0], tier_h, self.state.m0,
+                      self.state.threshold, self.state.rehash, self.cap_div)
+
+    def merge(self, other: "GroupBloom") -> "GroupBloom":
+        self.state.merge_into(other.state)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.state.to_bytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "GroupBloom":
+        g = cls.__new__(cls)
+        g.state = BloomFilterState.from_bytes(data)
+        g.cfg = None
+        g.cap_div = 1
+        return g
+
+    def contains(self, key: str | bytes) -> bool:
+        return self.state.contains(key)
+
+    def key_count(self) -> int:
+        return self.state.key_count
+
+
+def bloom_by_group(df: DataFrame, group_col: str, col: str,
+                   cfg: BloomConfig = BloomConfig(),
+                   expected_keys_per_group: int | None = None) -> DataFrame:
+    """Per-group Bloom filters → DataFrame (group, state binary).
+
+    Uses the generic two-phase group-sketch pattern (per-partition partials
+    → per-group merge), which is skew-robust by construction: a hot group
+    produces at most one partial per partition regardless of its row count.
+    Level capacities are split across partitions (scan-local accounting)."""
+    from sparksketch import sketch as _sk
+    spark = df.sparkSession
+    cap_div = max(spark.sparkContext.defaultParallelism, 1)
+    m0 = None
+    if expected_keys_per_group:
+        m0 = max(cfg.m0, _next_pow2(int(expected_keys_per_group * cfg.threshold)))
+    seeds = tuple(HASH_SEED_SELECTION[2 + i] for i in range(2 * cfg.tiers))
+    return _sk.sketch_by_group(df, group_col, col,
+                               lambda pid: GroupBloom(cfg, m0, cap_div), seeds=seeds)

@@ -88,6 +88,11 @@ def cms_build(df: DataFrame, col: str, d: int = 5, w: int = 8192) -> CMS:
     return _sk.build_sketch(df, col, lambda pid: CMS(d, w), seeds=CMS_SEEDS)
 
 
+def cms_by_group(df: DataFrame, group_col: str, col: str, d: int = 5, w: int = 8192) -> DataFrame:
+    """Per-group frequency sketches → DataFrame (group, state binary)."""
+    return _sk.sketch_by_group(df, group_col, col, lambda pid: CMS(d, w), seeds=CMS_SEEDS)
+
+
 def cms_topk(sketch: CMS, candidates: list[str], k: int = 10) -> list[tuple[str, int]]:
     """Heavy hitters over a candidate key set (e.g. the distinct hosts)."""
     ests = [(c, sketch.query(c)) for c in candidates]

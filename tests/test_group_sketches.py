@@ -1,0 +1,58 @@
+"""Per-group sketch pattern: bloom_by_group, cms_by_group, and source
+abstraction (Iceberg-or-parquet)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.bloom import GroupBloom, bloom_by_group
+from sparksketch.cms import CMS, cms_by_group
+from sparksketch.config import BloomConfig
+from sparksketch.sources import input_fingerprint, is_table_identifier, load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_bloom_by_group_zero_fn(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    states = bloom_by_group(docs, "source", "text", BloomConfig(),
+                            expected_keys_per_group=200)
+    filters = {r.group: GroupBloom.from_bytes(bytes(r.state)) for r in states.collect()}
+    sample = docs.select("source", "text").limit(300).collect()
+    for r in sample:
+        assert filters[r.source].contains(r.text), r.source  # zero FN per group
+    # cross-group: a text from one source is (almost surely) absent elsewhere
+    others = [g for g in filters if g != sample[0].source][:5]
+    fp = sum(filters[g].contains(sample[0].text) for g in others)
+    assert fp == 0
+    # key counts add up
+    counts = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    for g, f in filters.items():
+        assert f.key_count() == counts[g]
+
+
+def test_cms_by_group_exact_small_groups(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    states = cms_by_group(ev, "event_type", "user_id", d=5, w=4096)
+    sks = {r.group: CMS.from_bytes(bytes(r.state)) for r in states.collect()}
+    exact = {(r.event_type, str(r.user_id)): r["count"] for r in
+             ev.groupBy("event_type", "user_id").count().limit(300).collect()}
+    for (et, uid), cnt in exact.items():
+        q = sks[et].query(uid)
+        assert q >= cnt
+        assert q - cnt <= sks[et].error_bound()
+
+
+def test_sources_parquet_path(spark):
+    assert not is_table_identifier(f"{SF_DIR}/nation.parquet")
+    assert is_table_identifier("iceberg.db.webpages")
+    df = load_table(spark, f"{SF_DIR}/nation.parquet")
+    assert df.count() == 25
+    fp1 = input_fingerprint(spark, f"{SF_DIR}/nation.parquet")
+    fp2 = input_fingerprint(spark, f"{SF_DIR}/nation.parquet")
+    assert fp1 == fp2 and "@" in fp1
+    assert fp1 != input_fingerprint(spark, f"{SF_DIR}/region.parquet")
+
+
+def test_snapshot_pin_requires_iceberg(spark):
+    with pytest.raises(ValueError):
+        load_table(spark, f"{SF_DIR}/nation.parquet", snapshot_id=3)
