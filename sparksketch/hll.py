@@ -24,6 +24,8 @@ _MAGIC = b"HLL1"
 def _seg_max(regs: np.ndarray, idx: np.ndarray, val: np.ndarray) -> None:
     """regs[idx] = max(regs[idx], val), vectorized via sort + reduceat
     (same trick as bloom's set_bits; ufunc.at is ~20× slower)."""
+    if idx.size == 0:
+        return
     order = np.argsort(idx, kind="stable")
     si = idx[order]
     sv = val[order]

@@ -48,6 +48,13 @@ def _proj_cols(col, seeds: tuple[int, ...] | None, numeric: bool):
     raise ValueError("sketch needs seeds= (hash sketch) or numeric=True (value sketch)")
 
 
+def _drop_nulls(df: DataFrame, col: str) -> DataFrame:
+    # SQL aggregate semantics: COUNT(DISTINCT)/GROUP BY counts ignore NULLs,
+    # so hash sketches must too (xxhash64(NULL) would otherwise count as one
+    # phantom distinct value). Pushed-down IsNotNull, free at the scan.
+    return df.filter(F.col(col).isNotNull())
+
+
 def _update_from_batch(sk, batch: pa.RecordBatch, rows: np.ndarray | None,
                        seeds: tuple[int, ...] | None, numeric: bool) -> None:
     if seeds is not None:
@@ -66,9 +73,7 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
                  tree_depth: int | None = None):
     """Global sketch over a column. Zero shuffles: partials per scan
     partition, blobs treeReduce-merged."""
-    proj = df.select(*_proj_cols(col, seeds, numeric))
-    if numeric:
-        proj = proj.filter(F.col("_v0").isNotNull())
+    proj = _drop_nulls(df, col).select(*_proj_cols(col, seeds, numeric))
 
     def fn(batches):
         ctx = TaskContext.get()
@@ -115,9 +120,8 @@ def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, 
 
     Returns DataFrame ``(group string, state binary)``.
     """
-    proj = df.select(F.col(group_col).cast("string").alias("_g"), *_proj_cols(col, seeds, numeric))
-    if numeric:
-        proj = proj.filter(F.col("_v0").isNotNull())
+    proj = _drop_nulls(df, col).select(F.col(group_col).cast("string").alias("_g"),
+                                       *_proj_cols(col, seeds, numeric))
     cls = type(factory(0))
 
     def partial(batches):

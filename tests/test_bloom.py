@@ -217,3 +217,22 @@ def test_membership_join_matches_broadcast(spark):
     b = {r.key: r.is_member for r in via_bc.collect()}
     assert a == b
     assert all(a[str(k)] for k in range(3000, 4000))  # inserted range all present
+
+
+def test_filter_persists_as_table(spark, tmp_path):
+    """The at-scale product: the filter is a DataFrame — write it as parquet,
+    re-read, and answer membership via the distributed join. No driver
+    collection of the filter anywhere."""
+    cfg = BloomConfig()
+    df = _keys_df(spark, 0, 3000)
+    states, info = build_bloom_states(df, "key", cfg, n_shards=16, partitions=4)
+    path = str(tmp_path / "filter_table")
+    states.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    assert reloaded.count() == 16
+    probes = _keys_df(spark, 2000, 5000)
+    flags = membership_join(probes, "key", reloaded, cfg.tiers, 16)
+    got = {r.key: r.is_member for r in flags.collect()}
+    assert all(got[str(k)] for k in range(2000, 3000))   # present: zero FN
+    fps = sum(got[str(k)] for k in range(3000, 5000))
+    assert fps <= 2  # deterministic; expected ~0 at the configured bound

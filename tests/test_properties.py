@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) for the pure kernels — merge laws,
+hash parity, geometry — no SparkSession needed, so they run fast and explore
+corners the example tests don't."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparksketch.bloom import BloomFilterState, Level, _insert_batch
+from sparksketch.cms import CMS
+from sparksketch.config import BloomConfig, expected_n, optimal_k
+from sparksketch.hashing import km_indices, set_bits, spark_xxhash64, xxh64
+from sparksketch.hashing import test_bits as check_bits
+from sparksketch.hll import HLL
+from sparksketch.tdigest import TDigest
+
+
+# ---------------- hashing ----------------
+
+@given(st.binary(min_size=0, max_size=200), st.integers(min_value=0, max_value=2**64 - 1))
+@settings(max_examples=200, deadline=None)
+def test_xxh64_total_function(data, seed):
+    h = xxh64(data, seed)
+    assert 0 <= h < 2**64
+    assert xxh64(data, seed) == h  # deterministic
+
+
+@given(st.text(min_size=0, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_spark_xxhash64_string_bytes_equivalence(s):
+    assert spark_xxhash64(s) == spark_xxhash64(s.encode("utf-8"))
+
+
+@given(st.integers(min_value=1, max_value=20), st.integers(min_value=6, max_value=20))
+@settings(max_examples=50, deadline=None)
+def test_km_indices_in_range(k, log_m):
+    m = 1 << log_m
+    rng = np.random.default_rng(0)
+    h1 = rng.integers(0, 2**64, 64, dtype=np.uint64)
+    h2 = rng.integers(0, 2**64, 64, dtype=np.uint64)
+    idx = km_indices(h1, h2, k, m)
+    assert idx.shape == (64, k)
+    assert int(idx.max()) < m
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    set_bits(bits, idx)
+    assert check_bits(bits, idx).all()  # zero false negatives at kernel level
+
+
+# ---------------- geometry (reference formula parity) ----------------
+
+@given(st.integers(min_value=8, max_value=26), st.sampled_from([12.0, 15.0, 19.0]))
+@settings(max_examples=100, deadline=None)
+def test_geometry_monotone(log_m, threshold):
+    m = 1 << log_m
+    n = expected_n(m, threshold)
+    assert n == int(m / threshold)
+    k = optimal_k(m, n)
+    assert 1 <= k <= 16
+    # doubling m doubles capacity, keeps k stable (±1 from rounding)
+    assert abs(optimal_k(2 * m, expected_n(2 * m, threshold)) - k) <= 1
+
+
+# ---------------- merge laws under random partitioning ----------------
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=400),
+       st.integers(min_value=2, max_value=5), st.randoms(use_true_random=False))
+@settings(max_examples=25, deadline=None)
+def test_bloom_merge_order_invariance(keys, n_parts, rnd):
+    cfg = BloomConfig()
+    rng = np.random.default_rng(7)
+
+    def build(part_keys):
+        st_ = BloomFilterState(cfg.tiers, 1, cfg.m0, cfg.threshold, cfg.rehash)
+        st_.shards[0] = [[Level.fresh(0, cfg.m0, cfg.threshold)] for _ in range(cfg.tiers)]
+        if part_keys:
+            hs = []
+            for t in range(cfg.tiers):
+                h1 = np.array([spark_xxhash64(str(k), 100 + t) for k in part_keys], dtype=np.uint64)
+                h2 = np.array([spark_xxhash64(str(k), 200 + t) for k in part_keys], dtype=np.uint64)
+                hs.append((h1, h2))
+            _insert_batch(st_.shards[0], hs, cfg.m0, cfg.threshold, cfg.rehash)
+        return st_
+
+    parts = [list() for _ in range(n_parts)]
+    for k in keys:
+        parts[rnd.randrange(n_parts)].append(k)
+    states = [build(p) for p in parts]
+
+    def fold(order):
+        acc = BloomFilterState.from_bytes(states[order[0]].to_bytes())
+        for i in order[1:]:
+            acc.merge_into(BloomFilterState.from_bytes(states[i].to_bytes()))
+        return acc.to_bytes()
+
+    base = fold(list(range(n_parts)))
+    order = list(range(n_parts))
+    rnd.shuffle(order)
+    assert fold(order) == base
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_hll_merge_equals_union(vals):
+    arr = np.array(vals, dtype=np.uint64) if vals else np.empty(0, dtype=np.uint64)
+    whole = HLL(10)
+    whole.update_hashes(arr)
+    a, b = HLL(10), HLL(10)
+    a.update_hashes(arr[: len(arr) // 2])
+    b.update_hashes(arr[len(arr) // 2 :])
+    assert a.merge(b).to_bytes() == whole.to_bytes()
+
+
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e12, max_value=1e12), min_size=1, max_size=800))
+@settings(max_examples=30, deadline=None)
+def test_tdigest_quantile_within_range_and_n(vals):
+    t = TDigest(100)
+    t.update_values(np.array(vals))
+    assert t.n == len([v for v in vals if not np.isnan(v)])
+    q = t.quantile(0.5)
+    assert min(vals) <= q <= max(vals)
+    # serde roundtrip preserves quantiles exactly
+    t2 = TDigest.from_bytes(t.to_bytes())
+    assert t2.quantile(0.5) == t.quantile(0.5)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=300),
+       st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_cms_merge_is_sum(xs, ys):
+    def mk(v):
+        c = CMS(3, 64)
+        if v:
+            a = np.array(v, dtype=np.uint64)
+            c.update_hashes(a, a * np.uint64(3) + np.uint64(1))
+        return c
+    merged = mk(xs).merge(mk(ys))
+    both = mk(xs + ys)
+    assert (merged.counts == both.counts).all()
+    assert merged.total == both.total
