@@ -68,12 +68,13 @@ from pyspark.sql import functions as F
 from sparksketch.config import Accuracy, BloomConfig, InitialCapacity, Throughput, expected_n, optimal_k
 from sparksketch.hashing import (
     HASH_SEED_SELECTION,
+    derive_shard,
+    derive_tier_hashes,
     hash_col,
     km_indices,
     set_bits,
     spark_xxhash64,
     test_bits,
-    tier_hash_cols,
     to_u64,
 )
 
@@ -241,31 +242,26 @@ class BloomFilterState:
 
     # ---------------- queries ----------------
 
-    def _route(self, key: str | bytes) -> int:
-        h = spark_xxhash64(key, HASH_SEED_SELECTION[0])
-        signed = h - (1 << 64) if h >= (1 << 63) else h
-        return signed % self.n_shards  # Python % == Spark pmod for positive n
+    def _base_hashes(self, key: str | bytes) -> tuple[np.ndarray, np.ndarray]:
+        h1 = spark_xxhash64(key, HASH_SEED_SELECTION[0])
+        h2 = spark_xxhash64(key, HASH_SEED_SELECTION[1])
+        return (np.array([h1], dtype=np.uint64).view(np.int64),
+                np.array([h2], dtype=np.uint64).view(np.int64))
 
     def contains(self, key: str | bytes) -> bool:
         """Driver-side single-key probe (tests / point lookups) — exact
         replica of the distributed path via the Spark-parity XXH64.
         Counterpart of ``contains`` filter.rs:45-55."""
-        cascade = self.shards.get(self._route(key))
-        if cascade is None:
-            return False
-        for t in range(self.tiers):
-            h1 = np.array([spark_xxhash64(key, HASH_SEED_SELECTION[2 + 2 * t])], dtype=np.uint64)
-            h2 = np.array([spark_xxhash64(key, HASH_SEED_SELECTION[3 + 2 * t])], dtype=np.uint64)
-            if not any(test_bits(lv.bits, km_indices(h1, h2, lv.k, lv.m))[0] for lv in cascade[t]):
-                return False  # short-circuit across tiers, like filter.rs:48-54
-        return True
+        h1, h2 = self._base_hashes(key)
+        return bool(self.contains_hashes(h1, h2)[0])
 
-    def contains_hashes(self, shard: np.ndarray, tier_hashes: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
-        """Vectorized membership over precomputed hashes.
-
-        ``shard`` int64[n]; ``tier_hashes[t] = (h1 uint64[n], h2 uint64[n])``.
-        Groups rows by shard, tests each tier's cascade (OR over levels,
-        AND over tiers)."""
+    def contains_hashes(self, h1_i64: np.ndarray, h2_i64: np.ndarray) -> np.ndarray:
+        """Vectorized membership over the two shipped base hashes (int64);
+        shard routing and per-tier KM pairs are derived exactly as in the
+        build kernel.  Groups rows by shard, tests each tier's cascade
+        (OR over levels, AND over tiers)."""
+        shard = derive_shard(h1_i64, self.n_shards)
+        tier_hashes = derive_tier_hashes(h1_i64, h2_i64, self.tiers)
         n = shard.shape[0]
         result = np.zeros(n, dtype=bool)
         order = np.argsort(shard, kind="stable")
@@ -356,10 +352,22 @@ def resolve_m0(cfg: BloomConfig, n_shards: int, expected_keys: int | None) -> in
     return max(cfg.m0, _next_pow2(int(per_shard * cfg.threshold)))
 
 
-def hash_probe_cols(col: str | Column, tiers: int, n_shards: int) -> list[Column]:
-    """Shard-routing + tier hash columns, all JVM-side (codegen'd)."""
-    route = F.pmod(hash_col(col, HASH_SEED_SELECTION[0]), F.lit(n_shards).cast("long")).cast("long").alias(_ROUTE)
-    return [route, *tier_hash_cols(col, tiers)]
+def hash_probe_cols(col: str | Column, tiers: int = 0, n_shards: int = 0) -> list[Column]:
+    """The two JVM-side base-hash columns (16 B/row) — everything else
+    (shard id, per-tier KM hash pairs) is derived in the numpy kernels via
+    splitmix64, halving the shuffle + Arrow transfer vs shipping per-tier
+    columns.  Seed roles: HASH_SEED_SELECTION[0] -> h1 (also routes shards
+    via pmod), [1] -> h2, [2..7] -> tier derivation constants."""
+    return [
+        hash_col(col, HASH_SEED_SELECTION[0]).alias("_skh_a"),
+        hash_col(col, HASH_SEED_SELECTION[1]).alias("_skh_b"),
+    ]
+
+
+def route_expr(n_shards: int) -> Column:
+    """The repartition expression: pmod of the shipped base hash. Used only
+    to co-locate rows of a shard — it is not materialized in the row."""
+    return F.pmod(F.col("_skh_a"), F.lit(n_shards).cast("long"))
 
 
 def _insert_batch(cascade: list[list[Level]], tier_h: list[tuple[np.ndarray, np.ndarray]],
@@ -420,13 +428,10 @@ def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
         local: dict[int, list[list[Level]]] = {}
         nrows = 0
         for batch in batches:
-            sid_arr = batch.column(_ROUTE).to_numpy(zero_copy_only=False).astype(np.int64)
-            tier_cols = []
-            for t in range(tiers):
-                tier_cols.append((
-                    to_u64(batch.column(f"_skh_{t}a").to_numpy(zero_copy_only=False)),
-                    to_u64(batch.column(f"_skh_{t}b").to_numpy(zero_copy_only=False)),
-                ))
+            h1_i64 = batch.column("_skh_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            h2_i64 = batch.column("_skh_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            sid_arr = derive_shard(h1_i64, n_shards)
+            tier_cols = derive_tier_hashes(h1_i64, h2_i64, tiers)
             nrows += batch.num_rows
             order = np.argsort(sid_arr, kind="stable")
             sorted_sid = sid_arr[order]
@@ -532,7 +537,7 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
         keyed = keyed.filter(F.octet_length("_skkey") <= cfg.max_key_bytes)
     hashed = keyed.select(*hash_probe_cols("_skkey", cfg.tiers, n_shards))
     if route:
-        routed = hashed.repartition(partitions, F.col(_ROUTE))
+        routed = hashed.repartition(partitions, route_expr(n_shards))
         cap_div = 1
     else:
         routed = hashed.coalesce(partitions)
@@ -621,21 +626,17 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
     tiers = state.tiers
 
     @F.pandas_udf("boolean")
-    def probe(*cols):
+    def probe(ha, hb):
         cached = _BC_CACHE.get(bc_key)
         if cached is None:
             cached = BloomFilterState.from_bytes(bc.value)
             _BC_CACHE[bc_key] = cached
-        shard = cols[0].to_numpy(dtype=np.int64, na_value=0)
-        tier_hashes = [
-            (to_u64(cols[1 + 2 * t].to_numpy(dtype=np.int64, na_value=0)),
-             to_u64(cols[2 + 2 * t].to_numpy(dtype=np.int64, na_value=0)))
-            for t in range(tiers)
-        ]
         import pandas as pd
-        return pd.Series(cached.contains_hashes(shard, tier_hashes))
+        return pd.Series(cached.contains_hashes(
+            ha.to_numpy(dtype=np.int64, na_value=0),
+            hb.to_numpy(dtype=np.int64, na_value=0)))
 
-    hcols = hash_probe_cols(F.col(col).cast("string"), tiers, state.n_shards)
+    hcols = hash_probe_cols(F.col(col).cast("string"))
     return df.withColumn(out, probe(*hcols))
 
 
@@ -648,9 +649,10 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
     equi-join on shard id co-locates each probe with exactly the shard blobs
     it needs; a grouped Arrow kernel tests membership. Shuffle cost: probes
     ~40 B/row + the shard states once."""
-    hcols = hash_probe_cols(F.col(col).cast("string"), tiers, n_shards)
+    hcols = hash_probe_cols(F.col(col).cast("string"))
     keyed = probes.withColumn("_skrow", F.monotonically_increasing_id())
-    hashed = keyed.select("_skrow", *hcols)
+    hashed = keyed.select("_skrow", *hcols).withColumn(
+        _ROUTE, F.pmod(F.col("_skh_a"), F.lit(n_shards).cast("long")))
     # shard states may be partial (several rows per shard from separate
     # builds); pre-merge them per shard so the join side is one row/shard.
     merged = states.groupBy("shard").applyInPandas(_merge_state_rows, "shard int, state binary")
@@ -669,21 +671,15 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
                 order = np.argsort(shard_col, kind="stable")
                 s_sorted = shard_col[order]
                 starts = np.concatenate(([0], np.flatnonzero(np.diff(s_sorted)) + 1, [n]))
-                h_cols = []
-                for t in range(tiers):
-                    h_cols.append((
-                        to_u64(batch.column(f"_skh_{t}a").to_numpy(zero_copy_only=False)),
-                        to_u64(batch.column(f"_skh_{t}b").to_numpy(zero_copy_only=False)),
-                    ))
+                h1_all = batch.column("_skh_a").to_numpy(zero_copy_only=False).astype(np.int64)
+                h2_all = batch.column("_skh_b").to_numpy(zero_copy_only=False).astype(np.int64)
                 for si in range(len(starts) - 1):
                     rows = order[starts[si] : starts[si + 1]]
                     i0 = int(rows[0])
                     if not blobs[i0].is_valid:
                         continue
                     st = BloomFilterState.from_bytes(blobs[i0].as_py())
-                    result[rows] = st.contains_hashes(
-                        shard_col[rows], [(h1[rows], h2[rows]) for h1, h2 in h_cols]
-                    )
+                    result[rows] = st.contains_hashes(h1_all[rows], h2_all[rows])
             yield pa.RecordBatch.from_pydict({
                 "_skrow": pa.array(rowid, pa.int64()),
                 out: pa.array(result, pa.bool_()),
@@ -721,8 +717,8 @@ class GroupBloom:
         self.state.shards[0] = [[Level.fresh(0, m0, self.cfg.threshold)]
                                 for _ in range(self.cfg.tiers)]
 
-    def update_hashes(self, *hs: np.ndarray) -> None:
-        tier_h = [(hs[2 * t], hs[2 * t + 1]) for t in range(self.cfg.tiers)]
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        tier_h = derive_tier_hashes(h1, h2, self.state.tiers)
         _insert_batch(self.state.shards[0], tier_h, self.state.m0,
                       self.state.threshold, self.state.rehash, self.cap_div)
 
@@ -742,7 +738,7 @@ class GroupBloom:
         return g
 
     def contains(self, key: str | bytes) -> bool:
-        return self.state.contains(key)
+        return self.state.contains(key)  # same 2-base-hash derivation path
 
     def key_count(self) -> int:
         return self.state.key_count
@@ -763,6 +759,6 @@ def bloom_by_group(df: DataFrame, group_col: str, col: str,
     m0 = None
     if expected_keys_per_group:
         m0 = max(cfg.m0, _next_pow2(int(expected_keys_per_group * cfg.threshold)))
-    seeds = tuple(HASH_SEED_SELECTION[2 + i] for i in range(2 * cfg.tiers))
+    seeds = (HASH_SEED_SELECTION[0], HASH_SEED_SELECTION[1])
     return _sk.sketch_by_group(df, group_col, col,
                                lambda pid: GroupBloom(cfg, m0, cap_div), seeds=seeds)

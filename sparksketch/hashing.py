@@ -128,6 +128,36 @@ def tier_hash_cols(col: str | Column, tiers: int) -> list[Column]:
     return cols
 
 
+def derive_tier_hashes(h1: np.ndarray, h2: np.ndarray, tiers: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Derive per-tier (h1_t, h2_t) base-hash pairs from the two shipped
+    base hashes: ``splitmix64(h ^ tier_seed)``.
+
+    Rationale: shipping one (h1, h2) pair (16 B/row) instead of per-tier
+    xxhash64 columns halves the shuffle and the JVM→Python transfer — the
+    measured bottleneck of the routed build.  splitmix64 is a bijective
+    finalizer over an already-uniform xxhash64 value, so each derived pair
+    is uniform and the pairs differ across tiers; the zero-FN guarantee is
+    hash-agnostic, and a *total* inter-tier collision still requires the
+    full 128-bit (h1, h2) collision, exactly as with independent seeds.
+    The tier seeds reuse the reference's seed table entries [2..7]
+    (/root/reference/src/filter.rs:485-487) as XOR constants."""
+    h1 = to_u64(h1)
+    h2 = to_u64(h2)
+    out = []
+    for t in range(tiers):
+        x1 = np.uint64(HASH_SEED_SELECTION[2 + 2 * t])
+        x2 = np.uint64(HASH_SEED_SELECTION[3 + 2 * t])
+        out.append((splitmix64(h1 ^ x1), splitmix64(h2 ^ x2)))
+    return out
+
+
+def derive_shard(h1_i64: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard id from the signed base hash — identical to the JVM
+    ``pmod(xxhash64(key, seed0), n_shards)`` (numpy int64 ``%`` positive
+    divisor is non-negative, like Spark's pmod)."""
+    return h1_i64.astype(np.int64) % np.int64(n_shards)
+
+
 def to_u64(arr) -> np.ndarray:
     """Reinterpret an int64 numpy/arrow array as uint64 (no copy)."""
     a = np.asarray(arr)

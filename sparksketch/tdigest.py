@@ -10,6 +10,7 @@ Mergeable: merge = concatenate centroid lists + one compress pass.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -27,6 +28,10 @@ class TDigest:
         self.weights = np.empty(0, dtype=np.float64)
         self._buf: list[np.ndarray] = []
         self._buf_n = 0
+        # observed extremes: centroid means drift by ulps under incremental
+        # averaging, so quantiles are clamped to the true data range
+        self.vmin = math.inf
+        self.vmax = -math.inf
 
     # ---- updates ----
 
@@ -37,6 +42,8 @@ class TDigest:
             return
         self._buf.append(x)
         self._buf_n += x.size
+        self.vmin = min(self.vmin, float(x.min()))
+        self.vmax = max(self.vmax, float(x.max()))
         if self._buf_n >= 32 * int(self.delta):
             self._compress()
 
@@ -81,21 +88,24 @@ class TDigest:
         o._compress()
         self.means = np.concatenate([self.means, o.means])
         self.weights = np.concatenate([self.weights, o.weights])
+        self.vmin = min(self.vmin, o.vmin)
+        self.vmax = max(self.vmax, o.vmax)
         self._compress()
         return self
 
     def to_bytes(self) -> bytes:
         self._compress()
         n = self.means.size
-        return (_MAGIC + struct.pack("<dI", self.delta, n)
+        return (_MAGIC + struct.pack("<dIdd", self.delta, n, self.vmin, self.vmax)
                 + self.means.tobytes() + self.weights.tobytes())
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":
         assert data[:4] == _MAGIC
-        delta, n = struct.unpack_from("<dI", data, 4)
+        delta, n, vmin, vmax = struct.unpack_from("<dIdd", data, 4)
         t = cls(delta)
-        off = 4 + struct.calcsize("<dI")
+        t.vmin, t.vmax = vmin, vmax
+        off = 4 + struct.calcsize("<dIdd")
         t.means = np.frombuffer(data[off : off + 8 * n], dtype=np.float64).copy()
         t.weights = np.frombuffer(data[off + 8 * n : off + 16 * n], dtype=np.float64).copy()
         return t
@@ -111,19 +121,20 @@ class TDigest:
         if self.means.size == 0:
             return float("nan")
         if self.means.size == 1:
-            return float(self.means[0])
+            return float(min(max(self.means[0], self.vmin), self.vmax))
         w = self.weights
         total = w.sum()
         # centroid midpoints in cumulative-rank space
         cum = np.cumsum(w) - w / 2.0
         target = q * total
         if target <= cum[0]:
-            return float(self.means[0])
+            return float(max(self.means[0], self.vmin))
         if target >= cum[-1]:
-            return float(self.means[-1])
+            return float(min(self.means[-1], self.vmax))
         i = int(np.searchsorted(cum, target) - 1)
         frac = (target - cum[i]) / (cum[i + 1] - cum[i])
-        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+        est = float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+        return float(min(max(est, self.vmin), self.vmax))
 
     def rank(self, x: float) -> float:
         """Approximate rank of x in [0,1]."""
