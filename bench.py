@@ -44,7 +44,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from sparksketch.bloom import BloomConfig, build_bloom, with_membership
-    from sparksketch.cms import cms_build, cms_topk
+    from sparksketch.cms import cms_build
     from sparksketch.dedup import exact_dedup_ids, minhash_dedup_pairs, simhash
     from sparksketch.hll import HLL, hll_by_group, hll_distinct
     from sparksketch.kll import kll_build
@@ -53,7 +53,7 @@ def main() -> int:
     from sparksketch.sketch import estimate_col
     from sparksketch.tdigest import tdigest_build
     from sparksketch.textstats import lang_id, quality_features
-    from sparksketch.webtext import extract_text, hot_hosts
+    from sparksketch.webtext import extract_text
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS,
                       extra={"spark.ui.showConsoleProgress": "false"})

@@ -65,7 +65,7 @@ from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sparksketch.config import Accuracy, BloomConfig, InitialCapacity, Throughput, expected_n, optimal_k
+from sparksketch.config import BloomConfig, expected_n, optimal_k
 from sparksketch.hashing import (
     HASH_SEED_SELECTION,
     derive_shard,
@@ -762,3 +762,18 @@ def bloom_by_group(df: DataFrame, group_col: str, col: str,
     seeds = (HASH_SEED_SELECTION[0], HASH_SEED_SELECTION[1])
     return _sk.sketch_by_group(df, group_col, col,
                                lambda pid: GroupBloom(cfg, m0, cap_div), seeds=seeds)
+
+
+def compact_bloom(df: DataFrame, col: str, state: BloomFilterState,
+                  cfg: BloomConfig = BloomConfig(), slack: float = 1.25,
+                  **build_kwargs) -> BloomFilterState:
+    """Offline compaction — the distributed analogue of the reference's
+    rehash-to-2m rebuild (filter.rs:227-274, 490-524): instead of replaying
+    a per-shard WAL, re-aggregate the *source table* (the immutable input is
+    the key log) at a geometry sized for the observed key count, so the new
+    filter has a single right-sized level per shard-tier and no overflowed
+    levels.  Run it when ``state.overflowed_levels()`` is non-empty after
+    merging many builds."""
+    expected = int(state.key_count * slack) or None
+    return build_bloom(df, col, cfg, expected_keys=expected,
+                       n_shards=state.n_shards, **build_kwargs)

@@ -236,3 +236,21 @@ def test_filter_persists_as_table(spark, tmp_path):
     assert all(got[str(k)] for k in range(2000, 3000))   # present: zero FN
     fps = sum(got[str(k)] for k in range(3000, 5000))
     assert fps <= 2  # deterministic; expected ~0 at the configured bound
+
+
+def test_compaction_clears_overflow(spark):
+    from sparksketch.bloom import compact_bloom
+    df = _keys_df(spark, 0, 10_000)
+    # force overflow: fixed geometry, tiny m0, no growth
+    cfg = BloomConfig(rehash=False)
+    state = build_bloom(df, "key", cfg, n_shards=4, partitions=2)
+    assert state.overflowed_levels()
+    compacted = compact_bloom(df, "key", state, BloomConfig(), partitions=2)
+    assert not compacted.overflowed_levels()
+    assert compacted.key_count == 10_000
+    flagged = with_membership(df, "key", compacted)
+    assert flagged.filter(~F.col("is_member")).count() == 0
+    # compacted filter is right-sized: one level per shard-tier
+    for cascade in compacted.shards.values():
+        for tier in cascade:
+            assert len(tier) == 1

@@ -1,0 +1,90 @@
+"""Streaming fold: file-source micro-batches → running sketch state with
+epoch-guarded exactly-once merges."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from sparksketch.bloom import BloomConfig
+from sparksketch.hll import HLL, HLL_SEED
+from sparksketch.streaming import (
+    SketchStateStore,
+    read_bloom_state,
+    stream_bloom,
+    stream_sketch,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _stream_dir(spark, tmp_path, n_files=4):
+    """Split events into several parquet files so the stream sees them."""
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "stream_src")
+    src.repartition(n_files).write.parquet(out)
+    return out, src
+
+
+def test_stream_bloom_fold(spark, tmp_path):
+    out, src = _stream_dir(spark, tmp_path)
+    schema = src.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .select(F.col("user_id").cast("string").alias("key")))
+    state_dir = str(tmp_path / "bloom_state")
+    q = stream_bloom(stream, "key", BloomConfig(), state_dir,
+                     n_shards=16, partitions=4,
+                     checkpoint_dir=str(tmp_path / "chk")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    state = read_bloom_state(state_dir)
+    assert state is not None
+    n_rows = src.count()
+    assert state.key_count == n_rows  # every micro-batch folded exactly once
+    users = [str(r.user_id) for r in src.select("user_id").distinct().collect()]
+    assert all(state.contains(u) for u in users)  # zero FN across batches
+    assert not state.contains("definitely-not-a-user")
+
+
+def test_stream_epoch_guard_skips_replay(spark, tmp_path):
+    out, src = _stream_dir(spark, tmp_path)
+    state_dir = str(tmp_path / "bloom_state2")
+    chk = str(tmp_path / "chk2")
+    schema = src.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(out)
+              .select(F.col("user_id").cast("string").alias("key")))
+    q = stream_bloom(stream, "key", BloomConfig(), state_dir,
+                     n_shards=16, partitions=4, checkpoint_dir=chk).start()
+    q.processAllAvailable()
+    q.stop()
+    before = read_bloom_state(state_dir).key_count
+
+    # restart against the same checkpoint: no new files → no re-fold
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 2).parquet(out)
+               .select(F.col("user_id").cast("string").alias("key")))
+    q2 = stream_bloom(stream2, "key", BloomConfig(), state_dir,
+                      n_shards=16, partitions=4, checkpoint_dir=chk).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert read_bloom_state(state_dir).key_count == before  # not double-counted
+
+
+def test_stream_hll(spark, tmp_path):
+    out, src = _stream_dir(spark, tmp_path)
+    schema = src.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .select(F.col("user_id").cast("string").alias("key")))
+    state_dir = str(tmp_path / "hll_state")
+    q = stream_sketch(stream, "key", lambda pid: HLL(12), seeds=(HLL_SEED,),
+                      state_dir=state_dir,
+                      checkpoint_dir=str(tmp_path / "chk3")).start()
+    q.processAllAvailable()
+    q.stop()
+    blob = SketchStateStore(state_dir).read_blob()
+    est = HLL.from_bytes(blob).estimate()
+    exact = src.select(F.countDistinct("user_id")).first()[0]
+    assert abs(est - exact) / exact <= 3 * HLL(12).rel_error()
