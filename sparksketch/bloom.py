@@ -238,6 +238,7 @@ class BloomFilterState:
                         tgt.bits |= lv.bits
                         tgt.n += lv.n
                 mine[t].sort(key=lambda l: l.idx)
+        self._stacked = None  # bitsets mutated: invalidate the probe index
         return self
 
     # ---------------- queries ----------------
@@ -255,13 +256,72 @@ class BloomFilterState:
         h1, h2 = self._base_hashes(key)
         return bool(self.contains_hashes(h1, h2)[0])
 
+    # cache for the stacked probe index (uniform-geometry fast path)
+    _stacked: dict | None = None
+
+    def _build_stacked(self) -> dict | None:
+        """When every shard-tier has the same level geometry (the common
+        case with an expected_keys hint), stack each level's bitsets into a
+        (n_shards, words) matrix so probes of ANY mix of shards become one
+        flat gather — no per-shard Python loop.  At the reference-default
+        4096 shards a 10k-row batch touches ~2400 shards; per-shard grouping
+        costs more than the bit tests themselves."""
+        sig = None
+        for cascade in self.shards.values():
+            s = tuple(tuple((lv.idx, lv.m, lv.k) for lv in tier) for tier in cascade)
+            if sig is None:
+                sig = s
+            elif s != sig:
+                return None
+        if sig is None:
+            return None
+        slot = np.full(self.n_shards, -1, dtype=np.int64)
+        sids = sorted(self.shards)
+        for i, sid in enumerate(sids):
+            slot[sid] = i
+        stacked = []  # per tier: list of (m, k, words, matrix)
+        for t in range(self.tiers):
+            levels = []
+            for li, (idx, m, k) in enumerate(sig[t]):
+                mat = np.stack([self.shards[sid][t][li].bits for sid in sids])
+                levels.append((m, k, m // 64, mat.reshape(-1)))
+            stacked.append(levels)
+        return {"slot": slot, "tiers": stacked}
+
+    def _contains_stacked(self, shard, tier_hashes, cache) -> np.ndarray:
+        slot = cache["slot"][shard]
+        present = slot >= 0
+        result = present.copy()
+        for t, levels in enumerate(cache["tiers"]):
+            if not result.any():
+                break
+            h1 = tier_hashes[t][0]
+            h2 = tier_hashes[t][1]
+            tier_ok = np.zeros(shard.shape[0], dtype=bool)
+            for m, k, words, flat in levels:
+                pending = result & ~tier_ok
+                if not pending.any():
+                    break
+                rows = np.flatnonzero(pending)
+                idx = km_indices(h1[rows], h2[rows], k, m)
+                base = (slot[rows] * words).astype(np.uint64)[:, None]
+                got = (flat[(idx >> np.uint64(6)) + base] >> (idx & np.uint64(63))) & np.uint64(1)
+                tier_ok[rows] = got.all(axis=1)
+            result &= tier_ok
+        return result
+
     def contains_hashes(self, h1_i64: np.ndarray, h2_i64: np.ndarray) -> np.ndarray:
         """Vectorized membership over the two shipped base hashes (int64);
         shard routing and per-tier KM pairs are derived exactly as in the
-        build kernel.  Groups rows by shard, tests each tier's cascade
-        (OR over levels, AND over tiers)."""
+        build kernel.  Uniform-geometry filters use a stacked flat-gather
+        fast path; mixed geometry falls back to per-shard grouping
+        (OR over levels, AND over tiers either way)."""
         shard = derive_shard(h1_i64, self.n_shards)
         tier_hashes = derive_tier_hashes(h1_i64, h2_i64, self.tiers)
+        if self._stacked is None:
+            self._stacked = self._build_stacked() or {}
+        if self._stacked:
+            return self._contains_stacked(shard, tier_hashes, self._stacked)
         n = shard.shape[0]
         result = np.zeros(n, dtype=bool)
         order = np.argsort(shard, kind="stable")
@@ -640,8 +700,16 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
     return df.withColumn(out, probe(*hcols))
 
 
+def blob_geometry(blob: bytes) -> tuple[int, int]:
+    """(tiers, n_shards) from a state blob header — lets consumers of a
+    persisted filter table avoid hard-coding geometry."""
+    ver, tiers, rehash, n_shards, _n, _thr = struct.unpack_from("<BBBxIId", blob, 4)
+    return tiers, n_shards
+
+
 def membership_join(probes: DataFrame, col: str, states: DataFrame,
-                    tiers: int, n_shards: int, out: str = "is_member") -> DataFrame:
+                    tiers: int | None = None, n_shards: int | None = None,
+                    out: str = "is_member") -> DataFrame:
     """Distributed membership for filters too big to broadcast.
 
     ``states`` is the output of :func:`build_bloom_states` (or the same
@@ -649,6 +717,11 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
     equi-join on shard id co-locates each probe with exactly the shard blobs
     it needs; a grouped Arrow kernel tests membership. Shuffle cost: probes
     ~40 B/row + the shard states once."""
+    if tiers is None or n_shards is None:
+        first = states.select("state").first()
+        if first is None:
+            return probes.withColumn(out, F.lit(False))
+        tiers, n_shards = blob_geometry(bytes(first[0]))
     hcols = hash_probe_cols(F.col(col).cast("string"))
     keyed = probes.withColumn("_skrow", F.monotonically_increasing_id())
     hashed = keyed.select("_skrow", *hcols).withColumn(

@@ -254,3 +254,31 @@ def test_compaction_clears_overflow(spark):
     for cascade in compacted.shards.values():
         for tier in cascade:
             assert len(tier) == 1
+
+
+def test_tiers_one_and_three(spark):
+    """The reference plans cascade_tiers 1..3 (config.rs:9, the commented-out
+    Harbinger tier filter.rs:455); all three tier counts must build + query."""
+    for tiers in (1, 3):
+        cfg = BloomConfig(tiers=tiers)
+        state = build_bloom(_keys_df(spark, 0, 3000), "key", cfg, n_shards=8, partitions=4)
+        assert state.tiers == tiers
+        flagged = with_membership(_keys_df(spark, 0, 3000), "key", state)
+        assert flagged.filter(~F.col("is_member")).count() == 0
+        # more tiers → tighter bound
+    b1 = build_bloom(_keys_df(spark, 0, 3000), "key", BloomConfig(tiers=1), n_shards=8, partitions=4)
+    b3 = build_bloom(_keys_df(spark, 0, 3000), "key", BloomConfig(tiers=3), n_shards=8, partitions=4)
+    assert b3.fpr_bound() < b1.fpr_bound()
+    with pytest.raises(ValueError):
+        BloomConfig(tiers=4)
+
+
+def test_membership_join_derives_geometry(spark):
+    df = _keys_df(spark, 0, 2000)
+    states, _ = build_bloom_states(df, "key", BloomConfig(), n_shards=16, partitions=4)
+    states = states.cache()
+    probes = _keys_df(spark, 1000, 3000)
+    flags = membership_join(probes, "key", states)  # no tiers/n_shards passed
+    got = {r.key: r.is_member for r in flags.collect()}
+    assert all(got[str(k)] for k in range(1000, 2000))
+    assert sum(got[str(k)] for k in range(2000, 3000)) <= 2
