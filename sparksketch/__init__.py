@@ -24,17 +24,29 @@ vectorized numpy over Arrow batches — no per-row Python anywhere.
 """
 
 from sparksketch.config import Accuracy, BloomConfig, InitialCapacity, Throughput, WorkerCores
-from sparksketch.bloom import BloomFilterState, build_bloom, with_membership
+from sparksketch.bloom import (
+    BloomFilterState,
+    bloom_by_group,
+    build_bloom,
+    build_bloom_states,
+    compact_bloom,
+    membership_join,
+    with_membership,
+)
+from sparksketch.cms import CMS, cms_build, cms_by_group, cms_topk
+from sparksketch.hll import HLL, hll_by_group, hll_distinct
+from sparksketch.kll import KLL, kll_build, kll_by_group
+from sparksketch.tdigest import TDigest, tdigest_build, tdigest_by_group
+from sparksketch.sketch import build_sketch, estimate_col, sketch_agg_udf, sketch_by_group
 
 __all__ = [
-    "Accuracy",
-    "BloomConfig",
-    "BloomFilterState",
-    "InitialCapacity",
-    "Throughput",
-    "WorkerCores",
-    "build_bloom",
-    "with_membership",
+    "Accuracy", "BloomConfig", "BloomFilterState", "CMS", "HLL",
+    "InitialCapacity", "KLL", "TDigest", "Throughput", "WorkerCores",
+    "bloom_by_group", "build_bloom", "build_bloom_states", "build_sketch",
+    "cms_build", "cms_by_group", "cms_topk", "compact_bloom", "estimate_col",
+    "hll_by_group", "hll_distinct", "kll_build", "kll_by_group",
+    "membership_join", "sketch_agg_udf", "sketch_by_group",
+    "tdigest_build", "tdigest_by_group", "with_membership",
 ]
 
 __version__ = "0.1.0"

@@ -172,3 +172,42 @@ def estimate_col(cls, method: str = "estimate", args: tuple = (), dtype: str = "
                for b in blobs]
         return pd.Series(out)
     return est
+
+
+def sketch_agg_udf(factory: Callable, *, seeds: tuple[int, ...] | None = None,
+                   numeric: bool = False, method: str = "estimate", args: tuple = ()):
+    """GROUPED_AGG pandas UDAF convenience: use directly in ``groupBy().agg()``.
+
+        df.groupBy("lang").agg(sketch_agg_udf(lambda pid: HLL(12),
+                               seeds=(HLL_SEED,))(F.col("url")).alias("est"))
+
+    Note the scale tradeoff: a GROUPED_AGG UDF shuffles *raw group rows* to
+    the aggregating task (no map-side combine), so prefer
+    :func:`sketch_by_group` — which shuffles only partial sketch blobs —
+    for big or skewed groups.  This variant exists for expression-style
+    ergonomics on modest data."""
+    import pandas as pd
+    from sparksketch.hashing import spark_xxhash64
+
+    def _agg(values):
+        sk = factory(0)
+        if numeric:
+            v = values.astype("float64").to_numpy(na_value=np.nan)
+            sk.update_values(v)
+        else:
+            strs = values.astype("string")
+            strs = strs[~strs.isna()]
+            for i, seed in enumerate(seeds):
+                h = np.fromiter((spark_xxhash64(x, seed) for x in strs),
+                                dtype=np.uint64, count=len(strs))
+                if i == 0:
+                    hs = [h]
+                else:
+                    hs.append(h)
+            sk.update_hashes(*hs) if seeds else None
+        return float(getattr(sk, method)(*args))
+
+    # `from __future__ import annotations` stringifies hints, which the
+    # pandas_udf eval-type inference can't resolve — attach real objects
+    _agg.__annotations__ = {"values": pd.Series, "return": float}
+    return F.pandas_udf(_agg, "double")

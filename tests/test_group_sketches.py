@@ -56,3 +56,23 @@ def test_sources_parquet_path(spark):
 def test_snapshot_pin_requires_iceberg(spark):
     with pytest.raises(ValueError):
         load_table(spark, f"{SF_DIR}/nation.parquet", snapshot_id=3)
+
+
+def test_sketch_agg_udf(spark):
+    """GROUPED_AGG expression-style UDAF (convenience API; scale path is
+    sketch_by_group)."""
+    from sparksketch.hll import HLL, HLL_SEED
+    from sparksketch.sketch import sketch_agg_udf
+    from sparksketch.tdigest import TDigest
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    hll_agg = sketch_agg_udf(lambda pid: HLL(12), seeds=(HLL_SEED,))
+    td_agg = sketch_agg_udf(lambda pid: TDigest(100), numeric=True,
+                            method="quantile", args=(0.5,))
+    got = {r.event_type: (r.u, r.m) for r in
+           ev.groupBy("event_type").agg(hll_agg(F.col("user_id")).alias("u"),
+                                        td_agg(F.col("value")).alias("m")).collect()}
+    exact = {r.event_type: r.d for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()}
+    for g, d in exact.items():
+        assert abs(got[g][0] - d) / d <= 3 * HLL(12).rel_error()
+        assert got[g][1] > 0
