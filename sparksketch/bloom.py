@@ -31,8 +31,9 @@ Architecture (Spark-first re-derivation of /root/reference/src/filter.rs):
 - **Hashing** — Kirsch–Mitzenmacher double hashing (filter.rs:303-311) off
   two JVM-computed ``xxhash64`` base hashes per tier (xxh3_128 → xxh64 is a
   documented deviation; zero-FN and the FPR bound are seed-family-agnostic).
-  The shuffle carries only the shard id + 2·tiers int64 hashes per row
-  (~40 B), never the key text — at 100 TB input the shuffle is ~GBs.
+  The shuffle carries only two int64 base hashes per row (16 B) — shard id
+  and per-tier KM pairs are derived in-kernel via splitmix64 — never the
+  key text; at 100 TB input the shuffle is ~GBs.
 - **Merge** — ``treeReduce`` OR-merges per-shard byte blobs in log depth.
   Disjoint shards concatenate; same-shard same-level bitsets OR and their
   key counts add.  A merged level whose fill exceeds capacity is flagged
@@ -189,6 +190,8 @@ class BloomFilterState:
                     idx, m, k, n = struct.unpack_from("<IQHQ", data, off)
                     off += struct.calcsize("<IQHQ")
                     nbytes = m // 8
+                    if off + nbytes > len(data):
+                        raise ValueError("truncated sparksketch bloom blob")
                     bits = np.frombuffer(data[off : off + nbytes], dtype=np.uint64).copy()
                     off += nbytes
                     levels.append(Level(idx, m, k, n, bits))
@@ -573,8 +576,8 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
 
     - ``route=True`` (default, the 10^12-doc mode): parquet scan → Project
       (key cast, guard filter, JVM hash columns — whole-stage codegen) →
-      Exchange on shard id (~40 B/row, never the text) → MapInArrow (numpy
-      bit kernel).  Each shard is built by exactly one task with exact
+      Exchange on shard id (16 B/row — two base hashes; never the text) →
+      MapInArrow (numpy bit kernel).  Each shard is built by exactly one task with exact
       level capacities, and per-task memory is filter_size / n_shards —
       mandatory when the filter is far bigger than one task's memory.
     - ``route=False`` (scan-local): no shuffle at all — every scan
