@@ -207,3 +207,62 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     # group whole buckets per task: mapInArrow sees each repartitioned
     # partition; grouping within the kernel handles multiple buckets/task
     return bucketed.mapInArrow(pairs_fn, "id_a long, id_b long, cosine double").distinct()
+
+
+# ====================================================================
+# IVF (inverted-file) ANN — the clustered-data scale path
+# ====================================================================
+
+def ivf_centroids(df: DataFrame, vec_col: str, n_lists: int = 16, dim: int | None = None,
+                  sample: int = 4096, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """k-means-lite centroids from a driver-side sample (Lloyd iterations in
+    numpy).  The sample is tiny relative to the table; the expensive part —
+    assignment — stays distributed (:func:`with_ivf_list`).  Deterministic:
+    seeded init, fixed iteration count."""
+    dim = dim or infer_dim(df, vec_col)
+    rows = df.select(vec_col).limit(sample).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float32)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng((0x1BF, seed))
+    cents = mat[rng.choice(mat.shape[0], size=min(n_lists, mat.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cents
+
+
+def with_ivf_list(df: DataFrame, vec_col: str, centroids: np.ndarray,
+                  out: str = "ivf_list") -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine) — the inverted
+    list id.  Persist/partition by this column so probes scan one list."""
+    dim = centroids.shape[1]
+    cents = centroids  # (n_lists, dim), unit norm
+
+    def fn(batches):
+        for batch in batches:
+            mat = _mat_of(batch.column(vec_col), dim)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            assign = np.argmax((mat / norms) @ cents.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(assign, pa.int32())],
+                names=[*batch.schema.names, out],
+            )
+
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInArrow(fn, f"{schema}, `{out}` int")
+
+
+def ivf_query(df_listed: DataFrame, vec_col: str, id_col: str, query: np.ndarray,
+              centroids: np.ndarray, k: int = 10, n_probe: int = 2) -> list[tuple[int, float]]:
+    """ANN probe: exact cosine rerank over the ``n_probe`` nearest inverted
+    lists only — scans n_probe/n_lists of the data (with partition pruning
+    when the table is written ``partitionBy(ivf_list)``)."""
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    order = np.argsort(-(centroids @ qn))[:n_probe]
+    cand = df_listed.filter(F.col("ivf_list").isin([int(x) for x in order]))
+    return cosine_topk(cand, vec_col, id_col, q, k=k, dim=centroids.shape[1])

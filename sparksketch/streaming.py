@@ -132,3 +132,60 @@ def stream_sketch(stream_df: DataFrame, col: str, factory: Callable, *,
 def read_bloom_state(state_dir: str) -> BloomFilterState | None:
     blob = SketchStateStore(state_dir).read_blob()
     return None if blob is None else BloomFilterState.from_bytes(blob)
+
+
+def stream_windowed_sketch(stream_df: DataFrame, ts_col: str, col: str,
+                           factory: Callable, *, window: str = "1 hour",
+                           seeds: tuple[int, ...] | None = None, numeric: bool = False,
+                           state_dir: str, checkpoint_dir: str | None = None):
+    """Per-event-time-window sketches over a stream: each micro-batch's rows
+    are sketched per window (map-side combine via sketch_by_group keyed on
+    the window start) and merged into that window's persisted blob.  Late
+    rows merge into their window whenever they arrive — mergeable sketches
+    make watermark-free lateness handling trivial for this state shape
+    (nothing is emitted early that would need retraction)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from sparksketch.sketch import sketch_by_group
+
+    store = SketchStateStore(state_dir)
+    cls = type(factory(0))
+
+    def safe(name: str) -> str:
+        return _re.sub(r"[^0-9A-Za-zT:-]", "_", name)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= store.last_epoch():
+            return
+        keyed = batch_df.withColumn(
+            "_w", F.window(F.col(ts_col), window)["start"].cast("string"))
+        partials = sketch_by_group(keyed, "_w", col, factory, seeds=seeds, numeric=numeric)
+        for row in partials.collect():
+            path = os.path.join(state_dir, f"w_{safe(row.group)}.bin")
+            nxt = bytes(row.state)
+            try:
+                with open(path, "rb") as f:
+                    nxt = cls.from_bytes(f.read()).merge(cls.from_bytes(nxt)).to_bytes()
+            except OSError:
+                pass
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(nxt)
+            os.replace(tmp, path)
+        store.commit(epoch_id, b"windowed")
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def read_windowed_states(state_dir: str, cls) -> dict[str, object]:
+    out = {}
+    for name in sorted(os.listdir(state_dir)):
+        if name.startswith("w_") and name.endswith(".bin"):
+            with open(os.path.join(state_dir, name), "rb") as f:
+                out[name[2:-4]] = cls.from_bytes(f.read())
+    return out

@@ -282,3 +282,22 @@ def test_membership_join_derives_geometry(spark):
     got = {r.key: r.is_member for r in flags.collect()}
     assert all(got[str(k)] for k in range(1000, 2000))
     assert sum(got[str(k)] for k in range(2000, 3000)) <= 2
+
+
+def test_sync_port_200k(spark):
+    """The FIXTURES.md §2 reference-parity port of sync_test at CI scale:
+    200k decimal-string keys (sync_test.rs uses 100M sequentially; the
+    semantics scale down, the guarantees don't). Medium/Medium/Medium like
+    sync_test.rs:33-38."""
+    n = 200_000
+    cfg = BloomConfig()  # all-Medium defaults = the reference test config
+    df = _keys_df(spark, 0, n)
+    state = build_bloom(df, "key", cfg, n_shards=64, partitions=8, expected_keys=n)
+    # zero false negatives over every inserted key (sync_test.rs:60-66)
+    fn = with_membership(df, "key", state).filter(~F.col("is_member")).count()
+    assert fn == 0
+    # observed FPR on the disjoint range N..2N (sync_test.rs:49-55 analogue)
+    probes = _keys_df(spark, n, 2 * n)
+    fp = with_membership(probes, "key", state).filter(F.col("is_member")).count()
+    assert fp / n <= state.configured_fpr_bound() + 1e-9, (fp, state.configured_fpr_bound())
+    assert state.key_count == n

@@ -98,3 +98,29 @@ def test_embedding_near_dup_pairs(spark):
         va, vb = np.array(vecs[a]), np.array(vecs[b])
         cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert cos >= 0.98 - 1e-4, (a, b, cos)
+
+
+def test_ivf_ann(spark, emb, emb_np):
+    from sparksketch.similarity import ivf_centroids, ivf_query, with_ivf_list
+    ids, mat = emb_np
+    cents = ivf_centroids(emb, "embedding", n_lists=8, sample=500)
+    assert cents.shape == (8, mat.shape[1])
+    listed = with_ivf_list(emb, "embedding", cents).cache()
+    # every vector gets a list; lists are reasonably balanced
+    sizes = [r["count"] for r in listed.groupBy("ivf_list").count().collect()]
+    assert sum(sizes) == len(ids)
+    assert max(sizes) < len(ids) * 0.6
+    # probing more lists monotonically improves recall; self always found
+    hits_by_probe = []
+    for n_probe in (1, 4, 8):
+        hits = 0
+        for p in range(5):
+            q = mat[p * 13]
+            ann = ivf_query(listed, "embedding", "vec_id", q, cents, k=5, n_probe=n_probe)
+            exact = {t[0] for t in _exact_topk(ids, mat, q, 5)}
+            hits += len({a for a, _ in ann} & exact)
+            if n_probe == 8:
+                assert ann[0][0] == int(ids[p * 13])
+        hits_by_probe.append(hits)
+    assert hits_by_probe[-1] == 25  # n_probe = n_lists → exact
+    assert hits_by_probe[0] <= hits_by_probe[1] <= hits_by_probe[2]

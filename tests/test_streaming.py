@@ -88,3 +88,30 @@ def test_stream_hll(spark, tmp_path):
     est = HLL.from_bytes(blob).estimate()
     exact = src.select(F.countDistinct("user_id")).first()[0]
     assert abs(est - exact) / exact <= 3 * HLL(12).rel_error()
+
+
+def test_stream_windowed_hll(spark, tmp_path):
+    from sparksketch.streaming import read_windowed_states, stream_windowed_sketch
+    out, src = _stream_dir(spark, tmp_path)
+    schema = src.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(out)
+              .select("ts", F.col("user_id").cast("string").alias("key")))
+    state_dir = str(tmp_path / "win_state")
+    q = stream_windowed_sketch(stream, "ts", "key", lambda pid: __import__("sparksketch.hll", fromlist=["HLL"]).HLL(12),
+                               window="7 days",
+                               seeds=(__import__("sparksketch.hll", fromlist=["HLL_SEED"]).HLL_SEED,),
+                               state_dir=state_dir,
+                               checkpoint_dir=str(tmp_path / "win_chk")).start()
+    q.processAllAvailable()
+    q.stop()
+    from sparksketch.hll import HLL
+    states = read_windowed_states(state_dir, HLL)
+    assert len(states) >= 2  # events span multiple 7-day windows
+    # union of window estimates vs exact per-window distinct
+    exact = {str(r.w).replace(" ", "_"): r.d for r in
+             src.select(F.window("ts", "7 days")["start"].cast("string").alias("w"), "user_id")
+                .groupBy("w").agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert set(states) == set(exact)
+    for w, sk in states.items():
+        assert abs(sk.estimate() - exact[w]) / exact[w] <= 3 * HLL(12).rel_error(), w
