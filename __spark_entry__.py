@@ -247,7 +247,7 @@ def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # integer-exact money math: *100/*10000 factors are integral in the data
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),

@@ -117,7 +117,7 @@ def main() -> int:
 
     # --- relational surface ---
     bench("q1_pricing", lambda: lineitem
-          .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+          .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(F.sum("l_quantity"), F.count("*")).collect())
 
