@@ -671,8 +671,11 @@ def merge_blobs(a: bytes, b: bytes) -> bytes:
 # membership queries
 # ====================================================================
 
-_BC_CACHE: dict[int, BloomFilterState] = {}
-_BC_SEQ = [0]  # driver-side counter for broadcast cache keys (Broadcast has no .id in PySpark 4)
+# single-slot worker-side cache: (key, state). One slot, not a dict — each
+# with_membership call pins a filter-sized object in every reused Python
+# worker, so unbounded growth would OOM workers across repeated calls.
+_BC_CACHE: list = [None, None]
+_BC_SEQ = [0]  # driver-side counter for cache keys (Broadcast has no .id in PySpark 4)
 
 
 def with_membership(df: DataFrame, col: str, state: BloomFilterState,
@@ -690,10 +693,12 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
 
     @F.pandas_udf("boolean")
     def probe(ha, hb):
-        cached = _BC_CACHE.get(bc_key)
-        if cached is None:
+        if _BC_CACHE[0] == bc_key:
+            cached = _BC_CACHE[1]
+        else:
             cached = BloomFilterState.from_bytes(bc.value)
-            _BC_CACHE[bc_key] = cached
+            _BC_CACHE[0] = bc_key
+            _BC_CACHE[1] = cached
         import pandas as pd
         return pd.Series(cached.contains_hashes(
             ha.to_numpy(dtype=np.int64, na_value=0),
@@ -725,9 +730,13 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
         if first is None:
             return probes.withColumn(out, F.lit(False))
         tiers, n_shards = blob_geometry(bytes(first[0]))
+    probe_cols = [f.name for f in probes.schema.fields]
     hcols = hash_probe_cols(F.col(col).cast("string"))
-    keyed = probes.withColumn("_skrow", F.monotonically_increasing_id())
-    hashed = keyed.select("_skrow", *hcols).withColumn(
+    # all probe columns ride through the kernel — evaluating `probes` exactly
+    # once (a row-id + re-join design would evaluate it twice, and
+    # monotonically_increasing_id is not stable across re-evaluations of a
+    # shuffled plan, silently mislabelling rows)
+    hashed = probes.select("*", *hcols).withColumn(
         _ROUTE, F.pmod(F.col("_skh_a"), F.lit(n_shards).cast("long")))
     # shard states may be partial (several rows per shard from separate
     # builds); pre-merge them per shard so the join side is one row/shard.
@@ -736,7 +745,6 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
 
     def check(batches):
         for batch in batches:
-            rowid = batch.column("_skrow").to_numpy(zero_copy_only=False)
             n = batch.num_rows
             result = np.zeros(n, dtype=bool)
             blobs = batch.column("state")
@@ -756,13 +764,14 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
                         continue
                     st = BloomFilterState.from_bytes(blobs[i0].as_py())
                     result[rows] = st.contains_hashes(h1_all[rows], h2_all[rows])
-            yield pa.RecordBatch.from_pydict({
-                "_skrow": pa.array(rowid, pa.int64()),
-                out: pa.array(result, pa.bool_()),
-            })
+            passthrough = [batch.column(c) for c in probe_cols]
+            yield pa.RecordBatch.from_arrays(
+                [*passthrough, pa.array(result, pa.bool_())],
+                names=[*probe_cols, out],
+            )
 
-    flags = joined.mapInArrow(check, f"_skrow long, {out} boolean")
-    return keyed.join(flags, "_skrow", "left").drop("_skrow").fillna({out: False})
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in probes.schema.fields)
+    return joined.mapInArrow(check, f"{out_schema}, `{out}` boolean")
 
 
 def _merge_state_rows(pdf):

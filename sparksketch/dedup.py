@@ -60,9 +60,12 @@ def _as_list_array(mat: np.ndarray, width: int) -> pa.ListArray:
 
 def exact_dedup_ids(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Representative (min id) per distinct content → DataFrame(id).
-    One shuffle of (hash, id); text never moves."""
+    One shuffle of (fingerprint, id); text never moves.  The fingerprint is
+    128-bit md5 — at 10^12 docs a 64-bit hash would silently delete tens of
+    thousands of non-duplicates (birthday bound n²/2^65); 128 bits makes
+    collisions negligible (~10^-15)."""
     return (
-        df.select(F.xxhash64(F.col(col)).alias("_ch"), F.col(id_col))
+        df.select(F.md5(F.encode(F.col(col).cast("string"), "UTF-8")).alias("_ch"), F.col(id_col))
         .groupBy("_ch").agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
@@ -101,7 +104,10 @@ def _shingle_window_hashes(arr: pa.Array, n: int) -> tuple[np.ndarray, np.ndarra
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: off[-1]].astype(np.uint64)
+    # slice the value buffer to this array's window BEFORE rebasing offsets
+    # (a sliced array has off[0] > 0; keeping absolute data with relative
+    # offsets would hash bytes shifted off[0] to the left)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]].astype(np.uint64)
     off = off - off[0]
     lens = np.diff(off)
     B = np.uint64(0x100000001B3)
@@ -188,15 +194,21 @@ def minhash_signatures(df: DataFrame, col: str, id_col: str, num_perm: int = 64,
 def lsh_candidates(sig_df: DataFrame, id_col: str, max_bucket: int = 256) -> DataFrame:
     """Candidate pairs (id_a < id_b) from band-bucket collisions.
 
-    Buckets larger than ``max_bucket`` are truncated (quadratic pair blowup
-    guard for degenerate corpora — the truncation is logged via the
-    ``truncated`` column so callers can see dropped coverage)."""
+    Buckets are capped at ``max_bucket`` ids BEFORE aggregation (window
+    row_number, so a degenerate corpus — millions of identical docs in one
+    bucket — never materializes an unbounded collect_list buffer in a single
+    task).  Truncation trades recall inside pathological buckets for bounded
+    memory; exact-duplicate clusters that large are better handled by
+    exact_dedup first."""
+    from pyspark.sql import Window as _W
     exploded = sig_df.select(
         id_col, F.posexplode("band_keys").alias("band", "key")
     )
-    buckets = exploded.groupBy("band", "key").agg(
-        F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"),
-        (F.count("*") > max_bucket).alias("truncated"),
+    w = _W.partitionBy("band", "key").orderBy(id_col)
+    capped = (exploded.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    buckets = capped.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids"),
     ).filter(F.size("ids") > 1)
     pairs = buckets.select(
         F.explode(F.expr(

@@ -120,8 +120,12 @@ def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, 
 
     Returns DataFrame ``(group string, state binary)``.
     """
-    proj = _drop_nulls(df, col).select(F.col(group_col).cast("string").alias("_g"),
-                                       *_proj_cols(col, seeds, numeric))
+    # null groups are dropped like null values (SQL GROUP BY would keep a
+    # NULL group; sketches over "no group" are rarely meaningful and a null
+    # dictionary index would otherwise corrupt the in-kernel grouping)
+    proj = _drop_nulls(_drop_nulls(df, col), group_col).select(
+        F.col(group_col).cast("string").alias("_g"),
+        *_proj_cols(col, seeds, numeric))
     cls = type(factory(0))
 
     def partial(batches):
