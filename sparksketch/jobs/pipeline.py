@@ -82,7 +82,10 @@ def main(argv=None) -> int:
     n_quality = kept.count()
     metrics["stages"]["after_quality_filter"] = n_quality
 
-    # 5. dedup: exact, then near-dup pairs removed (keep the lower url)
+    # 5. dedup: exact, then near-dup pairs removed (keep the lower url).
+    # doc_id = xxhash64(url): 64-bit id collisions alias ~n²/2^65 url pairs
+    # (a few 10^4 at 10^12 docs) — negligible for curation, and content
+    # dedup itself keys on a 128-bit fingerprint (see dedup.exact_dedup_ids)
     with_ids = kept.withColumn("doc_id", F.xxhash64("url"))
     exact = exact_dedup(with_ids, "text", "doc_id").cache()
     n_exact = exact.count()

@@ -301,3 +301,33 @@ def test_sync_port_200k(spark):
     fp = with_membership(probes, "key", state).filter(F.col("is_member")).count()
     assert fp / n <= state.configured_fpr_bound() + 1e-9, (fp, state.configured_fpr_bound())
     assert state.key_count == n
+
+
+def test_stacked_probe_equals_fallback(spark):
+    """The uniform-geometry fast path and the per-shard fallback must agree
+    bit-for-bit. Force mixed geometry by merging filters whose shards grew
+    to different depths."""
+    import numpy as np
+    from sparksketch.hashing import spark_xxhash64
+
+    # uniform geometry (hint → single level everywhere): fast path active
+    uni = build_bloom(_keys_df(spark, 0, 4000), "key", BloomConfig(), n_shards=8,
+                      partitions=4, expected_keys=4000)
+    assert uni._build_stacked() is not None
+    # mixed geometry: no hint → shards grow to different level depths
+    mixed = build_bloom(_keys_df(spark, 0, 4000), "key", BloomConfig(), n_shards=8,
+                        partitions=4)
+    keys = [str(k) for k in range(0, 8000)]
+    h1 = np.array([spark_xxhash64(k, 0x8BADF00D) for k in keys], dtype=np.uint64).view(np.int64)
+    h2 = np.array([spark_xxhash64(k, 0xDEADBABE) for k in keys], dtype=np.uint64).view(np.int64)
+    for state in (uni, mixed):
+        fast = state.contains_hashes(h1, h2) if state._build_stacked() else None
+        # force the fallback path by clearing the cache and faking mixed sig
+        state._stacked = {}
+        slow = state.contains_hashes(h1, h2)
+        state._stacked = None
+        full = state.contains_hashes(h1, h2)
+        assert (slow == full).all()
+        if fast is not None:
+            assert (fast == slow).all()
+        assert slow[:4000].all()  # inserted keys
