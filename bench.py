@@ -64,6 +64,17 @@ def main() -> int:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
 
+    # warmup: spawn the Python workers, JIT the codegen paths, touch the
+    # parquet footers — so the first timed query isn't charged session setup
+    import pyarrow as _pa
+    def _noop(batches):
+        for b in batches:
+            pass
+        yield _pa.RecordBatch.from_pydict({"n": _pa.array([0], _pa.int64())})
+    wp.limit(50_000).select("url").mapInArrow(_noop, "n long").count()
+    for t in (docs, events, emb, lineitem):
+        t.count()
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 

@@ -731,6 +731,10 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
             return probes.withColumn(out, F.lit(False))
         tiers, n_shards = blob_geometry(bytes(first[0]))
     probe_cols = [f.name for f in probes.schema.fields]
+    reserved = {"_skh_a", "_skh_b", _ROUTE, "shard", "state", "rows"}
+    clash = reserved & set(probe_cols)
+    if clash:
+        raise ValueError(f"probe columns clash with reserved names: {sorted(clash)}")
     hcols = hash_probe_cols(F.col(col).cast("string"))
     # all probe columns ride through the kernel — evaluating `probes` exactly
     # once (a row-id + re-join design would evaluate it twice, and
