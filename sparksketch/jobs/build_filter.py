@@ -50,6 +50,8 @@ def main(argv=None) -> int:
     from sparksketch.session import get_spark
     from sparksketch.webtext import webpages
 
+    from pyspark.sql import SparkSession
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("build_filter", cores=args.cores)
     cfg = BloomConfig(
         accuracy=Accuracy(args.accuracy),
@@ -94,7 +96,8 @@ def main(argv=None) -> int:
         "blob_bytes": blob_bytes,
         "input": input_id,
     }))
-    spark.stop()
+    if owns_session:
+        spark.stop()  # don't tear down a session the caller owns
     return 0
 
 

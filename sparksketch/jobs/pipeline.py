@@ -54,6 +54,8 @@ def main(argv=None) -> int:
     from sparksketch.textstats import lang_id, quality_features
     from sparksketch.webtext import enforce_key_limit, extract_text, webpages
 
+    from pyspark.sql import SparkSession
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("pipeline", cores=args.cores,
                       extra={"spark.ui.showConsoleProgress": "false"})
     t0 = time.perf_counter()
@@ -119,7 +121,8 @@ def main(argv=None) -> int:
     metrics["elapsed_sec"] = round(elapsed, 2)
     metrics["docs_per_sec"] = round(n0 / elapsed, 1)
     print(json.dumps(metrics))
-    spark.stop()
+    if owns_session:
+        spark.stop()  # don't tear down a session the caller owns
     return 0 if bad == 0 else 1
 
 
