@@ -76,3 +76,13 @@ def test_sketch_agg_udf(spark):
     for g, d in exact.items():
         assert abs(got[g][0] - d) / d <= 3 * HLL(12).rel_error()
         assert got[g][1] > 0
+
+
+def test_write_table_parquet_partitioned(spark, tmp_path):
+    from sparksketch.sources import load_table, write_table
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    out = str(tmp_path / "nations_out")
+    write_table(df, out, mode="overwrite", partition_by=["n_regionkey"])
+    back = load_table(spark, out)
+    assert back.count() == 25
+    assert sorted(back.columns) == sorted(df.columns)

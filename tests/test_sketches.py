@@ -154,3 +154,28 @@ def test_kll_merge_bounds():
     for q in (0.1, 0.5, 0.9):
         rank = np.searchsorted(sv, m.quantile(q), side="right") / len(sv)
         assert abs(rank - q) <= 0.035
+
+
+def test_kll_by_group(spark, events):
+    from sparksketch.kll import KLL, kll_by_group
+    states = kll_by_group(events, "event_type", "value", k=200)
+    got = {r.group: KLL.from_bytes(bytes(r.state)) for r in states.collect()}
+    pdf = events.select("event_type", "value").toPandas()
+    for g, sk in got.items():
+        vals = np.sort(pdf[pdf.event_type == g].value.values)
+        assert sk.n == len(vals)
+        rank = np.searchsorted(vals, sk.quantile(0.5), side="right") / len(vals)
+        assert abs(rank - 0.5) <= 0.05, g
+
+
+def test_merge_geometry_mismatches_raise():
+    from sparksketch.kll import KLL
+    a, b = KLL(100), KLL(200)
+    with pytest.raises(ValueError):
+        a.merge(b)
+    c, d = CMS(4, 512), CMS(5, 512)
+    with pytest.raises(ValueError):
+        c.merge(d)
+    e, f = HLL(10), HLL(12)
+    with pytest.raises(ValueError):
+        e.merge(f)
