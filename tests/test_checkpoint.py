@@ -73,3 +73,18 @@ def test_clear_checkpoint(spark, tmp_path):
     assert checkpoint_metas(chk)
     clear_checkpoint(chk)
     assert not checkpoint_metas(chk)
+
+
+def test_write_metrics(tmp_path):
+    from sparksketch.checkpoint import write_metrics
+    import json
+    p = str(tmp_path / "m" / "metrics.json")
+    write_metrics(p, {"rows": 5, "elapsed_sec": 1.5})
+    with open(p) as f:
+        m = json.load(f)
+    assert m["rows"] == 5 and "written_at" in m
+
+
+def test_iceberg_unavailable_in_sandbox(spark):
+    from sparksketch.sources import iceberg_available
+    assert iceberg_available(spark) is False  # no catalog conf, no jars
