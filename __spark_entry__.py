@@ -17,6 +17,7 @@ candidate generators are non-SQL-expressible → rows-only checks.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -30,18 +31,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from sparksketch.bloom import build_bloom, with_membership
-from sparksketch.cms import cms_build
+from sparksketch.cms import CMS, cms_build, cms_by_group
 from sparksketch.config import BloomConfig, Accuracy
-from sparksketch.dedup import exact_dedup_ids, minhash_dedup_pairs, simhash
+from sparksketch.dedup import (
+    exact_dedup_ids,
+    exact_jaccard,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_candidates,
+)
 from sparksketch.hll import HLL, hll_by_group, hll_distinct
 from sparksketch.kll import kll_build
 from sparksketch.sketch import estimate_col
 from sparksketch.similarity import cosine_topk_df, embedding_near_dup_pairs
 from sparksketch.tdigest import TDigest, tdigest_build, tdigest_by_group
 from sparksketch.textstats import (
+    bpe_ish_token_count,
     char_class_counts,
     fingerprint_md5,
     lang_id,
+    quality_features,
     token_count,
 )
 
@@ -235,6 +244,73 @@ def _simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(_T(spark, sf, "documents"), "text", "doc_id")
 
 
+def _exact_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic candidate set (consecutive doc_ids) so the oracle can
+    # reproduce the exact char-5-gram Jaccard with list_intersect/
+    # list_distinct; the hashed-shingle sets map 1:1 to the string-shingle
+    # sets absent 64-bit collisions (negligible at this scale)
+    docs = _T(spark, sf, "documents")
+    ids = docs.select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 1).alias("id_b"))
+    pairs = ids.join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    return exact_jaccard(pairs, docs, "text", "doc_id").select("id_a", "id_b", "jaccard")
+
+
+def _quality_features_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _T(spark, sf, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_chars_t", "n_tokens", "mean_token_len", "alpha_ratio",
+        "digit_ratio", "space_ratio", "punct_ratio", "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _T(spark, sf, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+def _cms_min_user_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    # certificate for the per-group CMS: probe each group's min user_id; the
+    # CMS bound (Cormode–Muthukrishnan) pins exact ≤ est ≤ exact + ⌈εN⌉
+    ev = _T(spark, sf, "events")
+    d, w = 5, 8192
+    states = cms_by_group(ev, "event_type", "user_id", d=d, w=w)
+    mins = ev.groupBy("event_type").agg(F.min("user_id").alias("_u"))
+    exact = (ev.join(mins, "event_type")
+             .filter(F.col("user_id") == F.col("_u"))
+             .groupBy("event_type").agg(F.count("*").alias("n_exact"),
+                                        F.first("_u").alias("_u")))
+    sketches = {r.group: CMS.from_bytes(bytes(r.state)) for r in states.collect()}
+    rows = []
+    for r in exact.collect():
+        sk = sketches[r.event_type]
+        est = sk.query(str(r._u))
+        ok = r.n_exact <= est <= r.n_exact + math.ceil(sk.error_bound())
+        rows.append(Row(event_type=r.event_type, n_exact=int(r.n_exact), ok=bool(ok)))
+    return spark.createDataFrame(sorted(rows), "event_type string, n_exact long, ok boolean")
+
+
+def _simhash_complete_check(spark: SparkSession, sf: str) -> DataFrame:
+    # pigeonhole completeness certificate: 4×16-bit block banding must find
+    # EXACTLY the pairs within Hamming distance 3 (≤3 flipped bits leave ≥1
+    # block untouched), so banded candidates == brute-force all-pairs set
+    docs = _T(spark, sf, "documents")
+    sim = simhash(docs, "text", "doc_id").cache()
+    banded = simhash_candidates(sim, "doc_id", max_hamming=3)
+    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.expr("bit_count(sh_a ^ sh_b)") <= 3)
+             .select("id_a", "id_b"))
+    n_banded = banded.count()
+    n_brute = brute.count()
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [Row(n_docs=int(n_docs), ok=bool(n_banded == n_brute))],
+        "n_docs long, ok boolean")
+
+
 def _embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # driver embeddings are near-random (max foreign cosine ≈ 0.37), so the
     # "near-dup" threshold is set where the data actually has pairs
@@ -243,17 +319,38 @@ def _embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    # Full TPC-H q1 aggregate set in integer-exact money math: prices carry 2
+    # decimals, discount/tax 2 each, so *100 / *10^4 / *10^6 factors are
+    # integral in the data (sums are exact int64, never float-accumulated).
+    # Averages are one double division of those exact int64s — bit-identical
+    # to the oracle's BIGINT/BIGINT division.  Date-level filter on both
+    # sides removes timestamp-semantics exposure in the driver's comparator.
     li = _T(spark, sf, "lineitem")
-    # integer-exact money math: *100/*10000 factors are integral in the data
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+    base_c2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c2 = F.round(F.col("l_discount") * 100).cast("long")
+    disc_price_c4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    charge_c6 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 1000000
+    ).cast("long")
+    agg = (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-            F.sum(rev).alias("revenue_c4"),
+            F.sum(base_c2).alias("sum_base_c2"),
+            F.sum(disc_price_c4).alias("sum_disc_price_c4"),
+            F.sum(charge_c6).alias("sum_charge_c6"),
+            F.sum(disc_c2).alias("sum_disc_c2"),
             F.count("*").alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_c2",
+        "sum_disc_price_c4", "sum_charge_c6",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_c2") / F.col("count_order")).alias("avg_price_c2"),
+        (F.col("sum_disc_c2") / F.col("count_order")).alias("avg_disc_c2"),
+        "count_order",
     )
 
 
@@ -293,8 +390,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _dedup_exact_documents,
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_docs": _simhash_docs,
+        "exact_jaccard_pairs": _exact_jaccard_pairs,
+        "simhash_complete_check": _simhash_complete_check,
+        "cms_min_user_by_event_type": _cms_min_user_by_event_type,
         # text analysis
         "token_counts": _token_counts,
+        "bpe_token_counts": _bpe_token_counts,
+        "quality_features_docs": _quality_features_docs,
         "char_class_counts": _char_class_counts,
         "lang_id_documents": _lang_id_documents,
         "fingerprint_documents": _fingerprint_documents,
@@ -333,6 +435,48 @@ def _lang_case_sql() -> str:
                 conds.append(f"({hits[lang]}) >= ({hits[o]})")
         branches.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
     return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted literal (standard escaping; DuckDB strings are not
+    backslash-escaped, so only the quote needs doubling)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _quality_sql() -> str:
+    from sparksketch.textstats import (
+        ALPHA_CHARS, DIGIT_CHARS, LANG_STOPWORDS, PUNCT_CHARS, SPACE_CHARS,
+    )
+    toks = "list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t))"
+    ntok = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END")
+    stop_hits = (f"CASE WHEN trim(text) = '' THEN 0 ELSE "
+                 f"len(list_intersect({toks}, {LANG_STOPWORDS['en']!r})) END")
+    cls = {name: f"CAST(length(text) - length(translate(text, {_sq(chars)}, '')) AS BIGINT)"
+           for name, chars in [("a", ALPHA_CHARS), ("d", DIGIT_CHARS),
+                               ("s", SPACE_CHARS), ("p", PUNCT_CHARS)]}
+    # arithmetic mirrors sparksketch.textstats.quality_features term-for-term
+    # (same operand order) so the IEEE doubles are bit-identical
+    return (
+        f"WITH f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_t, "
+        f"{ntok} AS n_tokens, {cls['a']} AS a_cnt, {cls['d']} AS d_cnt, "
+        f"{cls['s']} AS s_cnt, {cls['p']} AS p_cnt, {stop_hits} AS stop_hits "
+        f"FROM documents), "
+        f"g AS (SELECT doc_id, n_chars_t, n_tokens, "
+        f"CAST(n_chars_t AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_tok, "
+        f"a_cnt / CAST(greatest(n_chars_t, 1) AS DOUBLE) AS alpha, "
+        f"d_cnt / CAST(greatest(n_chars_t, 1) AS DOUBLE) AS digit, "
+        f"s_cnt / CAST(greatest(n_chars_t, 1) AS DOUBLE) AS space, "
+        f"p_cnt / CAST(greatest(n_chars_t, 1) AS DOUBLE) AS punct, "
+        f"stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopr FROM f) "
+        f"SELECT doc_id, n_chars_t, n_tokens, round(mean_tok, 4) AS mean_token_len, "
+        f"round(alpha, 4) AS alpha_ratio, round(digit, 4) AS digit_ratio, "
+        f"round(space, 4) AS space_ratio, round(punct, 4) AS punct_ratio, "
+        f"round(stopr, 4) AS stopword_ratio, "
+        f"round(least(alpha * 1.25, 1.0) * 0.4 + least(stopr * 4.0, 1.0) * 0.3 "
+        f"+ (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.2 "
+        f"+ (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 0.1 ELSE 0.0 END), 4) "
+        f"AS quality_score FROM g")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -383,13 +527,47 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3"),
         # minhash_neardup_docs / simhash_docs / embedding_neardup_lsh:
         # LSH/hash internals are not SQL-expressible → rows-only checks.
+        "exact_jaccard_pairs": (
+            "WITH t AS (SELECT doc_id, substring(text, 1, 4096) AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, greatest(length(t) - 4, 1)), i -> t[i:i+4])) AS s FROM t) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+            "greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS jaccard "
+            "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"),
+        "simhash_complete_check": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS ok FROM documents"),
+        "cms_min_user_by_event_type": (
+            "WITH m AS (SELECT event_type, min(user_id) AS u FROM events GROUP BY event_type) "
+            "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS ok "
+            "FROM events e JOIN m ON e.event_type = m.event_type AND e.user_id = m.u "
+            "GROUP BY e.event_type"),
+        "bpe_token_counts": (
+            "SELECT doc_id, CAST("
+            "len(regexp_extract_all(text, '[A-Za-z]+')) "
+            "+ len(regexp_extract_all(text, '[0-9]+')) "
+            "+ (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) "
+            "AS BIGINT) AS n_bpe_tokens FROM documents"),
+        "quality_features_docs": _quality_sql(),
+        # outer CAST(... AS BIGINT) on every SUM: DuckDB promotes SUM(BIGINT)
+        # to HUGEINT, which an Arrow fetch surfaces as decimal128 and the
+        # driver's float path would hash differently from Spark's int64.
         "q1_pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-            "SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_c4, "
+            "WITH a AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c2, "
+            "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_c4, "
+            "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_c6, "
+            "CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c2, "
             "count(*) AS count_order "
-            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
-            "GROUP BY l_returnflag, l_linestatus"),
+            "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus) "
+            "SELECT l_returnflag, l_linestatus, sum_qty, sum_base_c2, "
+            "sum_disc_price_c4, sum_charge_c6, "
+            "sum_qty / count_order AS avg_qty, "
+            "sum_base_c2 / count_order AS avg_price_c2, "
+            "sum_disc_c2 / count_order AS avg_disc_c2, "
+            "count_order FROM a"),
         "top3_orders_per_customer": (
             "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM ("
             "SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER ("
