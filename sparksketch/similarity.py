@@ -155,9 +155,22 @@ def lsh_query(df_bucketed: DataFrame, vec_col: str, id_col: str, query: np.ndarr
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                              threshold: float = 0.95, n_planes: int = 12,
-                             seed: int = 7, dim: int | None = None) -> DataFrame:
+                             seed: int = 7, dim: int | None = None,
+                             max_bucket: int = 65536, block: int = 2048) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold: bucket by sign-LSH, exact
-    cosine only within buckets (vectorized per bucket group)."""
+    cosine only within buckets (vectorized per bucket group).
+
+    Hot-bucket safety (crawl corpora routinely have clusters of
+    near-identical embeddings that all land in one bucket):
+
+    - within-bucket rerank is **tiled** in ``block``-row squares, so peak
+      memory is O(block²) no matter the bucket size;
+    - buckets are **capped** at ``max_bucket`` vectors (deterministic: the
+      lowest ids win), bounding a degenerate bucket's O(b²) compute the same
+      way :func:`sparksketch.dedup.lsh_candidates` caps its band buckets.
+      Truncation trades recall inside pathological buckets only; clusters
+      that large are exact-dup territory — run exact/minhash dedup first.
+    """
     dim = dim or infer_dim(df, vec_col)
     planes = lsh_planes(dim, n_planes, seed)
     bucketed = with_lsh_bucket(
@@ -187,13 +200,27 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                 rows = order[bounds[gi] : bounds[gi + 1]]
                 if rows.shape[0] < 2:
                     continue
-                u = unit[rows]
-                sims = u @ u.T
-                ai, bi = np.triu_indices(rows.shape[0], k=1)
-                hit = sims[ai, bi] >= threshold
-                out_a.append(ids[rows[ai[hit]]])
-                out_b.append(ids[rows[bi[hit]]])
-                out_s.append(sims[ai[hit], bi[hit]].astype(np.float64))
+                rows = rows[np.argsort(ids[rows], kind="stable")]
+                if rows.shape[0] > max_bucket:
+                    rows = rows[:max_bucket]
+                nb = rows.shape[0]
+                for tb in range(0, nb, block):
+                    ra = rows[tb : tb + block]
+                    ua = unit[ra]
+                    for tj in range(tb, nb, block):
+                        rb = rows[tj : tj + block]
+                        sims = ua @ unit[rb].T
+                        if tj == tb:
+                            ai, bi = np.triu_indices(ra.shape[0], k=1)
+                            hit = sims[ai, bi] >= threshold
+                            ai, bi, sv = ai[hit], bi[hit], sims[ai[hit], bi[hit]]
+                        else:
+                            ai, bi = np.nonzero(sims >= threshold)
+                            sv = sims[ai, bi]
+                        if ai.size:
+                            out_a.append(ids[ra[ai]])
+                            out_b.append(ids[rb[bi]])
+                            out_s.append(sv.astype(np.float64))
             if out_a:
                 a = np.concatenate(out_a)
                 b = np.concatenate(out_b)
@@ -217,14 +244,38 @@ def ivf_centroids(df: DataFrame, vec_col: str, n_lists: int = 16, dim: int | Non
                   sample: int = 4096, iters: int = 10, seed: int = 11) -> np.ndarray:
     """k-means-lite centroids from a driver-side sample (Lloyd iterations in
     numpy).  The sample is tiny relative to the table; the expensive part —
-    assignment — stays distributed (:func:`with_ivf_list`).  Deterministic:
-    seeded init, fixed iteration count."""
+    assignment — stays distributed (:func:`with_ivf_list`).  Deterministic
+    for a fixed input partitioning: seeded ``df.sample`` (a Bernoulli draw
+    across ALL partitions — a ``limit(sample)`` would take the first rows of
+    the first partition, biasing centroids to one corner of any sorted or
+    time-clustered table), seeded init, fixed iteration count."""
     dim = dim or infer_dim(df, vec_col)
-    rows = df.select(vec_col).limit(sample).collect()
+    vecs = df.select(vec_col)
+    n = df.count()
+    if n > sample:
+        # 1.25× oversample, then downselect driver-side — a `.limit(sample)`
+        # would take the FIRST partitions' rows (LocalLimit), reintroducing
+        # the sorted-table bias the Bernoulli sample exists to remove
+        frac = min(1.0, (sample * 1.25 + 64.0) / n)
+        vecs = vecs.sample(fraction=frac, seed=seed)
+    rows = vecs.collect()
     mat = np.array([r[0] for r in rows], dtype=np.float32)
+    if mat.shape[0] > sample:
+        pick = np.random.default_rng((0x1BF, seed)).choice(
+            mat.shape[0], size=sample, replace=False)
+        mat = mat[np.sort(pick)]
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    rng = np.random.default_rng((0x1BF, seed))
-    cents = mat[rng.choice(mat.shape[0], size=min(n_lists, mat.shape[0]), replace=False)]
+    # farthest-point (maximin) init: greedy pick of the point least similar
+    # to the chosen set — unlike uniform-random init it never seeds two
+    # centroids in one tight cluster while leaving another cluster unserved
+    k = min(n_lists, mat.shape[0])
+    chosen = [0]
+    best_sim = mat @ mat[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, mat @ mat[nxt])
+    cents = mat[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(mat @ cents.T, axis=1)
         for c in range(cents.shape[0]):

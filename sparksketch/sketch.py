@@ -185,33 +185,56 @@ def sketch_agg_udf(factory: Callable, *, seeds: tuple[int, ...] | None = None,
         df.groupBy("lang").agg(sketch_agg_udf(lambda pid: HLL(12),
                                seeds=(HLL_SEED,))(F.col("url")).alias("est"))
 
+    Hash sketches hash **JVM-side**: the returned callable rewrites its key
+    column into the seeded ``xxhash64`` columns (whole-stage codegen) and the
+    UDAF consumes only int64 hashes — no Python hashing anywhere (same
+    contract as the rest of the library; NULL keys are dropped like SQL
+    aggregates drop them).
+
     Note the scale tradeoff: a GROUPED_AGG UDF shuffles *raw group rows* to
     the aggregating task (no map-side combine), so prefer
     :func:`sketch_by_group` — which shuffles only partial sketch blobs —
     for big or skewed groups.  This variant exists for expression-style
     ergonomics on modest data."""
     import pandas as pd
-    from sparksketch.hashing import spark_xxhash64
 
-    def _agg(values):
+    if numeric:
+        def _agg(values):
+            sk = factory(0)
+            sk.update_values(values.astype("float64").to_numpy(na_value=np.nan))
+            return float(getattr(sk, method)(*args))
+
+        # `from __future__ import annotations` stringifies hints, which the
+        # pandas_udf eval-type inference can't resolve — attach real objects
+        _agg.__annotations__ = {"values": pd.Series, "return": float}
+        return F.pandas_udf(_agg, "double")
+
+    if not seeds:
+        raise ValueError("sketch_agg_udf needs seeds= (hash sketch) or numeric=True")
+
+    # the hash columns are never-null int64 (Spark hash exprs skip NULL
+    # inputs rather than return NULL) — a nullable int64 would surface as
+    # float64 in pandas and round 64-bit hashes above 2^53; a separate
+    # boolean column carries key validity instead
+    def _agg_hashes(*series):
         sk = factory(0)
-        if numeric:
-            v = values.astype("float64").to_numpy(na_value=np.nan)
-            sk.update_values(v)
-        else:
-            strs = values.astype("string")
-            strs = strs[~strs.isna()]
-            for i, seed in enumerate(seeds):
-                h = np.fromiter((spark_xxhash64(x, seed) for x in strs),
-                                dtype=np.uint64, count=len(strs))
-                if i == 0:
-                    hs = [h]
-                else:
-                    hs.append(h)
-            sk.update_hashes(*hs) if seeds else None
+        valid = series[-1].to_numpy(dtype=bool, na_value=False)
+        hs = [to_u64(h.to_numpy(dtype=np.int64)[valid]) for h in series[:-1]]
+        sk.update_hashes(*hs)
         return float(getattr(sk, method)(*args))
 
-    # `from __future__ import annotations` stringifies hints, which the
-    # pandas_udf eval-type inference can't resolve — attach real objects
-    _agg.__annotations__ = {"values": pd.Series, "return": float}
-    return F.pandas_udf(_agg, "double")
+    # pandas_udf infers the UDF arity from the signature, not the
+    # annotations — rebind to an exact-arity wrapper
+    params = ", ".join(f"h{i}" for i in range(len(seeds) + 1))
+    ns: dict = {"_impl": _agg_hashes}
+    exec(f"def _agg({params}):\n    return _impl({params})", ns)
+    agg_fn = ns["_agg"]
+    agg_fn.__annotations__ = {f"h{i}": pd.Series for i in range(len(seeds) + 1)}
+    agg_fn.__annotations__["return"] = float
+    udaf = F.pandas_udf(agg_fn, "double")
+
+    def apply(col) -> F.Column:
+        key = (F.col(col) if isinstance(col, str) else col).cast("string")
+        return udaf(*[hash_col(key, s) for s in seeds], key.isNotNull())
+
+    return apply

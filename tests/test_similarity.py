@@ -100,6 +100,86 @@ def test_embedding_near_dup_pairs(spark):
         assert cos >= 0.98 - 1e-4, (a, b, cos)
 
 
+def test_embedding_near_dup_hot_bucket_bounded(spark):
+    """A degenerate hot bucket (10⁴ near-identical vectors) must complete in
+    bounded memory (tiled rerank) and honor the deterministic max_bucket cap
+    (lowest ids kept)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [(i, (base + rng.standard_normal(16).astype(np.float32) * 1e-4).tolist())
+            for i in range(10_000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap = 128
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.99,
+                                     n_planes=4, dim=16, max_bucket=cap, block=50)
+    got = pairs.collect()
+    # tiling must not duplicate or miss pairs: with the cap, each bucket
+    # reranks only its `cap` lowest ids → at most C(cap,2) pairs per bucket,
+    # and every surviving id pair is below the cap boundary of its bucket
+    ids_seen = {r.id_a for r in got} | {r.id_b for r in got}
+    assert len(got) > 0
+    assert len(got) == len({(r.id_a, r.id_b) for r in got})
+    # near-identical vectors: nearly all land in ONE bucket → ids capped low
+    assert max(ids_seen) < 4 * cap
+    for r in got[:100]:
+        assert r.id_a < r.id_b and r.cosine >= 0.99
+
+
+def test_embedding_near_dup_tiling_matches_untiled(spark):
+    """Tiny block size must produce exactly the untiled pair set."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows += [(100 + i, (base[i] + 1e-3 * rng.standard_normal(16).astype(np.float32)).tolist())
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    big = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.98,
+                                   n_planes=5, dim=16, block=4096)
+    small = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.98,
+                                     n_planes=5, dim=16, block=3)
+    assert ({(r.id_a, r.id_b) for r in big.collect()}
+            == {(r.id_a, r.id_b) for r in small.collect()})
+
+
+def test_ivf_centroids_unbiased_on_sorted_table(spark):
+    """A table sorted by cluster must still yield centroids covering every
+    cluster (df.sample, not limit-first-rows)."""
+    from sparksketch.similarity import ivf_centroids
+    rng = np.random.default_rng(21)
+    means = np.eye(4, 16, dtype=np.float32) * 10
+    rows = []
+    for c in range(4):  # sorted: all of cluster 0, then 1, ...
+        for i in range(800):
+            v = means[c] + rng.standard_normal(16).astype(np.float32)
+            rows.append((c * 800 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(4)
+    cents = ivf_centroids(df, "embedding", n_lists=4, sample=400, seed=5)
+    # every cluster mean must have a distinct nearest centroid
+    mu = means / np.linalg.norm(means, axis=1, keepdims=True)
+    nearest = np.argmax(mu @ cents.T, axis=1)
+    assert len(set(nearest.tolist())) == 4
+
+
+def test_sketch_agg_hashes_jvm_side_guard():
+    """No per-row Python hashing in the library hot paths: sketch.py must not
+    reference the driver-side scalar hasher at all."""
+    import pathlib
+    src = pathlib.Path("/root/repo/sparksketch/sketch.py").read_text()
+    assert "spark_xxhash64" not in src
+
+
+def test_sketch_agg_udf_null_keys(spark):
+    """NULL keys are dropped (SQL aggregate semantics) and 64-bit hashes
+    survive the Arrow transfer exactly (no float64 rounding)."""
+    from sparksketch.hll import HLL, HLL_SEED
+    from sparksketch.sketch import sketch_agg_udf
+    rows = [("g", f"k{i}") for i in range(500)] + [("g", None)] * 50
+    df = spark.createDataFrame(rows, "g string, k string")
+    agg = sketch_agg_udf(lambda pid: HLL(12), seeds=(HLL_SEED,))
+    est = df.groupBy("g").agg(agg(F.col("k")).alias("e")).first().e
+    assert abs(est - 500) / 500 <= 3 * HLL(12).rel_error()
+
+
 def test_ivf_ann(spark, emb, emb_np):
     from sparksketch.similarity import ivf_centroids, ivf_query, with_ivf_list
     ids, mat = emb_np
