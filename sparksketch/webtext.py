@@ -183,20 +183,50 @@ def extract_text_kernel(html: pa.Array) -> pa.Array:
     return _slice_strings(html, starts, stops)
 
 
-def extract_text(df: DataFrame, html_col: str = "html", out: str = "extracted_text",
-                 passthrough: list[str] | None = None) -> DataFrame:
-    """Append the extracted text column via a mapInArrow kernel (no per-row
-    Python).
+def extract_text_expr(html_col: str | Column = "html") -> Column:
+    """Pure-JVM marker extraction: ``locate`` + ``substr`` over the
+    string-cast html — whole-stage codegen, no JVM→Python Arrow roundtrip
+    (the roundtrip was 30% of the round-1 bench: the html column moved at a
+    measured ~45 MB/s/core).  Edge semantics match
+    :func:`extract_text_kernel` exactly: missing open marker → extract from
+    the start; missing close marker → empty; close before open → empty.
+    ``locate`` positions are char-based vs the kernel's byte offsets, but
+    the extracted *content* is identical for any valid-UTF-8 html (ASCII
+    markers align on char boundaries)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    s = c.cast("string")
+    o = F.locate(MARK_OPEN, s)   # 1-based; 0 when absent
+    cl = F.locate(MARK_CLOSE, s)
+    start = F.when(o > 0, o + len(MARK_OPEN)).otherwise(F.lit(1))
+    stop = F.when(cl > 0, cl).otherwise(F.lit(1))
+    return s.substr(start, F.greatest(stop - start, F.lit(0)))
 
-    ``passthrough`` limits which columns ride through the Python worker —
-    JVM↔Python Arrow transfer is the dominant cost of binary-column ops
-    (measured ~45 MB/s/core in this sandbox), so at scale ship only the
-    columns the kernel and its consumer need and join the rest back by key
-    if required.  Default: all columns (schema-preserving)."""
+
+def extract_text(df: DataFrame, html_col: str = "html", out: str = "extracted_text",
+                 passthrough: list[str] | None = None, engine: str = "expr") -> DataFrame:
+    """Append the extracted text column.
+
+    ``engine='expr'`` (default): the codegen'd JVM expression path
+    (:func:`extract_text_expr`) — the data never leaves the JVM; this is the
+    scale path for the fixed-marker corpus.  ``engine='kernel'``: the
+    vectorized Arrow kernel (:func:`extract_text_kernel`) — the general
+    extractor seam to swap in arbitrary Python extraction logic (readability,
+    boilerplate removal, ...), kept byte-identical to the expression on this
+    corpus by the pytest invariant.
+
+    ``passthrough`` limits which columns ride through the Python worker on
+    the kernel path — JVM↔Python Arrow transfer is the dominant cost of
+    binary-column ops (measured ~45 MB/s/core in this sandbox), so at scale
+    ship only the columns the kernel and its consumer need and join the rest
+    back by key if required.  Default: all columns (schema-preserving)."""
     cols = passthrough if passthrough is not None else [f.name for f in df.schema.fields]
     if html_col not in cols:
         cols = [*cols, html_col]
     src = df.select(*cols)
+    if engine == "expr":
+        return src.withColumn(out, extract_text_expr(html_col))
+    if engine != "kernel":
+        raise ValueError(f"unknown extract_text engine: {engine!r}")
 
     def fn(batches):
         for batch in batches:

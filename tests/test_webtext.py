@@ -37,16 +37,39 @@ def test_webpages_deterministic_across_parallelism(spark):
 
 
 def test_extraction_byte_identical(spark):
-    """The input_hint per-row invariant: extract(html) == text for every url."""
+    """The input_hint per-row invariant: extract(html) == text for every url,
+    on BOTH engines (JVM expression fast path and Arrow kernel)."""
     df = webpages(spark, 5000, seed=42, partitions=4)
-    ext = extract_text(df)
-    bad = ext.filter(F.col("extracted_text") != F.col("text")).count()
-    assert bad == 0
-    # and as raw bytes, not just string equality
-    bad_bytes = ext.filter(
-        F.encode(F.col("extracted_text"), "UTF-8") != F.encode(F.col("text"), "UTF-8")
-    ).count()
-    assert bad_bytes == 0
+    for engine in ("expr", "kernel"):
+        ext = extract_text(df, engine=engine)
+        bad = ext.filter(F.col("extracted_text") != F.col("text")).count()
+        assert bad == 0, engine
+        # and as raw bytes, not just string equality
+        bad_bytes = ext.filter(
+            F.encode(F.col("extracted_text"), "UTF-8") != F.encode(F.col("text"), "UTF-8")
+        ).count()
+        assert bad_bytes == 0, engine
+
+
+def test_extraction_engines_agree_on_edge_cases(spark):
+    """Missing/reordered markers and multibyte content: expression and
+    kernel must produce identical output."""
+    from sparksketch.webtext import MARK_CLOSE, MARK_OPEN
+    rows = [
+        (0, f"<html>{MARK_OPEN}héllo wörld ✓{MARK_CLOSE}</html>"),
+        (1, "<html>no markers at all</html>"),
+        (2, f"prefix{MARK_CLOSE}close only"),
+        (3, f"open only{MARK_OPEN}tail"),
+        (4, f"{MARK_CLOSE}reversed{MARK_OPEN}x"),
+        (5, f"{MARK_OPEN}{MARK_CLOSE}"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, h string").select(
+        "id", F.encode("h", "UTF-8").alias("html"))
+    a = {r.id: r.extracted_text for r in extract_text(df, engine="expr").collect()}
+    b = {r.id: r.extracted_text for r in extract_text(df, engine="kernel").collect()}
+    assert a == b
+    assert a[0] == "héllo wörld ✓" and a[1] == "" and a[3] == "" and a[5] == ""
 
 
 def test_host_skew_and_salting(spark):
