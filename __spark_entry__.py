@@ -101,17 +101,16 @@ def _bloom_partkey_screen(spark: SparkSession, sf: str) -> DataFrame:
 
 def _bloom_by_source_zero_fn(spark: SparkSession, sf: str) -> DataFrame:
     # per-group filters (bloom_by_group): every text of a source must be a
-    # member of that source's filter — zero FN per group, certified per row
-    from sparksketch.bloom import GroupBloom, bloom_by_group
+    # member of that source's filter — zero FN per group.  Fully distributed
+    # certificate: broadcast the (group → blob) map, probe rows where they
+    # live, reduce to one boolean per group (no full-table collect).
+    from sparksketch.bloom import bloom_by_group, with_group_membership
     docs = _T(spark, sf, "documents")
     states = bloom_by_group(docs, "source", "text", BloomConfig(),
                             expected_keys_per_group=1000)
-    filters = {r.group: GroupBloom.from_bytes(bytes(r.state)) for r in states.collect()}
-    rows = docs.select("source", "text").collect()
-    ok_by_source: dict[str, bool] = {}
-    for r in rows:
-        ok_by_source[r.source] = ok_by_source.get(r.source, True) and filters[r.source].contains(r.text)
-    return spark.createDataFrame(sorted(ok_by_source.items()), "source string, ok boolean")
+    flagged = with_group_membership(docs.select("source", "text"),
+                                    "source", "text", states)
+    return flagged.groupBy("source").agg(F.bool_and("is_member").alias("ok"))
 
 
 def _hll_users_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
@@ -179,16 +178,18 @@ def _kll_nchars_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _tdigest_median_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    # distributed certificate: broadcast-join the per-group median estimates
+    # back onto the rows, then ONE grouped rank aggregation (no per-group
+    # driver loop of Spark jobs)
     ev = _T(spark, sf, "events")
     states = tdigest_by_group(ev, "event_type", "value", delta=200)
-    med = states.withColumn("med", estimate_col(TDigest, "quantile", (0.5,))("state"))
-    rows = []
-    for r in med.select("group", "med").collect():
-        grp = ev.filter(F.col("event_type") == r.group)
-        n = grp.count()
-        rank = grp.filter(F.col("value") <= r.med).count() / n
-        rows.append(Row(event_type=r.group, ok=bool(abs(rank - 0.5) <= 0.05)))
-    return spark.createDataFrame(rows, "event_type string, ok boolean")
+    med = (states.withColumn("med", estimate_col(TDigest, "quantile", (0.5,))("state"))
+           .select(F.col("group").alias("event_type"), "med"))
+    joined = ev.join(F.broadcast(med), "event_type")
+    rank = (F.sum(F.when(F.col("value") <= F.col("med"), 1).otherwise(0))
+            / F.count("*"))
+    return joined.groupBy("event_type").agg(
+        (F.abs(rank - 0.5) <= 0.05).alias("ok"))
 
 
 def _dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:

@@ -708,6 +708,49 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
     return df.withColumn(out, probe(*hcols))
 
 
+def with_group_membership(df: DataFrame, group_col: str, col: str, states,
+                          out: str = "is_member") -> DataFrame:
+    """Append per-group membership: each row is probed against ITS group's
+    filter (the output of :func:`bloom_by_group`).  Broadcast of the
+    (group → blob) map — group filters are blob-sized, so the map is
+    broadcastable whenever per-group sketching makes sense at all; rows and
+    hashes stay distributed (no driver loop over data rows).
+
+    ``states`` is the (group, state) DataFrame from :func:`bloom_by_group`
+    or an equivalent ``{group: blob}`` dict."""
+    spark = df.sparkSession
+    if isinstance(states, DataFrame):
+        blobs = {r.group: bytes(r.state) for r in states.collect()}
+    else:
+        blobs = {g: bytes(b) for g, b in states.items()}
+    bc = spark.sparkContext.broadcast(blobs)
+    _BC_SEQ[0] += 1
+    bc_key = _BC_SEQ[0]
+
+    @F.pandas_udf("boolean")
+    def probe(g, ha, hb):
+        import pandas as pd
+        if _BC_CACHE[0] == bc_key:
+            cached = _BC_CACHE[1]
+        else:
+            cached = {grp: BloomFilterState.from_bytes(b) for grp, b in bc.value.items()}
+            _BC_CACHE[0] = bc_key
+            _BC_CACHE[1] = cached
+        ga = g.to_numpy(dtype=object, na_value=None)
+        h1 = ha.to_numpy(dtype=np.int64, na_value=0)
+        h2 = hb.to_numpy(dtype=np.int64, na_value=0)
+        result = np.zeros(len(ga), dtype=bool)
+        for grp in pd.unique(ga):
+            st = cached.get(grp)
+            if st is not None:
+                mask = ga == grp
+                result[mask] = st.contains_hashes(h1[mask], h2[mask])
+        return pd.Series(result)
+
+    hcols = hash_probe_cols(F.col(col).cast("string"))
+    return df.withColumn(out, probe(F.col(group_col).cast("string"), *hcols))
+
+
 def blob_geometry(blob: bytes) -> tuple[int, int]:
     """(tiers, n_shards) from a state blob header — lets consumers of a
     persisted filter table avoid hard-coding geometry."""

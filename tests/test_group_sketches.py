@@ -30,6 +30,27 @@ def test_bloom_by_group_zero_fn(spark):
         assert f.key_count() == counts[g]
 
 
+def test_with_group_membership_distributed(spark):
+    """Distributed per-group probe: zero FN against own group, near-zero FP
+    against foreign groups, rows never collected to the driver."""
+    from pyspark.sql import functions as F
+
+    from sparksketch.bloom import with_group_membership
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    states = bloom_by_group(docs, "source", "text", BloomConfig(),
+                            expected_keys_per_group=200)
+    own = with_group_membership(docs.select("source", "text"), "source", "text", states)
+    assert own.filter(~F.col("is_member")).count() == 0  # zero FN per group
+    # shift every row to the NEXT source: texts are (almost surely) foreign
+    srcs = sorted(r.source for r in docs.select("source").distinct().collect())
+    nxt = {s: srcs[(i + 1) % len(srcs)] for i, s in enumerate(srcs)}
+    shifted = docs.select(
+        F.element_at(F.create_map(*[F.lit(x) for kv in nxt.items() for x in kv]),
+                     F.col("source")).alias("source"), "text")
+    fp = with_group_membership(shifted, "source", "text", states)
+    assert fp.filter(F.col("is_member")).count() <= docs.count() * 0.01
+
+
 def test_cms_by_group_exact_small_groups(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     states = cms_by_group(ev, "event_type", "user_id", d=5, w=4096)
