@@ -229,7 +229,10 @@ class BloomFilterState:
         for sid, cascade in other.shards.items():
             mine = self.shards.get(sid)
             if mine is None:
-                self.shards[sid] = cascade  # adopt (caller must not reuse other)
+                # copy on adopt (one copy per NEW shard over the whole fold):
+                # aliasing other's arrays would let later merges OR into the
+                # donor's bits in place, silently corrupting a reused `other`
+                self.shards[sid] = [[lv.copy() for lv in t] for t in cascade]
                 continue
             for t in range(self.tiers):
                 levels = {lv.idx: lv for lv in mine[t]}
@@ -580,6 +583,14 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
       MapInArrow (numpy bit kernel).  Each shard is built by exactly one task with exact
       level capacities, and per-task memory is filter_size / n_shards —
       mandatory when the filter is far bigger than one task's memory.
+    Checkpointing (``checkpoint_dir``) assumes ONE filesystem visible to the
+    driver and every task at the same path — true in local mode and on any
+    shared mount (NFS, fuse-mounted object store); on a cluster without one,
+    point it at such a mount or leave it off.  If ``input_id`` is empty it
+    defaults to a fingerprint of the DataFrame's input files, so checkpoints
+    of different source tables never collide; for non-file sources pass an
+    explicit ``input_id``.
+
     - ``route=False`` (scan-local): no shuffle at all — every scan
       partition builds 1/P-capacity sub-levels for the shards it sees and
       the OR-merge aligns them (map-side partial aggregation).  Each task
@@ -592,6 +603,13 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
     n_shards = n_shards or cfg.shards
     partitions = partitions or spark.sparkContext.defaultParallelism
     m0 = resolve_m0(cfg, n_shards, expected_keys)
+    if checkpoint_dir and not input_id:
+        # two different datasets built with identical (config, partitions,
+        # col) must not share a checkpoint fingerprint — default the input
+        # identity to the source files when the caller didn't supply one
+        files = df.inputFiles()
+        if files:
+            input_id = format(spark_xxhash64("|".join(sorted(files)), 11), "016x")
 
     keyed = df.select(F.col(col).cast("string").alias("_skkey"))
     if enforce_key_limit:
@@ -684,7 +702,12 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
 
     Hashes are computed JVM-side; the pandas UDF does only numpy index math
     against the broadcast blob (deserialized once per worker).  Zero false
-    negatives by construction; false positives ≤ the configured bound."""
+    negatives by construction *among guarded keys*: the build drops keys
+    over ``cfg.max_key_bytes`` (the documented 1 MB cap), so an oversize key
+    that exists in the source probes as not-member — treat rejection as
+    "guaranteed absent" only for keys within the cap (pre-filter probes with
+    :func:`sparksketch.webtext.enforce_key_limit` when in doubt).  False
+    positives ≤ the configured bound."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(state.to_bytes())
     _BC_SEQ[0] += 1
@@ -767,7 +790,9 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
     re-read from parquet).  Probes gain shard + hash columns (JVM), then an
     equi-join on shard id co-locates each probe with exactly the shard blobs
     it needs; a grouped Arrow kernel tests membership. Shuffle cost: probes
-    ~40 B/row + the shard states once."""
+    ~40 B/row + the shard states once.  Same oversize-key caveat as
+    :func:`with_membership`: zero FN holds among keys within the build's
+    ``max_key_bytes`` guard."""
     if tiers is None or n_shards is None:
         first = states.select("state").first()
         if first is None:

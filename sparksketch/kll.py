@@ -19,8 +19,10 @@ from pyspark.sql import DataFrame
 
 from sparksketch import sketch as _sk
 
-_MAGIC = b"KLL1"
+_MAGIC = b"KLL2"
+_MAGIC_V1 = b"KLL1"  # legacy: rng state truncated to low 64 bits
 _C = 2.0 / 3.0
+_U64 = (1 << 64) - 1
 
 
 class KLL:
@@ -89,14 +91,22 @@ class KLL:
         for lv in self.levels:
             parts.append(struct.pack("<I", lv.size))
             parts.append(lv.tobytes())
-        # rng state travels so resumed updates stay reproducible
-        st = self.rng.bit_generator.state["state"]
-        parts.append(struct.pack("<QQ", st["state"] & ((1 << 64) - 1), st["inc"] & ((1 << 64) - 1)))
+        # full 128-bit PCG64 (state, inc) travels so resumed updates restore
+        # the exact RNG stream (the low-64 truncation of the V1 format
+        # restored a different stream; estimates were valid, reproducibility
+        # wasn't)
+        full = self.rng.bit_generator.state
+        st = full["state"]
+        parts.append(struct.pack("<QQQQII",
+                                 st["state"] & _U64, (st["state"] >> 64) & _U64,
+                                 st["inc"] & _U64, (st["inc"] >> 64) & _U64,
+                                 full["uinteger"], full["has_uint32"]))
         return b"".join(parts)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "KLL":
-        assert data[:4] == _MAGIC
+        magic = data[:4]
+        assert magic in (_MAGIC, _MAGIC_V1)
         k, n, n_levels = struct.unpack_from("<IqH", data, 4)
         sk = cls(k)
         sk.n = n
@@ -107,8 +117,16 @@ class KLL:
             off += 4
             sk.levels.append(np.frombuffer(data[off : off + 8 * sz], dtype=np.float64).copy())
             off += 8 * sz
-        state, inc = struct.unpack_from("<QQ", data, off)
         s = sk.rng.bit_generator.state
+        if magic == _MAGIC:
+            s_lo, s_hi, i_lo, i_hi, uinteger, has32 = struct.unpack_from("<QQQQII", data, off)
+            state, inc = (s_hi << 64) | s_lo, (i_hi << 64) | i_lo
+            # the buffered half-draw travels too (PCG64 serves 32-bit
+            # requests from a 64-bit draw in halves)
+            s["uinteger"] = uinteger
+            s["has_uint32"] = has32
+        else:
+            state, inc = struct.unpack_from("<QQ", data, off)
         s["state"]["state"] = state
         s["state"]["inc"] = inc
         sk.rng.bit_generator.state = s

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -134,23 +135,37 @@ def read_bloom_state(state_dir: str) -> BloomFilterState | None:
     return None if blob is None else BloomFilterState.from_bytes(blob)
 
 
-def stream_windowed_sketch(stream_df: DataFrame, ts_col: str, col: str,
-                           factory: Callable, *, window: str = "1 hour",
-                           seeds: tuple[int, ...] | None = None, numeric: bool = False,
-                           state_dir: str, checkpoint_dir: str | None = None):
-    """Per-event-time-window sketches over a stream: each micro-batch's rows
-    are sketched per window (map-side combine via sketch_by_group keyed on
-    the window start) and merged into that window's persisted blob.  Late
-    rows merge into their window whenever they arrive — mergeable sketches
-    make watermark-free lateness handling trivial for this state shape
-    (nothing is emitted early that would need retraction)."""
+_WIN_MAGIC = b"SKW1"
+
+
+def _read_window_file(path: str) -> tuple[bytes | None, int]:
+    """(sketch blob, last-folded epoch). Headerless legacy files → epoch -1."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None, -1
+    if data[:4] == _WIN_MAGIC:
+        (epoch,) = struct.unpack_from("<q", data, 4)
+        return data[12:], epoch
+    return data, -1
+
+
+def windowed_fold_handler(store: SketchStateStore, state_dir: str, factory: Callable,
+                          ts_col: str, col: str, window: str,
+                          seeds: tuple[int, ...] | None, numeric: bool):
+    """The per-window epoch-idempotent ``foreachBatch`` handler (exposed for
+    crash-replay tests).  Idempotency: every window file records the last
+    epoch folded into it; a crash between window writes and the global
+    commit leaves some windows already at this epoch, and the replayed
+    micro-batch skips exactly those — no double-counting.  The global epoch
+    commits only after every window of the batch succeeded."""
     import re as _re
 
     from pyspark.sql import functions as F
 
     from sparksketch.sketch import sketch_by_group
 
-    store = SketchStateStore(state_dir)
     cls = type(factory(0))
 
     def safe(name: str) -> str:
@@ -162,20 +177,46 @@ def stream_windowed_sketch(stream_df: DataFrame, ts_col: str, col: str,
         keyed = batch_df.withColumn(
             "_w", F.window(F.col(ts_col), window)["start"].cast("string"))
         partials = sketch_by_group(keyed, "_w", col, factory, seeds=seeds, numeric=numeric)
+        # bounded collect: one blob-sized row per event-time window present
+        # in THIS micro-batch (not per input row)
         for row in partials.collect():
             path = os.path.join(state_dir, f"w_{safe(row.group)}.bin")
+            prev, w_epoch = _read_window_file(path)
+            if w_epoch >= epoch_id:
+                continue  # crash replay: this window already folded this epoch
             nxt = bytes(row.state)
-            try:
-                with open(path, "rb") as f:
-                    nxt = cls.from_bytes(f.read()).merge(cls.from_bytes(nxt)).to_bytes()
-            except OSError:
-                pass
+            if prev is not None:
+                nxt = cls.from_bytes(prev).merge(cls.from_bytes(nxt)).to_bytes()
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
-                f.write(nxt)
+                f.write(_WIN_MAGIC + struct.pack("<q", epoch_id) + nxt)
             os.replace(tmp, path)
         store.commit(epoch_id, b"windowed")
 
+    return handle
+
+
+def stream_windowed_sketch(stream_df: DataFrame, ts_col: str, col: str,
+                           factory: Callable, *, window: str = "1 hour",
+                           seeds: tuple[int, ...] | None = None, numeric: bool = False,
+                           state_dir: str, checkpoint_dir: str | None = None):
+    """Per-event-time-window sketches over a stream: each micro-batch's rows
+    are sketched per window (map-side combine via sketch_by_group keyed on
+    the window start) and merged into that window's persisted blob.  Late
+    rows merge into their window whenever they arrive — mergeable sketches
+    make watermark-free lateness handling trivial for this state shape
+    (nothing is emitted early that would need retraction).
+
+    State layout: one ``w_{window_start}.bin`` per window under ``state_dir``
+    (any shared mount / fuse-mounted object store works — writes are
+    single-writer from the driver with atomic replace).  Exactly-once: each
+    window file carries its last-folded epoch, so a replayed micro-batch
+    after a mid-loop crash skips windows that already absorbed it (see
+    :func:`windowed_fold_handler`).  The per-epoch collect is bounded by the
+    number of windows in the batch, not its row count."""
+    store = SketchStateStore(state_dir)
+    handle = windowed_fold_handler(store, state_dir, factory, ts_col, col,
+                                   window, seeds, numeric)
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
@@ -186,6 +227,6 @@ def read_windowed_states(state_dir: str, cls) -> dict[str, object]:
     out = {}
     for name in sorted(os.listdir(state_dir)):
         if name.startswith("w_") and name.endswith(".bin"):
-            with open(os.path.join(state_dir, name), "rb") as f:
-                out[name[2:-4]] = cls.from_bytes(f.read())
+            blob, _epoch = _read_window_file(os.path.join(state_dir, name))
+            out[name[2:-4]] = cls.from_bytes(blob)
     return out

@@ -56,6 +56,41 @@ def test_fingerprint_changes_invalidate(spark, tmp_path):
     assert completed_partitions(chk, other_fp) == frozenset()
 
 
+def test_default_input_id_from_input_files(spark, tmp_path):
+    """Two DIFFERENT parquet tables with identical (config, partitions, col)
+    must not share a checkpoint fingerprint when input_id is defaulted."""
+    from sparksketch.bloom import build_bloom_states
+    pa_path, pb_path = str(tmp_path / "ta"), str(tmp_path / "tb")
+    _keys(spark, 500).write.parquet(pa_path)
+    _keys(spark, 600).write.parquet(pb_path)
+    a = spark.read.parquet(pa_path)
+    b = spark.read.parquet(pb_path)
+    cfg = BloomConfig()
+    chk_a, chk_b = str(tmp_path / "ca"), str(tmp_path / "cb")
+    _, ia = build_bloom_states(a, "key", cfg, n_shards=8, partitions=4, checkpoint_dir=chk_a)
+    _, ib = build_bloom_states(b, "key", cfg, n_shards=8, partitions=4, checkpoint_dir=chk_b)
+    assert ia["fingerprint"] != ib["fingerprint"]
+    # same table → same fingerprint (resume still works)
+    _, ia2 = build_bloom_states(a, "key", cfg, n_shards=8, partitions=4, checkpoint_dir=chk_a)
+    assert ia2["fingerprint"] == ia["fingerprint"]
+
+
+def test_merge_into_adopt_does_not_alias_donor(spark):
+    """OR-merging more state into an accumulator must never mutate a
+    previously-adopted donor filter (copy-on-adopt)."""
+    from sparksketch.bloom import BloomFilterState, build_bloom
+    a = build_bloom(_keys(spark, 400), "key", BloomConfig(), n_shards=4, partitions=2)
+    b = build_bloom(
+        spark.range(1000, 1400).select(F.col("id").cast("string").alias("key")),
+        "key", BloomConfig(), n_shards=4, partitions=2)
+    donor_bytes = b.to_bytes()
+    acc = BloomFilterState.empty(BloomConfig(), 4, a.m0)
+    acc.merge_into(b)   # adopts b's shards (acc was empty)
+    acc.merge_into(a)   # ORs a into the adopted arrays
+    assert b.to_bytes() == donor_bytes  # donor untouched
+    assert not b.contains("0") and b.contains("1000")
+
+
 def test_save_load_roundtrip(spark, tmp_path):
     state = build_bloom(_keys(spark, 2000), "key", BloomConfig(), n_shards=8, partitions=4)
     path = str(tmp_path / "filter.bin")

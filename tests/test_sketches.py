@@ -156,6 +156,20 @@ def test_kll_merge_bounds():
         assert abs(rank - q) <= 0.035
 
 
+def test_kll_rng_state_roundtrips_full_128_bits():
+    """Serde must restore the exact PCG64 stream (state AND inc are 128-bit):
+    resumed updates on the restored sketch reproduce the original exactly."""
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 1, 30_000)
+    a = KLL(200, seed=123)
+    a.update_values(vals[:15000])
+    b = KLL.from_bytes(a.to_bytes())
+    assert b.rng.bit_generator.state == a.rng.bit_generator.state
+    a.update_values(vals[15000:])
+    b.update_values(vals[15000:])
+    assert a.to_bytes() == b.to_bytes()  # identical compaction coin flips
+
+
 def test_kll_by_group(spark, events):
     from sparksketch.kll import KLL, kll_by_group
     states = kll_by_group(events, "event_type", "value", k=200)

@@ -90,6 +90,36 @@ def test_stream_hll(spark, tmp_path):
     assert abs(est - exact) / exact <= 3 * HLL(12).rel_error()
 
 
+def test_windowed_fold_replay_after_crash(spark, tmp_path):
+    """A crash AFTER all window writes but BEFORE the global epoch commit is
+    the worst replay case: every window already absorbed the batch.  The
+    per-window epoch header must make the replay a no-op."""
+    from sparksketch.cms import CMS, CMS_SEEDS
+    from sparksketch.streaming import (
+        read_windowed_states,
+        windowed_fold_handler,
+    )
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("ts", F.col("user_id").cast("string").alias("key"))
+    state_dir = str(tmp_path / "win_crash")
+    store = SketchStateStore(state_dir)
+    handle = windowed_fold_handler(store, state_dir, lambda pid: CMS(5, 4096),
+                                   "ts", "key", "7 days", CMS_SEEDS, False)
+    handle(src, 0)
+    totals0 = {w: sk.total for w, sk in read_windowed_states(state_dir, CMS).items()}
+    # crash simulation: windows folded epoch 1, global commit lost
+    handle(src, 1)
+    import os
+    os.remove(os.path.join(state_dir, "commit.json"))
+    assert store.last_epoch() == -1
+    totals1 = {w: sk.total for w, sk in read_windowed_states(state_dir, CMS).items()}
+    handle(src, 1)  # replayed micro-batch
+    totals2 = {w: sk.total for w, sk in read_windowed_states(state_dir, CMS).items()}
+    assert totals2 == totals1  # no double-counting anywhere
+    assert all(totals1[w] == 2 * totals0[w] for w in totals0)
+    assert store.last_epoch() == 1  # commit restored by the replay
+
+
 def test_stream_windowed_hll(spark, tmp_path):
     from sparksketch.streaming import read_windowed_states, stream_windowed_sketch
     out, src = _stream_dir(spark, tmp_path)
