@@ -141,21 +141,29 @@ class BloomFilterState:
     threshold: float
     rehash: bool
     shards: dict[int, list[list[Level]]] = field(default_factory=dict)
+    # strict_parity: the reference's 2-shards-per-tier redundancy
+    # (filter.rs:120-137) — tier t routes by base hash t, keys insert into
+    # p1 and p2=(p1+mask/2)&mask, probes AND all four shard-tier checks
+    strict: bool = False
 
     # ---------------- construction ----------------
 
     @classmethod
     def empty(cls, cfg: BloomConfig, n_shards: int, m0: int | None = None) -> "BloomFilterState":
         return cls(tiers=cfg.tiers, n_shards=n_shards, m0=m0 or cfg.m0,
-                   threshold=cfg.threshold, rehash=cfg.rehash)
+                   threshold=cfg.threshold, rehash=cfg.rehash,
+                   strict=cfg.strict_parity)
 
     # ---------------- serialization ----------------
 
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()
         buf.write(_MAGIC)
-        buf.write(struct.pack("<BBBxIId", _VERSION, self.tiers, int(self.rehash),
-                              self.n_shards, len(self.shards), self.threshold))
+        # the flags byte occupies what was the V2 pad byte, so old blobs
+        # (pad = 0) read back as strict=False — layout-compatible
+        buf.write(struct.pack("<BBBBIId", _VERSION, self.tiers, int(self.rehash),
+                              int(self.strict), self.n_shards, len(self.shards),
+                              self.threshold))
         buf.write(struct.pack("<Q", self.m0))
         for sid in sorted(self.shards):
             buf.write(struct.pack("<I", sid))
@@ -171,13 +179,14 @@ class BloomFilterState:
         if data[:4] != _MAGIC:
             raise ValueError("not a sparksketch bloom blob")
         off = 4
-        ver, tiers, rehash, n_shards, n_entries, threshold = struct.unpack_from("<BBBxIId", data, off)
-        off += struct.calcsize("<BBBxIId")
+        ver, tiers, rehash, flags, n_shards, n_entries, threshold = struct.unpack_from("<BBBBIId", data, off)
+        off += struct.calcsize("<BBBBIId")
         if ver != _VERSION:
             raise ValueError(f"unsupported blob version {ver}")
         (m0,) = struct.unpack_from("<Q", data, off)
         off += 8
-        st = cls(tiers=tiers, n_shards=n_shards, m0=m0, threshold=threshold, rehash=bool(rehash))
+        st = cls(tiers=tiers, n_shards=n_shards, m0=m0, threshold=threshold,
+                 rehash=bool(rehash), strict=bool(flags & 1))
         for _ in range(n_entries):
             (sid,) = struct.unpack_from("<I", data, off)
             off += 4
@@ -202,11 +211,12 @@ class BloomFilterState:
     # ---------------- merge (associative + commutative) ----------------
 
     def merge(self, other: "BloomFilterState") -> "BloomFilterState":
-        if (self.tiers, self.n_shards, self.m0, self.threshold) != (
-            other.tiers, other.n_shards, other.m0, other.threshold
+        if (self.tiers, self.n_shards, self.m0, self.threshold, self.strict) != (
+            other.tiers, other.n_shards, other.m0, other.threshold, other.strict
         ):
             raise ValueError("cannot merge filters with different geometry")
-        out = BloomFilterState(self.tiers, self.n_shards, self.m0, self.threshold, self.rehash)
+        out = BloomFilterState(self.tiers, self.n_shards, self.m0, self.threshold,
+                               self.rehash, strict=self.strict)
         for sid in set(self.shards) | set(other.shards):
             a = self.shards.get(sid)
             b = other.shards.get(sid)
@@ -222,8 +232,8 @@ class BloomFilterState:
         """In-place OR-merge of ``other`` into self — O(|other|) instead of
         O(|self| + |other|); the right fold primitive for collect-and-merge
         (a copying fold over P partials is quadratic in filter size)."""
-        if (self.tiers, self.n_shards, self.m0, self.threshold) != (
-            other.tiers, other.n_shards, other.m0, other.threshold
+        if (self.tiers, self.n_shards, self.m0, self.threshold, self.strict) != (
+            other.tiers, other.n_shards, other.m0, other.threshold, other.strict
         ):
             raise ValueError("cannot merge filters with different geometry")
         for sid, cascade in other.shards.items():
@@ -294,72 +304,101 @@ class BloomFilterState:
             stacked.append(levels)
         return {"slot": slot, "tiers": stacked}
 
-    def _contains_stacked(self, shard, tier_hashes, cache) -> np.ndarray:
+    def _tier_stacked(self, cache, shard, t: int, h1, h2,
+                      active: np.ndarray | None = None) -> np.ndarray:
+        """Stacked flat-gather membership for ONE tier against a per-row
+        shard vector — rows whose shard is absent (or outside ``active``)
+        come back False."""
         slot = cache["slot"][shard]
-        present = slot >= 0
-        result = present.copy()
-        for t, levels in enumerate(cache["tiers"]):
-            if not result.any():
+        base_mask = slot >= 0
+        if active is not None:
+            base_mask = base_mask & active
+        tier_ok = np.zeros(shard.shape[0], dtype=bool)
+        for m, k, words, flat in cache["tiers"][t]:
+            pending = base_mask & ~tier_ok
+            if not pending.any():
                 break
-            h1 = tier_hashes[t][0]
-            h2 = tier_hashes[t][1]
-            tier_ok = np.zeros(shard.shape[0], dtype=bool)
-            for m, k, words, flat in levels:
-                pending = result & ~tier_ok
-                if not pending.any():
-                    break
-                rows = np.flatnonzero(pending)
-                idx = km_indices(h1[rows], h2[rows], k, m)
-                base = (slot[rows] * words).astype(np.uint64)[:, None]
-                got = (flat[(idx >> np.uint64(6)) + base] >> (idx & np.uint64(63))) & np.uint64(1)
-                tier_ok[rows] = got.all(axis=1)
-            result &= tier_ok
-        return result
+            rows = np.flatnonzero(pending)
+            idx = km_indices(h1[rows], h2[rows], k, m)
+            base = (slot[rows] * words).astype(np.uint64)[:, None]
+            got = (flat[(idx >> np.uint64(6)) + base] >> (idx & np.uint64(63))) & np.uint64(1)
+            tier_ok[rows] = got.all(axis=1)
+        return tier_ok
 
-    def contains_hashes(self, h1_i64: np.ndarray, h2_i64: np.ndarray) -> np.ndarray:
-        """Vectorized membership over the two shipped base hashes (int64);
-        shard routing and per-tier KM pairs are derived exactly as in the
-        build kernel.  Uniform-geometry filters use a stacked flat-gather
-        fast path; mixed geometry falls back to per-shard grouping
-        (OR over levels, AND over tiers either way)."""
-        shard = derive_shard(h1_i64, self.n_shards)
-        tier_hashes = derive_tier_hashes(h1_i64, h2_i64, self.tiers)
-        if self._stacked is None:
-            self._stacked = self._build_stacked() or {}
-        if self._stacked:
-            return self._contains_stacked(shard, tier_hashes, self._stacked)
+    def _tier_grouped(self, shard, t: int, h1, h2,
+                      active: np.ndarray | None = None) -> np.ndarray:
+        """Per-shard-grouped membership for ONE tier (mixed-geometry path)."""
         n = shard.shape[0]
-        result = np.zeros(n, dtype=bool)
+        tier_ok = np.zeros(n, dtype=bool)
         order = np.argsort(shard, kind="stable")
         sorted_sid = shard[order]
         starts = np.concatenate(([0], np.flatnonzero(np.diff(sorted_sid)) + 1, [n]))
         for si in range(len(starts) - 1):
             rows = order[starts[si] : starts[si + 1]]
+            if active is not None:
+                rows = rows[active[rows]]
+                if rows.size == 0:
+                    continue
             cascade = self.shards.get(int(sorted_sid[starts[si]]))
             if cascade is None:
                 continue
-            ok = np.ones(rows.shape[0], dtype=bool)
-            for t in range(self.tiers):
-                h1 = tier_hashes[t][0][rows]
-                h2 = tier_hashes[t][1][rows]
-                tier_ok = np.zeros(rows.shape[0], dtype=bool)
-                for lv in cascade[t]:
-                    pending = ~tier_ok
-                    if not pending.any():
-                        break
-                    idx = km_indices(h1[pending], h2[pending], lv.k, lv.m)
-                    tier_ok[pending] = test_bits(lv.bits, idx)
-                ok &= tier_ok
-                if not ok.any():
+            ok = np.zeros(rows.shape[0], dtype=bool)
+            for lv in cascade[t]:
+                pending = ~ok
+                if not pending.any():
                     break
-            result[rows] = ok
+                idx = km_indices(h1[rows][pending], h2[rows][pending], lv.k, lv.m)
+                ok[pending] = test_bits(lv.bits, idx)
+            tier_ok[rows] = ok
+        return tier_ok
+
+    def contains_hashes(self, h1_i64: np.ndarray, h2_i64: np.ndarray) -> np.ndarray:
+        """Vectorized membership over the two shipped base hashes (int64);
+        shard routing and per-tier KM pairs are derived exactly as in the
+        build kernel.  Uniform-geometry filters use a stacked flat-gather
+        fast path; mixed geometry falls back to per-shard grouping (OR over
+        levels, AND over tiers either way).  Strict-parity filters AND over
+        *both* shards of each tier (p1 and the reference's
+        ``p2=(p1+mask/2)&mask``, filter.rs:120-137)."""
+        tier_hashes = derive_tier_hashes(h1_i64, h2_i64, self.tiers)
+        if self._stacked is None:
+            self._stacked = self._build_stacked() or {}
+        if self.strict:
+            off = (self.n_shards - 1) // 2
+            routes = (derive_shard(h1_i64, self.n_shards),
+                      derive_shard(h2_i64, self.n_shards))
+            n = routes[0].shape[0]
+            result = np.ones(n, dtype=bool)
+            for t in range(self.tiers):
+                h1, h2 = tier_hashes[t]
+                s1 = routes[t]
+                for s in (s1, (s1 + off) % self.n_shards):
+                    if not result.any():
+                        return result
+                    if self._stacked:
+                        result &= self._tier_stacked(self._stacked, s, t, h1, h2, result)
+                    else:
+                        result &= self._tier_grouped(s, t, h1, h2, result)
+            return result
+        shard = derive_shard(h1_i64, self.n_shards)
+        result = None
+        for t in range(self.tiers):
+            h1, h2 = tier_hashes[t]
+            if self._stacked:
+                ok = self._tier_stacked(self._stacked, shard, t, h1, h2, result)
+            else:
+                ok = self._tier_grouped(shard, t, h1, h2, result)
+            result = ok if result is None else result & ok
+            if not result.any():
+                break
         return result
 
     # ---------------- stats ----------------
 
     @property
     def key_count(self) -> int:
-        return sum(lv.n for c in self.shards.values() for t in c for lv in t) // max(self.tiers, 1)
+        inserts_per_key = max(self.tiers, 1) * (2 if self.strict else 1)
+        return sum(lv.n for c in self.shards.values() for t in c for lv in t) // inserts_per_key
 
     @property
     def bit_size(self) -> int:
@@ -367,22 +406,29 @@ class BloomFilterState:
 
     def fpr_bound(self) -> float:
         """Upper bound on FPR for a probe: worst shard's product over tiers of
-        the union bound over levels of per-level fill FPR."""
-        worst = 0.0
+        the union bound over levels of per-level fill FPR.  Strict mode
+        checks TWO shards per tier, so each tier's worst-shard term squares
+        (independent shards — the reference's 4-shard-check FPR shape)."""
+        checks = 2 if self.strict else 1
+        worst_tier = [0.0] * self.tiers
         for cascade in self.shards.values():
-            p = 1.0
             for t in range(self.tiers):
-                p *= min(1.0, sum(lv.fill_fpr() for lv in cascade[t]))
-            worst = max(worst, p)
-        return worst
+                worst_tier[t] = max(worst_tier[t],
+                                    min(1.0, sum(lv.fill_fpr() for lv in cascade[t])))
+        p = 1.0
+        for t in range(self.tiers):
+            p *= worst_tier[t] ** checks
+        return p if self.shards else 0.0
 
     def configured_fpr_bound(self) -> float:
         """The configured per-probe bound: each tier contributes at most
-        (levels)·0.6185^threshold; tiers multiply (filter.rs:373-383
+        (levels)·0.6185^threshold per checked shard; tiers (and, in strict
+        mode, the second shard per tier) multiply (filter.rs:373-383
         semantics; see SURVEY.md §1.3)."""
         max_levels = max((len(t) for c in self.shards.values() for t in c), default=1)
         per_tier = min(1.0, max_levels * (0.6185 ** self.threshold))
-        return per_tier ** self.tiers
+        checks = 2 if self.strict else 1
+        return per_tier ** (self.tiers * checks)
 
     def overflowed_levels(self) -> list[tuple[int, int, int]]:
         """(shard, tier, level) whose merged key count exceeds capacity —
@@ -411,10 +457,13 @@ def _next_pow2(x: int) -> int:
 def resolve_m0(cfg: BloomConfig, n_shards: int, expected_keys: int | None) -> int:
     """Size the initial level from a cardinality hint so the cascade opens
     few levels (the mergeable analogue of pre-sizing the reference's shards).
-    Never below the configured m0 (/root/reference/src/filter.rs:149-154)."""
+    Never below the configured m0 (/root/reference/src/filter.rs:149-154).
+    Strict parity doubles the per-shard key load (each key inserts into two
+    shards per tier)."""
     if not expected_keys:
         return cfg.m0
-    per_shard = max(1, expected_keys // n_shards)
+    copies = 2 if cfg.strict_parity else 1
+    per_shard = max(1, expected_keys * copies // n_shards)
     return max(cfg.m0, _next_pow2(int(per_shard * cfg.threshold)))
 
 
@@ -436,28 +485,33 @@ def route_expr(n_shards: int) -> Column:
     return F.pmod(F.col("_skh_a"), F.lit(n_shards).cast("long"))
 
 
+def _insert_tier(levels: list[Level], h1: np.ndarray, h2: np.ndarray,
+                 m0: int, threshold: float, rehash: bool, cap_div: int = 1) -> None:
+    """Insert a batch of (h1,h2) rows into ONE tier's level cascade, opening
+    new levels at the reference's fill threshold (filter.rs:92-118: the scale
+    trigger; level-open replaces CAS + rehash channel + catch-up)."""
+    pos, total = 0, h1.shape[0]
+    while pos < total:
+        lv = levels[-1]
+        if rehash:
+            room = max(lv.capacity(threshold) // cap_div, 1) - lv.n
+            if room <= 0:
+                levels.append(Level.fresh(lv.idx + 1, m0, threshold))
+                continue
+            take = min(room, total - pos)
+        else:
+            take = total - pos  # fixed geometry: absorb everything (FPR degrades, flagged)
+        idx = km_indices(h1[pos : pos + take], h2[pos : pos + take], lv.k, lv.m)
+        set_bits(lv.bits, idx)
+        lv.n += take
+        pos += take
+
+
 def _insert_batch(cascade: list[list[Level]], tier_h: list[tuple[np.ndarray, np.ndarray]],
                   m0: int, threshold: float, rehash: bool, cap_div: int = 1) -> None:
-    """Insert a batch of (h1,h2) rows into every tier of one shard cascade,
-    opening new levels at the reference's fill threshold (filter.rs:92-118:
-    the scale trigger; level-open replaces CAS + rehash channel + catch-up)."""
+    """Insert a batch of (h1,h2) rows into every tier of one shard cascade."""
     for t, (h1, h2) in enumerate(tier_h):
-        levels = cascade[t]
-        pos, total = 0, h1.shape[0]
-        while pos < total:
-            lv = levels[-1]
-            if rehash:
-                room = max(lv.capacity(threshold) // cap_div, 1) - lv.n
-                if room <= 0:
-                    levels.append(Level.fresh(lv.idx + 1, m0, threshold))
-                    continue
-                take = min(room, total - pos)
-            else:
-                take = total - pos  # fixed geometry: absorb everything (FPR degrades, flagged)
-            idx = km_indices(h1[pos : pos + take], h2[pos : pos + take], lv.k, lv.m)
-            set_bits(lv.bits, idx)
-            lv.n += take
-            pos += take
+        _insert_tier(cascade[t], h1, h2, m0, threshold, rehash, cap_div)
 
 
 def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
@@ -466,8 +520,14 @@ def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
     """``cap_div=1``: routed mode — each shard is owned by one task, level
     capacities are exact.  ``cap_div=P``: scan-local mode — every task may
     touch every shard, so each task gets a 1/P share of each level's
-    capacity; the OR-merge then fills levels to ≤ their global capacity."""
+    capacity; the OR-merge then fills levels to ≤ their global capacity.
+
+    Strict-parity batches carry pre-exploded (shard, tier) insert targets
+    (``_skshard``/``_sktier`` columns) — each row is one single-tier insert
+    event; default batches carry one row per key and insert into every tier
+    of the h1-routed shard."""
     tiers, threshold, rehash = cfg.tiers, cfg.threshold, cfg.rehash
+    strict = cfg.strict_parity
 
     def fn(batches):
         ctx = TaskContext.get()
@@ -481,7 +541,7 @@ def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
                 blob = f.read()
             st = BloomFilterState.from_bytes(blob)
             for sid in sorted(st.shards):
-                one = BloomFilterState(tiers, n_shards, m0, threshold, rehash)
+                one = BloomFilterState(tiers, n_shards, m0, threshold, rehash, strict=strict)
                 one.shards[sid] = st.shards[sid]
                 rows = sum(lv.n for lv in st.shards[sid][0])
                 yield pa.RecordBatch.from_pydict({
@@ -496,24 +556,35 @@ def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
         for batch in batches:
             h1_i64 = batch.column("_skh_a").to_numpy(zero_copy_only=False).astype(np.int64)
             h2_i64 = batch.column("_skh_b").to_numpy(zero_copy_only=False).astype(np.int64)
-            sid_arr = derive_shard(h1_i64, n_shards)
             tier_cols = derive_tier_hashes(h1_i64, h2_i64, tiers)
             nrows += batch.num_rows
-            order = np.argsort(sid_arr, kind="stable")
-            sorted_sid = sid_arr[order]
-            starts = np.concatenate(([0], np.flatnonzero(np.diff(sorted_sid)) + 1, [len(sorted_sid)]))
+            if strict:
+                sid_arr = batch.column(_ROUTE).to_numpy(zero_copy_only=False).astype(np.int64)
+                tier_arr = batch.column("_sktier").to_numpy(zero_copy_only=False).astype(np.int64)
+                key = sid_arr * tiers + tier_arr  # group by (shard, tier)
+            else:
+                sid_arr = derive_shard(h1_i64, n_shards)
+                key = sid_arr
+            order = np.argsort(key, kind="stable")
+            sorted_key = key[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(sorted_key)) + 1, [len(sorted_key)]))
             for si in range(len(starts) - 1):
                 rows = order[starts[si] : starts[si + 1]]
-                sid = int(sorted_sid[starts[si]])
+                k = int(sorted_key[starts[si]])
+                sid, t = (divmod(k, tiers)) if strict else (k, 0)
                 cascade = local.get(sid)
                 if cascade is None:
                     cascade = [[Level.fresh(0, m0, threshold)] for _ in range(tiers)]
                     local[sid] = cascade
-                _insert_batch(cascade, [(h1[rows], h2[rows]) for h1, h2 in tier_cols],
-                              m0, threshold, rehash, cap_div)
+                if strict:
+                    _insert_tier(cascade[t], tier_cols[t][0][rows], tier_cols[t][1][rows],
+                                 m0, threshold, rehash, cap_div)
+                else:
+                    _insert_batch(cascade, [(h1[rows], h2[rows]) for h1, h2 in tier_cols],
+                                  m0, threshold, rehash, cap_div)
 
         if checkpoint_dir:
-            st = BloomFilterState(tiers, n_shards, m0, threshold, rehash, local)
+            st = BloomFilterState(tiers, n_shards, m0, threshold, rehash, local, strict=strict)
             blob = st.to_bytes()
             tmp = os.path.join(checkpoint_dir, f".part-{pid:05d}.tmp")
             os.makedirs(checkpoint_dir, exist_ok=True)
@@ -528,7 +599,7 @@ def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
             os.replace(mtmp, os.path.join(checkpoint_dir, f"part-{pid:05d}.meta.json"))
 
         for sid in sorted(local):
-            one = BloomFilterState(tiers, n_shards, m0, threshold, rehash)
+            one = BloomFilterState(tiers, n_shards, m0, threshold, rehash, strict=strict)
             one.shards[sid] = local[sid]
             rows = sum(lv.n for lv in local[sid][0])
             yield pa.RecordBatch.from_pydict({
@@ -542,7 +613,8 @@ def _build_partition_fn(cfg: BloomConfig, n_shards: int, m0: int,
 
 def build_fingerprint(cfg: BloomConfig, n_shards: int, m0: int, partitions: int,
                       col: str, input_id: str) -> str:
-    payload = f"{cfg.tiers}|{cfg.threshold}|{cfg.rehash}|{n_shards}|{m0}|{partitions}|{col}|{input_id}"
+    payload = (f"{cfg.tiers}|{cfg.threshold}|{cfg.rehash}|{n_shards}|{m0}"
+               f"|{partitions}|{col}|{input_id}|strict={int(cfg.strict_parity)}")
     return format(spark_xxhash64(payload, 7), "016x")
 
 
@@ -617,8 +689,33 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
         # (README.md:14-15 vs filter.rs:509-510); we make the contract real.
         keyed = keyed.filter(F.octet_length("_skkey") <= cfg.max_key_bytes)
     hashed = keyed.select(*hash_probe_cols("_skkey", cfg.tiers, n_shards))
+    if cfg.strict_parity:
+        # reference parity (filter.rs:120-137): tier t routes by base hash t;
+        # each key inserts into p1 and p2 = (p1 + mask/2) & mask.  Explode to
+        # the 2·tiers (shard, tier) insert events JVM-side, then shuffle on
+        # shard — still only ~17 B/row × 4, never the key text.
+        if n_shards < 4 or n_shards & (n_shards - 1):
+            raise ValueError("strict_parity needs a power-of-two n_shards >= 4 "
+                             "(the reference's mask arithmetic, filter.rs:133-134)")
+        off = (n_shards - 1) // 2  # mask/2 with integer division, filter.rs:134
+        nlit = F.lit(n_shards).cast("long")
+        p1a = F.pmod(F.col("_skh_a"), nlit)
+        p1b = F.pmod(F.col("_skh_b"), nlit)
+        targets = F.array(
+            F.struct(F.lit(0).alias("t"), p1a.alias("s")),
+            F.struct(F.lit(0).alias("t"), F.pmod(p1a + off, nlit).alias("s")),
+            F.struct(F.lit(1).alias("t"), p1b.alias("s")),
+            F.struct(F.lit(1).alias("t"), F.pmod(p1b + off, nlit).alias("s")),
+        )
+        hashed = (hashed.select("_skh_a", "_skh_b", F.explode(targets).alias("_tgt"))
+                  .select("_skh_a", "_skh_b",
+                          F.col("_tgt.t").alias("_sktier"),
+                          F.col("_tgt.s").alias(_ROUTE)))
+        shuffle_key = F.col(_ROUTE)
+    else:
+        shuffle_key = route_expr(n_shards)
     if route:
-        routed = hashed.repartition(partitions, route_expr(n_shards))
+        routed = hashed.repartition(partitions, shuffle_key)
         cap_div = 1
     else:
         routed = hashed.coalesce(partitions)
@@ -774,11 +871,11 @@ def with_group_membership(df: DataFrame, group_col: str, col: str, states,
     return df.withColumn(out, probe(F.col(group_col).cast("string"), *hcols))
 
 
-def blob_geometry(blob: bytes) -> tuple[int, int]:
-    """(tiers, n_shards) from a state blob header — lets consumers of a
-    persisted filter table avoid hard-coding geometry."""
-    ver, tiers, rehash, n_shards, _n, _thr = struct.unpack_from("<BBBxIId", blob, 4)
-    return tiers, n_shards
+def blob_geometry(blob: bytes) -> tuple[int, int, bool]:
+    """(tiers, n_shards, strict) from a state blob header — lets consumers
+    of a persisted filter table avoid hard-coding geometry."""
+    ver, tiers, rehash, flags, n_shards, _n, _thr = struct.unpack_from("<BBBBIId", blob, 4)
+    return tiers, n_shards, bool(flags & 1)
 
 
 def membership_join(probes: DataFrame, col: str, states: DataFrame,
@@ -793,11 +890,19 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
     ~40 B/row + the shard states once.  Same oversize-key caveat as
     :func:`with_membership`: zero FN holds among keys within the build's
     ``max_key_bytes`` guard."""
-    if tiers is None or n_shards is None:
-        first = states.select("state").first()
-        if first is None:
-            return probes.withColumn(out, F.lit(False))
-        tiers, n_shards = blob_geometry(bytes(first[0]))
+    first = states.select("state").first()
+    if first is None:
+        return probes.withColumn(out, F.lit(False))
+    blob_tiers, blob_shards, blob_strict = blob_geometry(bytes(first[0]))
+    if blob_strict:
+        # a strict probe needs BOTH shards of BOTH tiers co-located with the
+        # row — a single-shard equi-join can't answer it; use the broadcast
+        # path (with_membership), which handles strict filters natively
+        raise NotImplementedError(
+            "membership_join does not support strict_parity filters; "
+            "use with_membership (broadcast probe)")
+    tiers = blob_tiers if tiers is None else tiers
+    n_shards = blob_shards if n_shards is None else n_shards
     probe_cols = [f.name for f in probes.schema.fields]
     reserved = {"_skh_a", "_skh_b", _ROUTE, "shard", "state", "rows"}
     clash = reserved & set(probe_cols)

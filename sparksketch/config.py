@@ -106,10 +106,19 @@ class BloomConfig:
     tiers: int = 2
     max_key_bytes: int = 2**20  # documented 1 MB key cap (reference README.md:14-15);
                                 # *claimed but unenforced* in the reference — we enforce it.
+    strict_parity: bool = False  # reproduce the reference's 2-shards-per-tier
+                                 # probe redundancy (filter.rs:120-137): each key
+                                 # inserts into shard p1 AND p2=(p1+mask/2)&mask
+                                 # per tier, membership checks all four.
+                                 # Bit budget: 2× the default's inserts per key
+                                 # for FPR ≈ (per-shard FPR)² per tier.
 
     def __post_init__(self) -> None:
         if not 1 <= self.tiers <= 3:
             raise ValueError("tiers must be in 1..3 (reference config.rs:9)")
+        if self.strict_parity and self.tiers != 2:
+            raise ValueError("strict_parity reproduces the reference snapshot, "
+                             "which hardwires 2 tiers (filter.rs:20-21)")
 
     @property
     def shards(self) -> int:

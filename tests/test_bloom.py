@@ -331,3 +331,80 @@ def test_stacked_probe_equals_fallback(spark):
         if fast is not None:
             assert (fast == slow).all()
         assert slow[:4000].all()  # inserted keys
+
+
+# ---------------- strict parity (2 shards per tier) ----------------
+
+def test_strict_parity_zero_fn_and_fpr(spark):
+    """Reference 4-shard-check shape (filter.rs:71-137): zero FN over every
+    inserted key, and observed FPR on a disjoint probe set ≤ the squared
+    per-tier bound (empirically ≤ the default mode's FPR)."""
+    cfg = BloomConfig(strict_parity=True)
+    df = _keys_df(spark, 0, N_KEYS)
+    state = build_bloom(df, "key", cfg, n_shards=16, partitions=PARTS,
+                        expected_keys=N_KEYS)
+    assert state.strict
+    assert state.key_count == N_KEYS  # per-key accounting despite 2x inserts
+    flagged = with_membership(df, "key", state)
+    assert flagged.filter(~F.col("is_member")).count() == 0
+    absent = _keys_df(spark, 10 * N_KEYS, 10 * N_KEYS + 50_000)
+    fp_strict = with_membership(absent, "key", state).filter("is_member").count()
+    assert fp_strict / 50_000 <= state.configured_fpr_bound() * 3 + 1e-4
+    # default mode on the same data: strict must not be worse
+    base = build_bloom(df, "key", BloomConfig(), n_shards=16, partitions=PARTS,
+                       expected_keys=N_KEYS)
+    fp_base = with_membership(absent, "key", base).filter("is_member").count()
+    assert fp_strict <= fp_base
+
+
+def test_strict_parity_antipodal_shards(spark):
+    """A single key's tier-0 bits land in exactly p1 = pmod(h1, n) and
+    p2 = (p1 + mask/2) & mask — the reference's second-shard arithmetic
+    (filter.rs:133-134)."""
+    import numpy as np
+    from sparksketch.hashing import HASH_SEED_SELECTION, spark_xxhash64
+    n = 16
+    cfg = BloomConfig(strict_parity=True)
+    one = spark.createDataFrame([("lonely-key",)], "key string")
+    state = build_bloom(one, "key", cfg, n_shards=n, partitions=2)
+    h1 = np.array([spark_xxhash64("lonely-key", HASH_SEED_SELECTION[0])],
+                  dtype=np.uint64).view(np.int64)
+    h2 = np.array([spark_xxhash64("lonely-key", HASH_SEED_SELECTION[1])],
+                  dtype=np.uint64).view(np.int64)
+    p1_t0 = int(h1.astype(np.int64) % n)
+    p1_t1 = int(h2.astype(np.int64) % n)
+    off = (n - 1) // 2
+    want = {(p1_t0, 0), ((p1_t0 + off) % n, 0), (p1_t1, 1), ((p1_t1 + off) % n, 1)}
+    got = {(sid, t) for sid, cascade in state.shards.items()
+           for t in range(2) for lv in cascade[t] if lv.n > 0}
+    assert got == want
+    assert state.contains("lonely-key")
+    assert not state.contains("other-key")
+
+
+def test_strict_parity_merge_and_serde(spark):
+    cfg = BloomConfig(strict_parity=True)
+    a = build_bloom(_keys_df(spark, 0, 3000), "key", cfg, n_shards=8, partitions=4)
+    b = build_bloom(_keys_df(spark, 3000, 6000), "key", cfg, n_shards=8, partitions=4)
+    m = a.merge(b)
+    assert m.strict and m.key_count == 6000
+    back = BloomFilterState.from_bytes(m.to_bytes())
+    assert back.strict and back.to_bytes() == m.to_bytes()
+    assert back.contains("0") and back.contains("5999") and not back.contains("6001")
+    # strict and non-strict filters must never merge
+    base = build_bloom(_keys_df(spark, 0, 3000), "key", BloomConfig(), n_shards=8, partitions=4)
+    with pytest.raises(ValueError):
+        m.merge(base)
+
+
+def test_strict_parity_guards(spark):
+    with pytest.raises(ValueError):
+        BloomConfig(strict_parity=True, tiers=3)
+    with pytest.raises(ValueError):
+        build_bloom(_keys_df(spark, 0, 100), "key", BloomConfig(strict_parity=True),
+                    n_shards=24, partitions=2)  # not a power of two
+    states, _ = build_bloom_states(_keys_df(spark, 0, 100), "key",
+                                   BloomConfig(strict_parity=True),
+                                   n_shards=8, partitions=2)
+    with pytest.raises(NotImplementedError):
+        membership_join(_keys_df(spark, 0, 10), "key", states)
