@@ -34,6 +34,7 @@ from sparksketch.bloom import build_bloom, with_membership
 from sparksketch.cms import CMS, cms_build, cms_by_group
 from sparksketch.config import BloomConfig, Accuracy
 from sparksketch.dedup import (
+    connected_components,
     exact_dedup_ids,
     exact_jaccard,
     minhash_dedup_pairs,
@@ -257,6 +258,24 @@ def _exact_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return exact_jaccard(pairs, docs, "text", "doc_id").select("id_a", "id_b", "jaccard")
 
 
+def _dedup_components_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # duplicate-cluster resolution over a deterministic candidate graph:
+    # edges between same-source docs within id-distance 25 (an LSH-shaped
+    # banded self-join).  On this corpus every source is one LONG CHAIN
+    # (round-robin sources, constant gap 20) — the adversarial diameter case
+    # the O(log n) star algorithm exists for.  The oracle reproduces the
+    # transitive closure as per-source gaps-and-islands.
+    docs = _T(spark, sf, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    pairs = (a.join(b, (F.col("id_b") > F.col("id_a"))
+                    & (F.col("id_b") <= F.col("id_a") + 25)
+                    & (F.col("sa") == F.col("sb")))
+             .select("id_a", "id_b"))
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def _quality_features_docs(spark: SparkSession, sf: str) -> DataFrame:
     docs = _T(spark, sf, "documents")
     return quality_features(docs).select(
@@ -392,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_docs": _simhash_docs,
         "exact_jaccard_pairs": _exact_jaccard_pairs,
+        "dedup_components_docs": _dedup_components_docs,
         "simhash_complete_check": _simhash_complete_check,
         "cms_min_user_by_event_type": _cms_min_user_by_event_type,
         # text analysis
@@ -536,6 +556,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
             "greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS jaccard "
             "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"),
+        # closure of the "same source within id-distance 25" graph = runs of
+        # same-source docs whose consecutive gaps are ≤ 25 → per-source
+        # gaps-and-islands (run start = no same-source predecessor within 25;
+        # component = latest run start at or before the doc)
+        "dedup_components_docs": (
+            "WITH s AS (SELECT doc_id, source, "
+            "lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev FROM documents), "
+            "m AS (SELECT doc_id, source, CASE WHEN prev IS NULL OR doc_id - prev > 25 "
+            "THEN 1 ELSE 0 END AS is_start FROM s) "
+            "SELECT doc_id, max(CASE WHEN is_start = 1 THEN doc_id END) "
+            "OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+            "AS component FROM m"),
         "simhash_complete_check": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS ok FROM documents"),
         "cms_min_user_by_event_type": (

@@ -121,3 +121,73 @@ def test_lsh_bucket_truncation_guard(spark):
     pairs = lsh_candidates(sig, "doc_id", max_bucket=50)
     n = pairs.count()
     assert 0 < n <= 50 * 49 / 2
+
+
+# ---------------- connected components ----------------
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id of each component
+    out = {}
+    for v in range(n_nodes):
+        r = find(v)
+        out[v] = min(out.get(r, r), r)
+    roots = {v: find(v) for v in range(n_nodes)}
+    mins = {}
+    for v in range(n_nodes):
+        r = roots[v]
+        mins[r] = min(mins.get(r, v), v)
+    return {v: mins[roots[v]] for v in range(n_nodes)}
+
+
+def test_connected_components_random_graph(spark):
+    import random
+    from sparksketch.dedup import connected_components
+    rng = random.Random(17)
+    n = 2000
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(1200)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf_components(n, edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(n).select(F.col("id"))
+    got = {r.id: r.component for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got == want
+
+
+def test_connected_components_shapes(spark):
+    """Long chain (the O(diameter) killer), star, singleton, two cliques."""
+    from sparksketch.dedup import connected_components
+    chain = [(i, i + 1) for i in range(100, 200)]          # one 101-node chain
+    star = [(500, 500 + i) for i in range(1, 30)]          # star centered high
+    cliq = [(a, b) for a in range(900, 905) for b in range(a + 1, 905)]
+    pairs = spark.createDataFrame(chain + star + cliq, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in
+                                   list(range(100, 201)) + list(range(500, 530))
+                                   + list(range(900, 905)) + [7777]], "id long")
+    got = {r.id: r.component for r in connected_components(pairs, nodes=nodes).collect()}
+    assert all(got[i] == 100 for i in range(100, 201))
+    assert all(got[i] == 500 for i in range(500, 530))
+    assert all(got[i] == 900 for i in range(900, 905))
+    assert got[7777] == 7777  # isolated node → singleton
+
+
+def test_dedup_representatives_end_to_end(spark):
+    from sparksketch.dedup import dedup_representatives
+    rows = [(i, f"doc {i // 3}") for i in range(30)]  # triples of identical text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # pairs from exact-equality self-join (what minhash would emit at J=1)
+    a = df.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = df.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = (a.join(b, F.col("ta") == F.col("tb")).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    kept = dedup_representatives(df, pairs, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [i for i in range(30) if i % 3 == 0]
