@@ -290,6 +290,18 @@ def _bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
 
+def _heavy_hitters_sources(spark: SparkSession, sf: str) -> DataFrame:
+    # k=64 > 20 distinct sources → Misra-Gries is EXACT (no evictions, dec=0)
+    # and the oracle is a plain GROUP BY; the eviction/bound path is covered
+    # by pytest on the Zipf host corpus
+    from sparksketch.topk import heavy_hitters
+    docs = _T(spark, sf, "documents")
+    sk = heavy_hitters(docs, "source", k=64)
+    assert sk.error_bound() == 0
+    rows = [Row(source=s, cnt=c) for s, c in sk.topk()]
+    return spark.createDataFrame(rows, "source string, cnt long")
+
+
 def _cms_min_user_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     # certificate for the per-group CMS: probe each group's min user_id; the
     # CMS bound (Cormode–Muthukrishnan) pins exact ≤ est ≤ exact + ⌈εN⌉
@@ -414,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_docs": _dedup_components_docs,
         "simhash_complete_check": _simhash_complete_check,
         "cms_min_user_by_event_type": _cms_min_user_by_event_type,
+        "heavy_hitters_sources": _heavy_hitters_sources,
         # text analysis
         "token_counts": _token_counts,
         "bpe_token_counts": _bpe_token_counts,
@@ -575,6 +588,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS ok "
             "FROM events e JOIN m ON e.event_type = m.event_type AND e.user_id = m.u "
             "GROUP BY e.event_type"),
+        "heavy_hitters_sources": (
+            "SELECT source, count(*) AS cnt FROM documents GROUP BY source"),
         "bpe_token_counts": (
             "SELECT doc_id, CAST("
             "len(regexp_extract_all(text, '[A-Za-z]+')) "

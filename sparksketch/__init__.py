@@ -31,22 +31,27 @@ from sparksketch.bloom import (
     build_bloom_states,
     compact_bloom,
     membership_join,
+    with_group_membership,
     with_membership,
 )
 from sparksketch.cms import CMS, cms_build, cms_by_group, cms_topk
+from sparksketch.dedup import connected_components, dedup_representatives
 from sparksketch.hll import HLL, hll_by_group, hll_distinct
 from sparksketch.kll import KLL, kll_build, kll_by_group
 from sparksketch.tdigest import TDigest, tdigest_build, tdigest_by_group
+from sparksketch.topk import MisraGries, heavy_hitters, heavy_hitters_by_group
 from sparksketch.sketch import build_sketch, estimate_col, sketch_agg_udf, sketch_by_group
 
 __all__ = [
     "Accuracy", "BloomConfig", "BloomFilterState", "CMS", "HLL",
-    "InitialCapacity", "KLL", "TDigest", "Throughput", "WorkerCores",
+    "InitialCapacity", "KLL", "MisraGries", "TDigest", "Throughput", "WorkerCores",
     "bloom_by_group", "build_bloom", "build_bloom_states", "build_sketch",
-    "cms_build", "cms_by_group", "cms_topk", "compact_bloom", "estimate_col",
+    "cms_build", "cms_by_group", "cms_topk", "compact_bloom",
+    "connected_components", "dedup_representatives", "estimate_col",
+    "heavy_hitters", "heavy_hitters_by_group",
     "hll_by_group", "hll_distinct", "kll_build", "kll_by_group",
     "membership_join", "sketch_agg_udf", "sketch_by_group",
-    "tdigest_build", "tdigest_by_group", "with_membership",
+    "tdigest_build", "tdigest_by_group", "with_group_membership", "with_membership",
 ]
 
 __version__ = "0.1.0"

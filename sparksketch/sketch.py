@@ -39,13 +39,18 @@ _STATE_SCHEMA = "state binary"
 _GROUP_STATE_SCHEMA = "group string, state binary"
 
 
-def _proj_cols(col, seeds: tuple[int, ...] | None, numeric: bool):
+def _proj_cols(col, seeds: tuple[int, ...] | None, numeric: bool, keyed: bool = False):
+    if keyed:
+        # raw-key sketches (heavy hitters): the sketch must return the keys
+        # themselves, so the string column ships to the kernel
+        return [F.col(col).cast("string").alias("_s0")]
     if seeds is not None:
         key = F.col(col).cast("string")
         return [hash_col(key, s).alias(f"_h{i}") for i, s in enumerate(seeds)]
     if numeric:
         return [F.col(col).cast("double").alias("_v0")]
-    raise ValueError("sketch needs seeds= (hash sketch) or numeric=True (value sketch)")
+    raise ValueError("sketch needs seeds= (hash sketch), numeric=True (value sketch), "
+                     "or keyed=True (raw-key sketch)")
 
 
 def _drop_nulls(df: DataFrame, col: str) -> DataFrame:
@@ -56,8 +61,14 @@ def _drop_nulls(df: DataFrame, col: str) -> DataFrame:
 
 
 def _update_from_batch(sk, batch: pa.RecordBatch, rows: np.ndarray | None,
-                       seeds: tuple[int, ...] | None, numeric: bool) -> None:
-    if seeds is not None:
+                       seeds: tuple[int, ...] | None, numeric: bool,
+                       keyed: bool = False) -> None:
+    if keyed:
+        col = batch.column("_s0")
+        if rows is not None:
+            col = col.take(pa.array(rows))
+        sk.update_keys(col)
+    elif seeds is not None:
         hs = []
         for i in range(len(seeds)):
             h = to_u64(batch.column(f"_h{i}").to_numpy(zero_copy_only=False))
@@ -70,16 +81,16 @@ def _update_from_batch(sk, batch: pa.RecordBatch, rows: np.ndarray | None,
 
 def build_sketch(df: DataFrame, col: str, factory: Callable, *,
                  seeds: tuple[int, ...] | None = None, numeric: bool = False,
-                 tree_depth: int | None = None):
+                 keyed: bool = False, tree_depth: int | None = None):
     """Global sketch over a column. Zero shuffles: partials per scan
     partition, blobs treeReduce-merged."""
-    proj = _drop_nulls(df, col).select(*_proj_cols(col, seeds, numeric))
+    proj = _drop_nulls(df, col).select(*_proj_cols(col, seeds, numeric, keyed))
 
     def fn(batches):
         ctx = TaskContext.get()
         sk = factory(ctx.partitionId() if ctx else 0)
         for batch in batches:
-            _update_from_batch(sk, batch, None, seeds, numeric)
+            _update_from_batch(sk, batch, None, seeds, numeric, keyed)
         yield pa.RecordBatch.from_pydict({"state": pa.array([sk.to_bytes()], pa.binary())})
 
     states = proj.mapInArrow(fn, _STATE_SCHEMA)
@@ -109,7 +120,7 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
 
 def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, *,
                     seeds: tuple[int, ...] | None = None, numeric: bool = False,
-                    shuffle_partitions: int | None = None) -> DataFrame:
+                    keyed: bool = False, shuffle_partitions: int | None = None) -> DataFrame:
     """Per-group sketches with explicit map-side combine.
 
     Phase 1 builds one sketch per (scan-partition × group) — the skew-robust
@@ -125,7 +136,7 @@ def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, 
     # dictionary index would otherwise corrupt the in-kernel grouping)
     proj = _drop_nulls(_drop_nulls(df, col), group_col).select(
         F.col(group_col).cast("string").alias("_g"),
-        *_proj_cols(col, seeds, numeric))
+        *_proj_cols(col, seeds, numeric, keyed))
     cls = type(factory(0))
 
     def partial(batches):
@@ -146,7 +157,7 @@ def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, 
                 if sk is None:
                     sk = factory(pid)
                     local[g] = sk
-                _update_from_batch(sk, batch, rows, seeds, numeric)
+                _update_from_batch(sk, batch, rows, seeds, numeric, keyed)
         if local:
             yield pa.RecordBatch.from_pydict({
                 "group": pa.array(list(local.keys()), pa.string()),
