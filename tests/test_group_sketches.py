@@ -107,3 +107,68 @@ def test_write_table_parquet_partitioned(spark, tmp_path):
     back = load_table(spark, out)
     assert back.count() == 25
     assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_iceberg_branch_wiring_with_stubs():
+    """No Iceberg jars in the sandbox, so exercise the identifier branches
+    (reader options, writeTo verbs, snapshot fingerprint) against stubs —
+    the wiring a real catalog would hit."""
+    from sparksketch.sources import input_fingerprint, load_table, write_table
+
+    calls = []
+
+    class Reader:
+        def option(self, k, v):
+            calls.append(("option", k, v))
+            return self
+
+        def table(self, ident):
+            calls.append(("table", ident))
+            return "DF"
+
+    class FakeSpark:
+        read = Reader()
+
+        def sql(self, q):
+            calls.append(("sql", q))
+
+            class R:
+                def first(self):
+                    return [4242]
+            return R()
+
+    assert load_table(FakeSpark(), "iceberg.db.pages", snapshot_id=7) == "DF"
+    assert ("option", "snapshot-id", "7") in calls and ("table", "iceberg.db.pages") in calls
+
+    class WriteTo:
+        def __init__(self):
+            self.verbs = []
+
+        def partitionedBy(self, *cols):
+            self.verbs.append(("partitionedBy", len(cols)))
+            return self
+
+        def createOrReplace(self):
+            self.verbs.append(("createOrReplace",))
+
+        def append(self):
+            self.verbs.append(("append",))
+
+    class FakeDF:
+        def __init__(self):
+            self.wt = WriteTo()
+
+        def writeTo(self, ident):
+            self.wt.verbs.append(("target", ident))
+            return self.wt
+
+    df = FakeDF()
+    write_table(df, "iceberg.db.pages", mode="overwrite", partition_by=["lang"])
+    assert df.wt.verbs == [("target", "iceberg.db.pages"), ("partitionedBy", 1),
+                           ("createOrReplace",)]
+    df2 = FakeDF()
+    write_table(df2, "iceberg.db.pages", mode="append")
+    assert df2.wt.verbs == [("target", "iceberg.db.pages"), ("append",)]
+
+    fp = input_fingerprint(FakeSpark(), "iceberg.db.pages")
+    assert fp == "iceberg.db.pages@4242"
