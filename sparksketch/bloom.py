@@ -894,21 +894,17 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
     if first is None:
         return probes.withColumn(out, F.lit(False))
     blob_tiers, blob_shards, blob_strict = blob_geometry(bytes(first[0]))
-    if blob_strict:
-        # a strict probe needs BOTH shards of BOTH tiers co-located with the
-        # row — a single-shard equi-join can't answer it; use the broadcast
-        # path (with_membership), which handles strict filters natively
-        raise NotImplementedError(
-            "membership_join does not support strict_parity filters; "
-            "use with_membership (broadcast probe)")
     tiers = blob_tiers if tiers is None else tiers
     n_shards = blob_shards if n_shards is None else n_shards
     probe_cols = [f.name for f in probes.schema.fields]
-    reserved = {"_skh_a", "_skh_b", _ROUTE, "shard", "state", "rows"}
+    reserved = {"_skh_a", "_skh_b", "_sktier", _ROUTE, "shard", "state", "rows"}
     clash = reserved & set(probe_cols)
     if clash:
         raise ValueError(f"probe columns clash with reserved names: {sorted(clash)}")
     hcols = hash_probe_cols(F.col(col).cast("string"))
+    if blob_strict:
+        return _membership_join_strict(probes, states, tiers, n_shards, hcols,
+                                       probe_cols, out)
     # all probe columns ride through the kernel — evaluating `probes` exactly
     # once (a row-id + re-join design would evaluate it twice, and
     # monotonically_increasing_id is not stable across re-evaluations of a
@@ -949,6 +945,72 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
 
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in probes.schema.fields)
     return joined.mapInArrow(check, f"{out_schema}, `{out}` boolean")
+
+
+def _membership_join_strict(probes: DataFrame, states: DataFrame, tiers: int,
+                            n_shards: int, hcols, probe_cols, out: str) -> DataFrame:
+    """Distributed membership for STRICT filters: a probe must pass both
+    shards of both tiers, which live on 4 different state rows — so probes
+    dedupe to distinct (h1, h2) pairs, explode to their 4 (shard, tier)
+    checks, equi-join the shard states, AND-reduce per hash pair, and the
+    16-B flags join back onto the probe rows.  Shuffle cost: distinct keys
+    ×4 ×~28 B + states once + probes once more for the flag join.
+
+    Note: unlike the default path, the flag join evaluates ``probes`` twice;
+    keys are matched by their own hashes so this is safe for any
+    deterministic probe plan (a nondeterministically-sampled probe side
+    should be materialized first)."""
+    hashed = probes.select("*", *hcols)
+    keys = hashed.select("_skh_a", "_skh_b").distinct()
+    off = (n_shards - 1) // 2
+    nlit = F.lit(n_shards).cast("long")
+    p1a = F.pmod(F.col("_skh_a"), nlit)
+    p1b = F.pmod(F.col("_skh_b"), nlit)
+    targets = F.array(
+        F.struct(F.lit(0).alias("t"), p1a.alias("s")),
+        F.struct(F.lit(0).alias("t"), F.pmod(p1a + off, nlit).alias("s")),
+        F.struct(F.lit(1).alias("t"), p1b.alias("s")),
+        F.struct(F.lit(1).alias("t"), F.pmod(p1b + off, nlit).alias("s")),
+    )
+    exploded = (keys.select("_skh_a", "_skh_b", F.explode(targets).alias("_tgt"))
+                .select("_skh_a", "_skh_b",
+                        F.col("_tgt.t").alias("_sktier"),
+                        F.col("_tgt.s").alias(_ROUTE)))
+    merged = states.groupBy("shard").applyInPandas(_merge_state_rows, "shard int, state binary")
+    joined = exploded.join(merged, exploded[_ROUTE] == merged["shard"], "left")
+
+    def check(batches):
+        for batch in batches:
+            n = batch.num_rows
+            result = np.zeros(n, dtype=bool)
+            blobs = batch.column("state")
+            shard_col = batch.column(_ROUTE).to_numpy(zero_copy_only=False).astype(np.int64)
+            tier_col = batch.column("_sktier").to_numpy(zero_copy_only=False).astype(np.int64)
+            h1_all = batch.column("_skh_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            h2_all = batch.column("_skh_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            key = shard_col * tiers + tier_col
+            order = np.argsort(key, kind="stable")
+            sorted_key = key[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(sorted_key)) + 1, [n]))
+            for si in range(len(starts) - 1):
+                rows = order[starts[si] : starts[si + 1]]
+                i0 = int(rows[0])
+                if not blobs[i0].is_valid:
+                    continue
+                st = BloomFilterState.from_bytes(blobs[i0].as_py())
+                t = int(tier_col[i0])
+                th = derive_tier_hashes(h1_all[rows], h2_all[rows], tiers)[t]
+                result[rows] = st._tier_grouped(shard_col[rows], t, th[0], th[1])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("_skh_a"), batch.column("_skh_b"),
+                 pa.array(result, pa.bool_())],
+                names=["_skh_a", "_skh_b", "_ok"],
+            )
+
+    checks = joined.mapInArrow(check, "_skh_a long, _skh_b long, _ok boolean")
+    flags = checks.groupBy("_skh_a", "_skh_b").agg(F.bool_and("_ok").alias(out))
+    return (hashed.join(flags, ["_skh_a", "_skh_b"], "left")
+            .select(*probe_cols, F.coalesce(F.col(out), F.lit(False)).alias(out)))
 
 
 def _merge_state_rows(pdf):

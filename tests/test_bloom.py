@@ -403,8 +403,22 @@ def test_strict_parity_guards(spark):
     with pytest.raises(ValueError):
         build_bloom(_keys_df(spark, 0, 100), "key", BloomConfig(strict_parity=True),
                     n_shards=24, partitions=2)  # not a power of two
-    states, _ = build_bloom_states(_keys_df(spark, 0, 100), "key",
-                                   BloomConfig(strict_parity=True),
-                                   n_shards=8, partitions=2)
-    with pytest.raises(NotImplementedError):
-        membership_join(_keys_df(spark, 0, 10), "key", states)
+
+
+def test_strict_membership_join_matches_broadcast(spark):
+    """The distributed strict probe (explode to 4 shard-tier checks,
+    AND-reduce per hash pair) must agree with the broadcast probe on every
+    row — inserted and absent keys alike."""
+    cfg = BloomConfig(strict_parity=True)
+    df = _keys_df(spark, 0, 5000)
+    states, info = build_bloom_states(df, "key", cfg, n_shards=16, partitions=4,
+                                      expected_keys=5000)
+    states = states.cache()
+    state = build_bloom(df, "key", cfg, n_shards=16, partitions=4, expected_keys=5000)
+    probes = _keys_df(spark, 2500, 9000)  # half inserted, half absent
+    via_join = {r.key: r.is_member for r in
+                membership_join(probes, "key", states).collect()}
+    via_bcast = {r.key: r.is_member for r in
+                 with_membership(probes, "key", state).collect()}
+    assert via_join == via_bcast
+    assert all(via_join[str(k)] for k in range(2500, 5000))  # zero FN
