@@ -138,3 +138,57 @@ def test_cms_merge_is_sum(xs, ys):
     both = mk(xs + ys)
     assert (merged.counts == both.counts).all()
     assert merged.total == both.total
+
+
+# ---------------- Misra-Gries (heavy hitters) ----------------
+
+@given(st.lists(st.sampled_from([f"k{i}" for i in range(40)]), min_size=1, max_size=600),
+       st.integers(min_value=2, max_value=32),
+       st.integers(min_value=1, max_value=5), st.randoms(use_true_random=False))
+@settings(max_examples=50, deadline=None)
+def test_misra_gries_bounds_any_partitioning(keys, k, n_parts, rnd):
+    """MG invariants under arbitrary partitioning + merge order: n exact,
+    dec ≤ n/(k+1), lo ≤ true ≤ lo+dec for EVERY key, heavy keys present."""
+    from sparksketch.topk import MisraGries
+    true = {}
+    for x in keys:
+        true[x] = true.get(x, 0) + 1
+    parts = [list() for _ in range(n_parts)]
+    for x in keys:
+        parts[rnd.randrange(n_parts)].append(x)
+    sks = []
+    for p in parts:
+        s = MisraGries(k)
+        if p:
+            s.update_keys(np.array(p, dtype=object))
+        sks.append(MisraGries.from_bytes(s.to_bytes()))
+    order = list(range(n_parts))
+    rnd.shuffle(order)
+    acc = sks[order[0]]
+    for i in order[1:]:
+        acc = acc.merge(sks[i])
+    assert acc.n == len(keys)
+    assert acc.error_bound() <= acc.n // (k + 1)
+    thr = acc.n / (k + 1)
+    for key, cnt in true.items():
+        lo, hi = acc.estimate(key)
+        assert lo <= cnt <= hi, (key, lo, cnt, hi)
+        if cnt > thr:
+            assert lo > 0, key
+    assert len(acc.topk()) <= k
+
+
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e9, max_value=1e9), min_size=1, max_size=500))
+@settings(max_examples=30, deadline=None)
+def test_kll_serde_resume_reproducible(vals):
+    """from_bytes(to_bytes(x)) continues the EXACT same stream: further
+    identical updates produce byte-identical sketches."""
+    from sparksketch.kll import KLL
+    arr = np.array(vals)
+    a = KLL(50, seed=9)
+    a.update_values(arr)
+    b = KLL.from_bytes(a.to_bytes())
+    a.update_values(arr[::-1].copy())
+    b.update_values(arr[::-1].copy())
+    assert a.to_bytes() == b.to_bytes()
