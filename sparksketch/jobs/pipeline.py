@@ -46,7 +46,7 @@ def main(argv=None) -> int:
     from sparksketch.bloom import BloomConfig, build_bloom
     from sparksketch.checkpoint import save_state
     from sparksketch.cms import cms_build
-    from sparksketch.dedup import exact_dedup, minhash_dedup_pairs
+    from sparksketch.dedup import dedup_representatives, exact_dedup, minhash_dedup_pairs
     from sparksketch.hll import hll_distinct
     from sparksketch.kll import kll_build
     from sparksketch.session import get_spark
@@ -84,7 +84,10 @@ def main(argv=None) -> int:
     n_quality = kept.count()
     metrics["stages"]["after_quality_filter"] = n_quality
 
-    # 5. dedup: exact, then near-dup pairs removed (keep the lower url).
+    # 5. dedup: exact, then near-dup PAIRS resolved into CLUSTERS (connected
+    # components) and one representative kept per cluster — pair-local
+    # drop-the-greater would keep two docs that are both near-dups of a
+    # third but not of each other, and over-drop long chains.
     # doc_id = xxhash64(url): 64-bit id collisions alias ~n²/2^65 url pairs
     # (a few 10^4 at 10^12 docs) — negligible for curation, and content
     # dedup itself keys on a 128-bit fingerprint (see dedup.exact_dedup_ids)
@@ -93,8 +96,7 @@ def main(argv=None) -> int:
     n_exact = exact.count()
     pairs = minhash_dedup_pairs(exact, "text", "doc_id",
                                 threshold=args.jaccard_threshold)
-    drop = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
-    final = exact.join(drop, "doc_id", "left_anti").cache()
+    final = dedup_representatives(exact, pairs, "doc_id").cache()
     n_final = final.count()
     metrics["stages"]["after_exact_dedup"] = n_exact
     metrics["stages"]["after_near_dedup"] = n_final
@@ -108,13 +110,17 @@ def main(argv=None) -> int:
         metrics["bloom"]["blob_bytes"] = save_state(state, args.output_filter)
 
     # 7. corpus stats via sketches
+    from sparksketch.topk import heavy_hitters
+    hosts = final.select(
+        F.substring_index(F.substring_index("url", "/", 3), "//", -1).alias("h"))
+    hh = heavy_hitters(hosts, "h", k=16)
     metrics["sketches"] = {
         "distinct_urls_hll": round(hll_distinct(final, "url", p=14), 1),
         "n_chars_p50": kll_build(final.select(F.length("text").alias("len")), "len").quantile(0.5),
         "n_chars_p99": kll_build(final.select(F.length("text").alias("len")), "len").quantile(0.99),
-        "host_cms_total": cms_build(
-            final.select(F.substring_index(F.substring_index("url", "/", 3), "//", -1).alias("h")),
-            "h").total,
+        "host_cms_total": cms_build(hosts, "h").total,
+        "top_hosts": [{"host": k, "cnt_lo": c} for k, c in hh.topk(3)],
+        "top_hosts_err_bound": hh.error_bound(),
     }
 
     elapsed = time.perf_counter() - t0
