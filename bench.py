@@ -122,6 +122,22 @@ def main() -> int:
         docs, "text", "doc_id", threshold=0.8).count())
     bench("simhash_docs", lambda: simhash(docs, "text", "doc_id").count())
 
+    # --- heavy hitters (no candidate set) ---
+    from sparksketch.topk import heavy_hitters
+    hosts = wp.select(F.substring_index(F.substring_index("url", "/", 3), "//", -1).alias("h"))
+    hh = bench("heavy_hitters_hosts", lambda: heavy_hitters(hosts, "h", k=16))
+    extras["heavy_hitters_top3"] = [k for k, _ in hh.topk(3)]
+
+    # --- dedup-cluster resolution (alternating star CC) ---
+    from sparksketch.dedup import connected_components
+    n_cc = int(2_000_000 * SF)
+    chain_edges = (spark.range(n_cc)
+                   .filter(F.pmod("id", F.lit(32)) != 31)
+                   .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")))
+    comp = bench("dedup_components", lambda: connected_components(chain_edges)
+                 .select(F.countDistinct("component")).first()[0])
+    extras["cc_components"] = float(comp)
+
     # --- similarity ---
     qv = np.array(emb.first().embedding, dtype=np.float32)
     bench("cosine_topk", lambda: cosine_topk(emb, "embedding", "vec_id", qv, k=10))

@@ -366,14 +366,17 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                           F.col("id_b").cast("long").alias("v"))
              .filter(F.col("u") != F.col("v")))
 
-    def star(e: DataFrame, large: bool) -> DataFrame:
+    def star(e: DataFrame, large: bool, dedup: bool) -> DataFrame:
         # symmetric adjacency; for each center u: m = min(N(u) ∪ {u});
         # large-star re-links strictly-larger neighbors to m, small-star
-        # re-links the ≤-neighbors (and u itself) to m
+        # re-links the ≤-neighbors (and u itself) to m.  m comes from a
+        # window min (ONE exchange on u) rather than groupBy + self-join
+        # (which shuffles the adjacency twice); dedup (another exchange)
+        # runs only at round end — duplicate edges don't change any window
+        # min, they only inflate one intermediate.
+        from pyspark.sql import Window as _W
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = (sym.groupBy("u").agg(F.min("v").alias("_mv"))
-             .select("u", F.least("_mv", F.col("u")).alias("m")))
-        adj = sym.join(m, "u")
+        adj = sym.withColumn("m", F.least(F.min("v").over(_W.partitionBy("u")), F.col("u")))
         if large:
             out = adj.filter(F.col("v") > F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v"))
@@ -381,7 +384,8 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
             out = adj.filter(F.col("v") <= F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
                 adj.select(F.col("u"), F.col("m").alias("v")))
-        return out.filter(F.col("u") != F.col("v")).distinct()
+        out = out.filter(F.col("u") != F.col("v"))
+        return out.distinct() if dedup else out
 
     def checksum(e: DataFrame):
         # bit_xor, not sum: summing int64 hashes overflows under ANSI mode
@@ -392,7 +396,8 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     prev = None
     cur = edges.distinct().localCheckpoint(eager=True)
     for _it in range(max_iter):
-        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        nxt = star(star(cur, large=True, dedup=False),
+                   large=False, dedup=True).localCheckpoint(eager=True)
         sig = checksum(nxt)
         cur = nxt
         if sig == prev:
