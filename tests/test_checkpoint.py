@@ -56,6 +56,27 @@ def test_fingerprint_changes_invalidate(spark, tmp_path):
     assert completed_partitions(chk, other_fp) == frozenset()
 
 
+def test_strict_parity_checkpoint_resume_identical(spark, tmp_path):
+    """Resume must reproduce the strict build byte-for-byte (the strict flag
+    travels in the partition blobs and the fingerprint)."""
+    chk = str(tmp_path / "chk_strict")
+    cfg = BloomConfig(strict_parity=True)
+    df = _keys(spark, 4000)
+    full = build_bloom(df, "key", cfg, n_shards=8, partitions=4,
+                       checkpoint_dir=chk, input_id="strict4000")
+    assert full.strict
+    for pid in (0, 2):
+        os.remove(os.path.join(chk, f"part-{pid:05d}.bin"))
+        os.remove(os.path.join(chk, f"part-{pid:05d}.meta.json"))
+    resumed = build_bloom(df, "key", cfg, n_shards=8, partitions=4,
+                          checkpoint_dir=chk, input_id="strict4000")
+    assert resumed.to_bytes() == full.to_bytes()
+    # strict and default builds of the same input never share fingerprints
+    m0 = resolve_m0(cfg, 8, None)
+    assert (build_fingerprint(cfg, 8, m0, 4, "key", "x")
+            != build_fingerprint(BloomConfig(), 8, m0, 4, "key", "x"))
+
+
 def test_default_input_id_from_input_files(spark, tmp_path):
     """Two DIFFERENT parquet tables with identical (config, partitions, col)
     must not share a checkpoint fingerprint when input_id is defaulted."""
