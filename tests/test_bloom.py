@@ -422,3 +422,21 @@ def test_strict_membership_join_matches_broadcast(spark):
                  with_membership(probes, "key", state).collect()}
     assert via_join == via_bcast
     assert all(via_join[str(k)] for k in range(2500, 5000))  # zero FN
+
+
+# ---------------- scan-local (route=False) mode ----------------
+
+def test_scan_local_build_zero_fn_both_modes(spark):
+    """route=False (no shuffle, 1/P-capacity sub-levels OR-merged) must give
+    the same guarantees as the routed build, in default AND strict mode."""
+    df = _keys_df(spark, 0, 8000)
+    absent = _keys_df(spark, 50_000, 80_000)
+    for cfg in (BloomConfig(), BloomConfig(strict_parity=True)):
+        state = build_bloom(df, "key", cfg, n_shards=16, partitions=4,
+                            expected_keys=8000, route=False)
+        assert state.strict == cfg.strict_parity
+        assert state.key_count == 8000
+        flagged = with_membership(df, "key", state)
+        assert flagged.filter(~F.col("is_member")).count() == 0  # zero FN
+        fp = with_membership(absent, "key", state).filter("is_member").count()
+        assert fp <= 30_000 * 0.01  # far looser than the bound; catches blowups
