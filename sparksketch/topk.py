@@ -125,3 +125,19 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> MisraGries:
 def heavy_hitters_by_group(df: DataFrame, group_col: str, col: str, k: int = 64) -> DataFrame:
     """Per-group heavy hitters → DataFrame (group, state binary)."""
     return _sk.sketch_by_group(df, group_col, col, lambda pid: MisraGries(k), keyed=True)
+
+
+def topk_by_group(states: DataFrame, j: int = 10) -> DataFrame:
+    """Expand (group, state) rows into (group, key, cnt_lo, err_bound) —
+    no shuffle (mapInPandas over the already-merged group states)."""
+    def fn(pdfs):
+        for pdf in pdfs:
+            out = []
+            for _, r in pdf.iterrows():
+                sk = MisraGries.from_bytes(bytes(r["state"]))
+                err = sk.error_bound()
+                for key, c in sk.topk(j):
+                    out.append((r["group"], key, c, err))
+            yield pd.DataFrame(out, columns=["group", "key", "cnt_lo", "err_bound"])
+
+    return states.mapInPandas(fn, "group string, key string, cnt_lo long, err_bound long")

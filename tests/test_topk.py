@@ -92,3 +92,15 @@ def test_heavy_hitters_by_group(spark):
     for (et, uid), cnt in list(exact.items())[:200]:
         lo, hi = got[et].estimate(uid)
         assert lo <= cnt <= hi
+
+
+def test_topk_by_group_dataframe(spark):
+    from sparksketch.topk import topk_by_group
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    states = heavy_hitters_by_group(ev, "event_type", "user_id", k=4096)
+    rows = topk_by_group(states, j=3).collect()
+    assert {r.group for r in rows} == {"click", "view", "purchase", "signup", "error"}
+    exact = {(r.event_type, str(r.user_id)): r["count"] for r in
+             ev.groupBy("event_type", "user_id").count().collect()}
+    for r in rows:
+        assert r.cnt_lo <= exact[(r.group, r.key)] <= r.cnt_lo + r.err_bound
