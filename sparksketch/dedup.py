@@ -29,6 +29,24 @@ from sparksketch.hashing import to_u64
 _MERSENNE61 = (1 << 61) - 1
 
 
+def _parallelize_small(df: DataFrame, min_bytes: int = 128 * 1024) -> DataFrame:
+    """Heavy Arrow kernels run one task per input partition, so a
+    single-file input would serialize the whole kernel on one core.  Spread
+    it to the cluster's parallelism when (a) there are fewer partitions than
+    cores AND (b) the optimizer's size estimate says there is enough data to
+    amortize the extra tasks (tiny test tables stay single-task — spreading
+    500 rows over 32 workers costs more in task/worker spin-up than the
+    kernel saves).  At scale (thousands of input splits) this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = min_bytes  # unknown → assume worth spreading
+    return df.repartition(target) if size >= min_bytes else df
+
+
 def _flat_list(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """ListArray → (flat uint64 values sliced to the array's window,
     per-row start offsets, per-row lengths). Handles sliced arrays whose
@@ -180,10 +198,10 @@ def minhash_signatures(df: DataFrame, col: str, id_col: str, num_perm: int = 64,
     """(id, sig array<bigint>[num_perm], band_keys array<bigint>[bands])."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    proj = df.select(
+    proj = _parallelize_small(df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.substring(F.col(col).cast("string"), 1, max_chars).alias("_t"),
-    )
+    ))
     out = proj.mapInArrow(
         _minhash_kernel(num_perm, bands, seed, shingle),
         "_id long, sig array<bigint>, band_keys array<bigint>",
@@ -295,13 +313,13 @@ def _simhash_kernel():
 
 def simhash(df: DataFrame, col: str, id_col: str, max_chars: int = 8192) -> DataFrame:
     """(id, simhash bigint): token-weighted 64-bit signature."""
-    proj = df.select(
+    proj = _parallelize_small(df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.expr(
             f"transform(split(lower(trim(substring({col}, 1, {max_chars}))), '\\\\s+'),"
             f" t -> xxhash64(t))"
         ).alias("_th"),
-    )
+    ))
     out = proj.mapInArrow(_simhash_kernel(), "_id long, simhash bigint")
     return out.withColumnRenamed("_id", id_col)
 

@@ -198,5 +198,7 @@ def rolling_fingerprint(df: DataFrame, col: str, id_col: str, window: int = 8,
                 [ids, pa.array(out.view(np.int64))], names=["_id", "fingerprint"]
             )
 
-    proj = df.select(F.col(id_col).cast("long").alias("_id"), F.col(col).cast("string").alias("_t"))
+    from sparksketch.dedup import _parallelize_small
+    proj = _parallelize_small(
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(col).cast("string").alias("_t")))
     return proj.mapInArrow(fn, "_id long, fingerprint bigint").withColumnRenamed("_id", id_col)
