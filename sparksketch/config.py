@@ -109,9 +109,14 @@ class BloomConfig:
     strict_parity: bool = False  # reproduce the reference's 2-shards-per-tier
                                  # probe redundancy (filter.rs:120-137): each key
                                  # inserts into shard p1 AND p2=(p1+mask/2)&mask
-                                 # per tier, membership checks all four.
-                                 # Bit budget: 2× the default's inserts per key
-                                 # for FPR ≈ (per-shard FPR)² per tier.
+                                 # per tier (per-tier routing seeds [0]/[1]),
+                                 # membership checks all four.  Bit budget: 2×
+                                 # the default's inserts per key for FPR ≈
+                                 # (per-shard FPR)² per tier.  p1 itself is
+                                 # pmod(xxh64), not jump(xxh3 hi^lo) — the
+                                 # library-wide routing-hash deviation applies
+                                 # here too (shape parity, not bit-placement
+                                 # parity; guarantees are hash-agnostic).
 
     def __post_init__(self) -> None:
         if not 1 <= self.tiers <= 3:
