@@ -804,7 +804,14 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
     that exists in the source probes as not-member — treat rejection as
     "guaranteed absent" only for keys within the cap (pre-filter probes with
     :func:`sparksketch.webtext.enforce_key_limit` when in doubt).  False
-    positives ≤ the configured bound."""
+    positives ≤ the configured bound.
+
+    Cost model: the first probe batch in each Python worker fetches the
+    broadcast blob and builds the stacked index (parse+stack is <1 s for a
+    128 MiB filter; the fetch dominates — measured ~60 s total for 128 MiB
+    × 32 local workers, then cached in the single worker slot).  For
+    filters beyond ~100 MiB probed once, or too big for worker memory,
+    prefer :func:`membership_join`, which never replicates the filter."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(state.to_bytes())
     _BC_SEQ[0] += 1
