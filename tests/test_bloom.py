@@ -440,3 +440,13 @@ def test_scan_local_build_zero_fn_both_modes(spark):
         assert flagged.filter(~F.col("is_member")).count() == 0  # zero FN
         fp = with_membership(absent, "key", state).filter("is_member").count()
         assert fp <= 30_000 * 0.01  # far looser than the bound; catches blowups
+
+
+def test_empty_input_builds_empty_filter(spark):
+    empty = _keys_df(spark, 0, 0)
+    for cfg in (BloomConfig(), BloomConfig(strict_parity=True)):
+        state = build_bloom(empty, "key", cfg, n_shards=8, partitions=2)
+        assert state.key_count == 0 and not state.shards
+        assert state.strict == cfg.strict_parity
+        probes = _keys_df(spark, 0, 100)
+        assert with_membership(probes, "key", state).filter("is_member").count() == 0

@@ -191,3 +191,10 @@ def test_dedup_representatives_end_to_end(spark):
              .select("id_a", "id_b"))
     kept = dedup_representatives(df, pairs, "doc_id")
     assert sorted(r.doc_id for r in kept.collect()) == [i for i in range(30) if i % 3 == 0]
+
+
+def test_connected_components_max_iter_raises(spark):
+    from sparksketch.dedup import connected_components
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        connected_components(pairs, max_iter=0)
