@@ -290,6 +290,29 @@ def _bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
 
+def _decontam_documents(spark: SparkSession, sf: str) -> DataFrame:
+    # benchmark decontamination: Bloom over the benchmark's 30-char shingles
+    # (zero FN ⇒ contaminated docs never slip through), per-doc hit ratio ≥
+    # 0.5 flags.  Ratios on this corpus are bimodal (≈0 or ≈1), so the tiny
+    # FP inflation cannot flip a flag and the oracle reproduces the flags
+    # exactly via shingle-set joins.
+    from sparksketch.decontam import benchmark_filter, contamination
+    docs = _T(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    state = benchmark_filter(bench, "text", shingle=30, n_shards=8, partitions=8)
+    return contamination(docs, "text", "doc_id", state, shingle=30,
+                         threshold=0.5).select("doc_id", "contaminated")
+
+
+def _hash_split_documents(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic content-keyed train/val/test split: md5-hex-prefix
+    # thresholds compared as strings — reproducible in any engine
+    from sparksketch.decontam import hash_split
+    docs = _T(spark, sf, "documents")
+    return hash_split(docs, "text", {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+
+
 def _heavy_hitters_sources(spark: SparkSession, sf: str) -> DataFrame:
     # k=64 > 20 distinct sources → Misra-Gries is EXACT (no evictions, dec=0)
     # and the oracle is a plain GROUP BY; the eviction/bound path is covered
@@ -427,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_complete_check": _simhash_complete_check,
         "cms_min_user_by_event_type": _cms_min_user_by_event_type,
         "heavy_hitters_sources": _heavy_hitters_sources,
+        "decontam_documents": _decontam_documents,
+        "hash_split_documents": _hash_split_documents,
         # text analysis
         "token_counts": _token_counts,
         "bpe_token_counts": _bpe_token_counts,
@@ -513,6 +538,12 @@ def _quality_sql() -> str:
         f"AS quality_score FROM g")
 
 
+def _hash_split_sql() -> str:
+    from sparksketch.decontam import split_sql_case
+    case = split_sql_case("text", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
 def oracle_sql() -> dict[str, str]:
     qrows = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q, TRUE AS ok" for q in _QS
@@ -590,6 +621,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY e.event_type"),
         "heavy_hitters_sources": (
             "SELECT source, count(*) AS cnt FROM documents GROUP BY source"),
+        "decontam_documents": (
+            "WITH t AS (SELECT doc_id, substring(text, 1, 4096) AS t FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(length(t) - 29, 1)), i -> t[i:i+29]))) AS s FROM t), "
+            "b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0) "
+            "SELECT sh.doc_id, "
+            "(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)) >= 0.5 "
+            "AS contaminated FROM sh LEFT JOIN b ON sh.s = b.s GROUP BY sh.doc_id"),
+        "hash_split_documents": _hash_split_sql(),
         "bpe_token_counts": (
             "SELECT doc_id, CAST("
             "len(regexp_extract_all(text, '[A-Za-z]+')) "

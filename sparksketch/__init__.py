@@ -35,6 +35,12 @@ from sparksketch.bloom import (
     with_membership,
 )
 from sparksketch.cms import CMS, cms_build, cms_by_group, cms_topk
+from sparksketch.decontam import (
+    benchmark_filter,
+    contamination,
+    decontaminate,
+    hash_split,
+)
 from sparksketch.dedup import connected_components, dedup_representatives
 from sparksketch.hll import HLL, hll_by_group, hll_distinct
 from sparksketch.kll import KLL, kll_build, kll_by_group
@@ -45,9 +51,10 @@ from sparksketch.sketch import build_sketch, estimate_col, sketch_agg_udf, sketc
 __all__ = [
     "Accuracy", "BloomConfig", "BloomFilterState", "CMS", "HLL",
     "InitialCapacity", "KLL", "MisraGries", "TDigest", "Throughput", "WorkerCores",
-    "bloom_by_group", "build_bloom", "build_bloom_states", "build_sketch",
-    "cms_build", "cms_by_group", "cms_topk", "compact_bloom",
-    "connected_components", "dedup_representatives", "estimate_col",
+    "benchmark_filter", "bloom_by_group", "build_bloom", "build_bloom_states",
+    "build_sketch", "cms_build", "cms_by_group", "cms_topk", "compact_bloom",
+    "connected_components", "contamination", "decontaminate",
+    "dedup_representatives", "estimate_col", "hash_split",
     "heavy_hitters", "heavy_hitters_by_group",
     "hll_by_group", "hll_distinct", "kll_build", "kll_by_group",
     "membership_join", "sketch_agg_udf", "sketch_by_group",

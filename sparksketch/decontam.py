@@ -1,0 +1,135 @@
+"""Benchmark decontamination + deterministic dataset splits.
+
+Two operators every LLM training pipeline runs right before materializing a
+dataset:
+
+- **decontamination** — flag training docs whose char-n-gram shingles
+  overlap an evaluation benchmark.  The benchmark's shingle set becomes a
+  Bloom filter (the library's centerpiece): zero false negatives mean a
+  contaminated doc can NEVER slip through; false positives only quarantine
+  extra docs at the configured FPR.  The probe side never shuffles text —
+  shingles explode JVM-side, hashes are JVM columns, the only shuffle is
+  the per-doc (id, counts) aggregation with map-side combine.
+- **hash_split** — stable train/val/test assignment by content hash, so the
+  split survives reshuffles, re-crawls, and engine changes.  Uses md5 hex
+  prefix compared as a STRING against fixed-width thresholds (lexicographic
+  == numeric for fixed-width hex), which any engine reproduces bit-for-bit
+  — the DuckDB oracle runs the same CASE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksketch.bloom import BloomConfig, BloomFilterState, build_bloom, with_membership
+
+
+def shingle_strings(col: str, shingle: int = 8, max_chars: int = 4096) -> Column:
+    """Distinct char-``shingle``-gram array of a text column, JVM-side
+    (``col`` is a column NAME — the expression references it twice)."""
+    capped = f"substring(`{col}`, 1, {max_chars})"
+    return F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length({capped}) - {shingle - 1}, 1)),"
+        f" i -> substring({capped}, i, {shingle}))"))
+
+
+def benchmark_filter(benchmark: DataFrame, col: str, shingle: int = 8,
+                     max_chars: int = 4096, cfg: BloomConfig | None = None,
+                     **build_kwargs) -> BloomFilterState:
+    """Bloom filter over the benchmark's distinct shingles.  Benchmarks are
+    small relative to training corpora, so the filter broadcasts."""
+    from sparksketch.config import Accuracy
+    cfg = cfg or BloomConfig(accuracy=Accuracy.HIGH)
+    sh = benchmark.select(
+        F.explode(shingle_strings(col, shingle, max_chars)).alias("_sh")).distinct()
+    return build_bloom(sh, "_sh", cfg, **build_kwargs)
+
+
+def contamination(df: DataFrame, col: str, id_col: str, state: BloomFilterState,
+                  shingle: int = 8, max_chars: int = 4096,
+                  threshold: float = 0.5) -> DataFrame:
+    """Per-doc contamination against the benchmark filter:
+    (id, n_shingles, n_hits, ratio, contaminated).
+
+    Zero FN of the filter ⇒ every truly-overlapping shingle counts, so
+    ``ratio`` never underestimates; FPs inflate it by at most the filter's
+    FPR (drive it down with Accuracy.HIGH — it's a small filter)."""
+    sh = df.select(F.col(id_col),
+                   F.explode(shingle_strings(col, shingle, max_chars)).alias("_sh"))
+    flagged = with_membership(sh, "_sh", state)
+    agg = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("is_member").cast("long")).alias("n_hits"),
+    )
+    ratio = F.col("n_hits") / F.col("n_shingles")
+    return agg.select(
+        id_col, "n_shingles", "n_hits",
+        F.round(ratio, 6).alias("ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def decontaminate(df: DataFrame, col: str, id_col: str, benchmark: DataFrame,
+                  bench_col: str | None = None, shingle: int = 8,
+                  threshold: float = 0.5, **kwargs) -> DataFrame:
+    """Drop training docs contaminated against ``benchmark`` (end-to-end)."""
+    state = benchmark_filter(benchmark, bench_col or col, shingle, **kwargs)
+    flags = contamination(df, col, id_col, state, shingle, threshold=threshold)
+    keep = flags.filter(~F.col("contaminated")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ====================================================================
+# deterministic splits
+# ====================================================================
+
+def _hex_threshold(cum: float) -> str:
+    """Fixed-width lowercase hex of floor(cum · 2^32) — string comparison
+    against an md5 prefix is then exactly the numeric bucket comparison."""
+    return format(min(int(cum * 2**32), 2**32 - 1), "08x")
+
+
+def split_expr(col: str | Column, fractions: dict[str, float], out_default: str | None = None) -> Column:
+    """The split-assignment expression: md5-hex-prefix thresholding.
+    ``fractions`` preserve insertion order; they must sum to ≤ 1 and the
+    remainder (if any) goes to ``out_default`` (error if None and sum < 1)."""
+    total = sum(fractions.values())
+    if total > 1 + 1e-9:
+        raise ValueError("split fractions sum to more than 1")
+    if total < 1 - 1e-9 and out_default is None:
+        raise ValueError("fractions sum below 1 needs out_default for the remainder")
+    c = F.col(col) if isinstance(col, str) else col
+    prefix = F.substring(F.md5(F.encode(c.cast("string"), "UTF-8")), 1, 8)
+    expr = None
+    cum = 0.0
+    branches = []
+    for name, frac in fractions.items():
+        cum += frac
+        branches.append((name, _hex_threshold(cum)))
+    expr = F.when(prefix < F.lit(branches[0][1]), F.lit(branches[0][0]))
+    for name, thr in branches[1:]:
+        expr = expr.when(prefix < F.lit(thr), F.lit(name))
+    return expr.otherwise(F.lit(out_default if out_default is not None
+                                else branches[-1][0]))
+
+
+def hash_split(df: DataFrame, col: str, fractions: dict[str, float],
+               out: str = "split", out_default: str | None = None) -> DataFrame:
+    """Append a stable split label keyed on content: the same key lands in
+    the same split in any engine, any run, any partitioning (md5 is the
+    deliberate choice over xxhash64 here — the oracle and any other system
+    can reproduce it)."""
+    return df.withColumn(out, split_expr(col, fractions, out_default))
+
+
+def split_sql_case(col: str, fractions: dict[str, float], out_default: str | None = None) -> str:
+    """The ANSI-SQL CASE equivalent of :func:`split_expr` (for oracles and
+    other engines)."""
+    cum = 0.0
+    parts = []
+    for name, frac in fractions.items():
+        cum += frac
+        parts.append(f"WHEN substring(md5({col}), 1, 8) < '{_hex_threshold(cum)}' THEN '{name}'")
+    default = out_default if out_default is not None else list(fractions)[-1]
+    return "CASE " + " ".join(parts) + f" ELSE '{default}' END"

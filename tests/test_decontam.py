@@ -1,0 +1,95 @@
+"""Benchmark decontamination (bloom x shingles) + deterministic hash splits."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.decontam import (
+    benchmark_filter,
+    contamination,
+    decontaminate,
+    hash_split,
+    split_sql_case,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+SHINGLE = 30  # word-scale shingles: char-8-grams of this small-vocab corpus
+              # collide across unrelated docs (~87% overlap); 30 chars ≈ 4-5
+              # words makes overlap mean real shared text
+
+
+def _exact_flags(spark, docs, shingle=SHINGLE, threshold=0.5):
+    """Ground truth via exact shingle-set joins (no sketch)."""
+    from sparksketch.decontam import shingle_strings
+    sh = docs.select("doc_id", F.explode(shingle_strings("text", shingle)).alias("s"))
+    bench = sh.filter(F.col("doc_id") % 10 == 0).select("s").distinct()
+    hit = sh.join(bench.withColumn("_b", F.lit(1)), "s", "left")
+    agg = hit.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum(F.coalesce("_b", F.lit(0))).alias("h"))
+    return {r.doc_id: (r.h / r.n >= threshold) for r in agg.collect()}
+
+
+def test_contamination_matches_exact_ground_truth(spark, docs):
+    # benchmark = every 10th doc; members flag at ratio 1.0 (zero FN), and
+    # the corpus contains REAL near-dups of benchmark docs that must flag too
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    state = benchmark_filter(bench, "text", shingle=SHINGLE, n_shards=8, partitions=4)
+    flags = contamination(docs, "text", "doc_id", state, shingle=SHINGLE,
+                          threshold=0.5).cache()
+    members = flags.filter(F.col("doc_id") % 10 == 0)
+    assert members.filter(~F.col("contaminated")).count() == 0
+    assert members.filter(F.col("ratio") < 1.0).count() == 0
+    got = {r.doc_id: r.contaminated for r in flags.collect()}
+    want = _exact_flags(spark, docs)
+    assert got == want  # ratios are bimodal → FP inflation can't flip flags
+    assert sum(want.values()) > 50  # the corpus really has contaminated docs
+
+
+def test_decontaminate_end_to_end(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(F.col("text"))
+    clean = decontaminate(docs, "text", "doc_id", bench, shingle=SHINGLE,
+                          n_shards=8, partitions=4)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    want = _exact_flags(spark, docs)
+    assert kept == {i for i, bad in want.items() if not bad}
+    assert all(i % 10 != 0 for i in kept)  # benchmark members never survive
+
+
+def test_hash_split_deterministic_and_proportional(spark, docs):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, "text", fr)
+    b = hash_split(docs.repartition(7), "text", fr)  # partitioning-invariant
+    ja = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    jb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert ja == jb
+    counts = {r.split: r["count"] for r in a.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.08
+    assert abs(counts.get("val", 0) / n - 0.1) < 0.06
+
+
+def test_hash_split_matches_sql_case(spark, docs):
+    import duckdb
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split for r in
+           hash_split(docs, "text", fr).select("doc_id", "split").collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = dict(con.sql(
+        f"SELECT doc_id, {split_sql_case('text', fr)} AS s FROM documents").fetchall())
+    assert got == want
+
+
+def test_hash_split_validation(spark, docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "text", {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError):
+        hash_split(docs, "text", {"a": 0.5})
+    ok = hash_split(docs, "text", {"a": 0.5}, out_default="rest")
+    assert {r.split for r in ok.select("split").distinct().collect()} <= {"a", "rest"}
