@@ -123,6 +123,12 @@ def main(argv=None) -> int:
         "top_hosts_err_bound": hh.error_bound(),
     }
 
+    # 8. deterministic train/val/test split (content-keyed, engine-portable)
+    from sparksketch.decontam import hash_split
+    splits = hash_split(final, "url", {"train": 0.9, "val": 0.05, "test": 0.05})
+    metrics["splits"] = {r.split: r["count"] for r in
+                         splits.groupBy("split").count().collect()}
+
     elapsed = time.perf_counter() - t0
     metrics["elapsed_sec"] = round(elapsed, 2)
     metrics["docs_per_sec"] = round(n0 / elapsed, 1)
