@@ -409,6 +409,19 @@ def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _props_k_stats_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    # semi-structured surface: JSON property extraction (JVM get_json_object,
+    # codegen'd) + exact integer aggregates the oracle reproduces
+    ev = _T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.count("k").alias("n_k")))
+
+
 def _top3_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     o = _T(spark, sf, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
@@ -463,7 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "cosine_pairs": _cosine_pairs,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
-        # relational surface
+        # relational / semi-structured surface
+        "props_k_stats_by_event_type": _props_k_stats_by_event_type,
         "q1_pricing_summary": _q1_pricing_summary,
         "top3_orders_per_customer": _top3_orders_per_customer,
         "distinct_parts_per_returnflag": _distinct_parts_per_returnflag,
@@ -637,6 +651,13 @@ def oracle_sql() -> dict[str, str]:
             "+ (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) "
             "AS BIGINT) AS n_bpe_tokens FROM documents"),
         "quality_features_docs": _quality_sql(),
+        "props_k_stats_by_event_type": (
+            "SELECT event_type, "
+            "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, "
+            "CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k, "
+            "count(json_extract(props, '$.k')) AS n_k "
+            "FROM events GROUP BY event_type"),
         # outer CAST(... AS BIGINT) on every SUM: DuckDB promotes SUM(BIGINT)
         # to HUGEINT, which an Arrow fetch surfaces as decimal128 and the
         # driver's float path would hash differently from Spark's int64.

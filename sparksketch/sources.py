@@ -32,13 +32,33 @@ def iceberg_available(spark: SparkSession, catalog: str = "iceberg") -> bool:
         return False
 
 
+_PATH_FORMATS = (".parquet", ".orc", ".json", ".jsonl", ".csv", ".tsv")
+
+
 def is_table_identifier(source: str) -> bool:
-    """`catalog.db.table` identifiers have no path separators."""
-    return "/" not in source and not source.endswith(".parquet")
+    """`catalog.db.table` identifiers have no path separators or known
+    file-format suffixes."""
+    return "/" not in source and not source.endswith(_PATH_FORMATS)
 
 
-def load_table(spark: SparkSession, source: str, snapshot_id: int | None = None) -> DataFrame:
-    """Load a table by Iceberg identifier or parquet path."""
+def path_format(source: str) -> str:
+    """File format from the path suffix; bare directories default to
+    parquet (the lake-native columnar default)."""
+    for suffix in _PATH_FORMATS:
+        if source.endswith(suffix):
+            return {"jsonl": "json", "tsv": "csv"}.get(suffix[1:], suffix[1:])
+    return "parquet"
+
+
+def load_table(spark: SparkSession, source: str, snapshot_id: int | None = None,
+               schema: str | None = None) -> DataFrame:
+    """Load a table by Iceberg identifier or path (parquet/orc/json/csv by
+    suffix; parquet for bare directories).
+
+    CSV/JSON are ingest formats, not the at-rest format: with no schema the
+    reader infers one (an extra pass over CSV/JSON); production ingest
+    should pass ``schema`` and convert to parquet/Iceberg immediately —
+    row-oriented text formats forfeit column pruning and predicate pushdown."""
     if is_table_identifier(source):
         reader = spark.read
         if snapshot_id is not None:
@@ -46,12 +66,20 @@ def load_table(spark: SparkSession, source: str, snapshot_id: int | None = None)
         return reader.table(source)
     if snapshot_id is not None:
         raise ValueError("snapshot pinning requires an Iceberg table identifier")
-    return spark.read.parquet(source)
+    fmt = path_format(source)
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        sep = "\t" if source.endswith(".tsv") else ","
+        return reader.option("header", "true").option("sep", sep) \
+            .option("inferSchema", str(schema is None).lower()).csv(source)
+    return getattr(reader, fmt)(source)
 
 
 def write_table(df: DataFrame, target: str, mode: str = "append",
                 partition_by: list[str] | None = None) -> None:
-    """Write to an Iceberg identifier or parquet path."""
+    """Write to an Iceberg identifier or path (format by suffix)."""
     if is_table_identifier(target):
         writer = df.writeTo(target)
         if partition_by:
@@ -62,10 +90,15 @@ def write_table(df: DataFrame, target: str, mode: str = "append",
         else:
             writer.append()
         return
+    fmt = path_format(target)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(target)
+    if fmt == "csv":
+        w = w.option("header", "true")
+        if target.endswith(".tsv"):
+            w = w.option("sep", "\t")
+    getattr(w, fmt)(target)
 
 
 def input_fingerprint(spark: SparkSession, source: str) -> str:

@@ -172,3 +172,22 @@ def test_iceberg_branch_wiring_with_stubs():
 
     fp = input_fingerprint(FakeSpark(), "iceberg.db.pages")
     assert fp == "iceberg.db.pages@4242"
+
+
+def test_multi_format_roundtrip(spark, tmp_path):
+    """json / csv / orc paths round-trip through load_table/write_table with
+    format inferred from the suffix."""
+    from sparksketch.sources import load_table, path_format, write_table
+    assert path_format("x.jsonl") == "json" and path_format("x.tsv") == "csv"
+    assert path_format("some/dir") == "parquet"
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    for suffix in ("json", "csv", "orc"):
+        out = str(tmp_path / f"nation_out.{suffix}")
+        write_table(df, out, mode="overwrite")
+        back = load_table(spark, out)
+        assert back.count() == 25
+        assert sorted(back.columns) == sorted(df.columns)
+        # schema-supplied read skips inference
+        back2 = load_table(spark, out,
+                           schema="n_nationkey long, n_name string, n_regionkey long, n_comment string")
+        assert back2.count() == 25
