@@ -409,6 +409,28 @@ def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sessions_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    # gap-based sessionization (7-day gap): one shuffle + one window pass;
+    # the oracle runs the identical window logic
+    from sparksketch.events import sessionize
+    ev = _T(spark, sf, "events")
+    out = sessionize(ev, "user_id", "ts", gap_seconds=604800)
+    return out.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"))
+
+
+def _asof_last_click_value(spark: SparkSession, sf: str) -> DataFrame:
+    # as-of join: each event gains the value of the user's latest click at
+    # or before it (union + carry-forward window — no range cross-product);
+    # DuckDB reproduces with its native ASOF LEFT JOIN
+    from sparksketch.events import asof_join
+    ev = _T(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts").agg(F.max("value").alias("click_value")))
+    joined = asof_join(ev, clicks, "user_id", "ts", ["click_value"])
+    return joined.select("event_id", "click_value")
+
+
 def _props_k_stats_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     # semi-structured surface: JSON property extraction (JVM get_json_object,
     # codegen'd) + exact integer aggregates the oracle reproduces
@@ -476,6 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "cosine_pairs": _cosine_pairs,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
+        # event-stream surface
+        "sessions_per_user": _sessions_per_user,
+        "asof_last_click_value": _asof_last_click_value,
         # relational / semi-structured surface
         "props_k_stats_by_event_type": _props_k_stats_by_event_type,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -651,6 +676,17 @@ def oracle_sql() -> dict[str, str]:
             "+ (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) "
             "AS BIGINT) AS n_bpe_tokens FROM documents"),
         "quality_features_docs": _quality_sql(),
+        "sessions_per_user": (
+            "WITH s AS (SELECT user_id, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL OR "
+            "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 604800 "
+            "THEN 1 ELSE 0 END AS ns FROM events) "
+            "SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM s GROUP BY user_id"),
+        "asof_last_click_value": (
+            "WITH r AS (SELECT user_id, ts, max(value) AS click_value FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts) "
+            "SELECT l.event_id, r.click_value FROM events l "
+            "ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
         "props_k_stats_by_event_type": (
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "

@@ -1,0 +1,79 @@
+"""Event-stream dataflow operators: sessionization and as-of joins.
+
+Both are single-shuffle window formulations — the Spark-first shape for
+operators Spark lacks as built-ins:
+
+- **sessionize** — gap-based session ids per user: one shuffle on the user
+  key, one ordered window pass (lag → new-session flag → running sum).
+- **asof_join** — for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key.  Instead of a per-row range probe (an
+  exploding theta-join), both sides UNION into one stream, one window pass
+  carries the right side's values forward (``last(..., ignorenulls)``), and
+  left rows keep what was in flight — one shuffle on the key, no
+  cross-product, works at any right-side size.
+
+Skew note: both operators sort each key's rows inside one task.  A single
+pathological key (one user with 10^9 events) is a straggler by definition of
+the operation — cap per-key history upstream or pre-bucket by time range;
+salting does not apply to order-dependent windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap_seconds: int = 1800, out: str = "session_id") -> DataFrame:
+    """Append a session id: a new session starts when the gap to the user's
+    previous event exceeds ``gap_seconds``.  ``session_id`` =
+    ``"{user}#{k}"`` with k counting the user's sessions in time order."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # NTZ timestamps can't cast straight to long; route through timestamp
+    # (session tz is UTC) — epoch seconds either way
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_sess = F.when(
+        prev.isNull() | (epoch - prev > gap_seconds),
+        F.lit(1)).otherwise(F.lit(0))
+    idx = F.sum(new_sess).over(
+        Window.partitionBy(user_col).orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(out, F.concat(F.col(user_col).cast("string"),
+                                       F.lit("#"), idx.cast("string")))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              value_cols: list[str] | None = None) -> DataFrame:
+    """As-of (latest-≤) join: every ``left`` row gains the ``value_cols`` of
+    the most recent ``right`` row with the same ``on`` key and
+    ``right.ts <= left.ts`` (NULLs when no such row).
+
+    Tie-break: a right row AT the left row's timestamp matches (inclusive),
+    and among right rows sharing (key, ts) the values of the one sorted last
+    win — pre-aggregate the right side if that ambiguity matters.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, ts)]
+    left_cols = left.columns
+    clash = set(value_cols) & set(left_cols)
+    if clash:
+        raise ValueError(f"value_cols clash with left columns: {sorted(clash)}")
+    l_tag = left.select("*", F.lit(1).alias("_is_l"),
+                        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+                          for c in value_cols])
+    r_tag = right.select(
+        F.col(on), F.col(ts),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (on, ts)],
+        F.lit(0).alias("_is_l"), *value_cols,
+    ).select(*l_tag.columns)  # align column order
+    u = l_tag.unionByName(r_tag)
+    # right rows sort BEFORE left rows at equal ts (⇒ inclusive ≤ semantics)
+    w = (Window.partitionBy(on).orderBy(F.col(ts), F.col("_is_l"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = u.select(
+        *left_cols, "_is_l",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("_is_l") == 1).drop("_is_l")

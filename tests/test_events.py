@@ -1,0 +1,63 @@
+"""Sessionization + as-of join: window formulations vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.events import asof_join, sessionize
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_sessionize_brute_force(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for u in range(20):
+        t = 0
+        for _ in range(rng.integers(1, 15)):
+            t += int(rng.integers(1, 5000))
+            rows.append((u, t))
+    df = spark.createDataFrame(rows, "user long, ts long") \
+        .select("user", F.col("ts").cast("timestamp").alias("ts"))
+    out = sessionize(df, "user", "ts", gap_seconds=1800)
+    got = {(r.user, int(r.ts.timestamp())): r.session_id for r in out.collect()}
+    # brute force
+    by_user: dict = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    want = {}
+    for u, ts in by_user.items():
+        k = 0
+        prev = None
+        for t in sorted(ts):
+            if prev is None or t - prev > 1800:
+                k += 1
+            want[(u, t)] = f"{u}#{k}"
+            prev = t
+    assert got == want
+
+
+def test_asof_join_brute_force(spark):
+    rng = np.random.default_rng(9)
+    lrows = [(int(rng.integers(0, 10)), int(rng.integers(0, 1000)), i) for i in range(300)]
+    rrows = [(int(rng.integers(0, 10)), int(rng.integers(0, 1000)), float(i)) for i in range(80)]
+    left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+    right = (spark.createDataFrame(rrows, "k long, ts long, v double")
+             .groupBy("k", "ts").agg(F.max("v").alias("v")))  # disambiguate ties
+    got = {r.lid: r.v for r in asof_join(left, right, "k", "ts").collect()}
+    rmap: dict = {}
+    for r in right.collect():
+        rmap.setdefault(r.k, []).append((r.ts, r.v))
+    want = {}
+    for k, ts, lid in lrows:
+        cands = [(t, v) for t, v in rmap.get(k, []) if t <= ts]
+        want[lid] = max(cands)[1] if cands else None
+    assert got == want
+    assert len(got) == len(lrows)  # left-preserving
+
+
+def test_asof_join_clash_guard(spark):
+    left = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, v double")
+    right = spark.createDataFrame([(1, 1, 3.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts")
