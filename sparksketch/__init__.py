@@ -42,6 +42,7 @@ from sparksketch.decontam import (
     hash_split,
 )
 from sparksketch.dedup import connected_components, dedup_representatives
+from sparksketch.events import asof_join, sessionize
 from sparksketch.hll import HLL, hll_by_group, hll_distinct
 from sparksketch.kll import KLL, kll_build, kll_by_group
 from sparksketch.tdigest import TDigest, tdigest_build, tdigest_by_group
@@ -51,13 +52,13 @@ from sparksketch.sketch import build_sketch, estimate_col, sketch_agg_udf, sketc
 __all__ = [
     "Accuracy", "BloomConfig", "BloomFilterState", "CMS", "HLL",
     "InitialCapacity", "KLL", "MisraGries", "TDigest", "Throughput", "WorkerCores",
-    "benchmark_filter", "bloom_by_group", "build_bloom", "build_bloom_states",
+    "asof_join", "benchmark_filter", "bloom_by_group", "build_bloom", "build_bloom_states",
     "build_sketch", "cms_build", "cms_by_group", "cms_topk", "compact_bloom",
     "connected_components", "contamination", "decontaminate",
     "dedup_representatives", "estimate_col", "hash_split",
     "heavy_hitters", "heavy_hitters_by_group",
     "hll_by_group", "hll_distinct", "kll_build", "kll_by_group",
-    "membership_join", "sketch_agg_udf", "sketch_by_group",
+    "membership_join", "sessionize", "sketch_agg_udf", "sketch_by_group",
     "tdigest_build", "tdigest_by_group", "with_group_membership", "with_membership",
 ]
 
