@@ -138,6 +138,25 @@ def main() -> int:
                  .select(F.countDistinct("component")).first()[0])
     extras["cc_components"] = float(comp)
 
+    # --- decontamination (bloom x shingles) ---
+    from sparksketch.decontam import benchmark_filter, contamination
+    def decontam():
+        bench_docs = docs.filter(F.col("doc_id") % 10 == 0)
+        st = benchmark_filter(bench_docs, "text", shingle=30, n_shards=32, partitions=CPUS)
+        return contamination(docs, "text", "doc_id", st, shingle=30) \
+            .filter("contaminated").count()
+    extras["decontam_flagged"] = float(bench("decontam_docs", decontam))
+
+    # --- event-stream ops ---
+    from sparksketch.events import asof_join, sessionize
+    bench("sessionize_events", lambda: sessionize(events, "user_id", "ts", 604800)
+          .select(F.countDistinct("session_id")).first()[0])
+    def asof():
+        clicks = (events.filter(F.col("event_type") == "click")
+                  .groupBy("user_id", "ts").agg(F.max("value").alias("cv")))
+        return asof_join(events, clicks, "user_id", "ts", ["cv"]).count()
+    bench("asof_join_events", asof)
+
     # --- similarity ---
     qv = np.array(emb.first().embedding, dtype=np.float32)
     bench("cosine_topk", lambda: cosine_topk(emb, "embedding", "vec_id", qv, k=10))
