@@ -223,6 +223,72 @@ def stream_windowed_sketch(stream_df: DataFrame, ts_col: str, col: str,
     return writer
 
 
+def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
+                           factory: Callable, *, seeds: tuple[int, ...] | None = None,
+                           numeric: bool = False) -> DataFrame:
+    """Custom stateful streaming operator: a running sketch PER KEY kept in
+    Spark's keyed state store (``applyInPandasWithState``), emitting
+    ``(key, n_rows, estimate)`` updates each micro-batch.
+
+    This is the state-store-native alternative to the ``foreachBatch`` folds
+    above: state is partitioned by key across executors (scales with keys,
+    no driver files), checkpointed/restored by Structured Streaming itself,
+    and exactly-once under replay because the state version is tied to the
+    batch epoch.  Hashing stays JVM-side — the stream is projected to
+    seeded ``xxhash64`` columns BEFORE the stateful groupBy, so the state
+    function only does numpy updates on int64 columns (no per-row Python).
+
+    Returns the transformed streaming DataFrame (caller adds writeStream).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sparksketch.hashing import hash_col, to_u64
+
+    cls = type(factory(0))
+
+    if numeric:
+        proj = stream_df.filter(F.col(col).isNotNull()).select(
+            F.col(key_col).cast("string").alias("_k"),
+            F.col(col).cast("double").alias("_v0"))
+        val_cols = ["_v0"]
+    else:
+        if not seeds:
+            raise ValueError("stateful sketch needs seeds= or numeric=True")
+        key = F.col(col).cast("string")
+        proj = stream_df.filter(key.isNotNull()).select(
+            F.col(key_col).cast("string").alias("_k"),
+            *[hash_col(key, s).alias(f"_h{i}") for i, s in enumerate(seeds)])
+        val_cols = [f"_h{i}" for i in range(len(seeds))]
+
+    def fn(group_key, pdfs, state):
+        if state.exists:
+            blob, n_rows = state.get
+            sk = cls.from_bytes(bytes(blob))
+        else:
+            sk, n_rows = factory(0), 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            if numeric:
+                sk.update_values(pdf["_v0"].to_numpy(dtype=np.float64))
+            else:
+                sk.update_hashes(*[to_u64(pdf[c].to_numpy(dtype=np.int64))
+                                   for c in val_cols])
+        state.update((sk.to_bytes(), n_rows))
+        yield pd.DataFrame({"key": [group_key[0]], "n_rows": [n_rows],
+                            "estimate": [float(sk.estimate())]})
+
+    return proj.groupBy("_k").applyInPandasWithState(
+        fn,
+        outputStructType="key string, n_rows long, estimate double",
+        stateStructType="blob binary, n_rows long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def read_windowed_states(state_dir: str, cls) -> dict[str, object]:
     out = {}
     for name in sorted(os.listdir(state_dir)):

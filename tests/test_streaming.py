@@ -145,3 +145,35 @@ def test_stream_windowed_hll(spark, tmp_path):
     assert set(states) == set(exact)
     for w, sk in states.items():
         assert abs(sk.estimate() - exact[w]) / exact[w] <= 3 * HLL(12).rel_error(), w
+
+
+def test_stateful_sketch_by_key(spark, tmp_path):
+    """applyInPandasWithState path: per-key HLL in Spark's keyed state store,
+    updated across micro-batches, estimates within bound at the end."""
+    from sparksketch.streaming import stateful_sketch_by_key
+    out, src = _stream_dir(spark, tmp_path)
+    schema = src.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .select("event_type", F.col("user_id").cast("string").alias("uid")))
+    updates = stateful_sketch_by_key(stream, "event_type", "uid",
+                                     lambda pid: HLL(12), seeds=(HLL_SEED,))
+    q = (updates.writeStream.format("memory").queryName("hll_by_key")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "st_chk")).start())
+    q.processAllAvailable()
+    q.stop()
+    # last update per key = the full-stream state
+    final = spark.sql("""
+        SELECT key, n_rows, estimate FROM (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_rows DESC) rn
+          FROM hll_by_key) WHERE rn = 1""").collect()
+    exact = {r.event_type: (r.n, r.d) for r in
+             src.groupBy("event_type").agg(
+                 F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("d")).collect()}
+    assert {r.key for r in final} == set(exact)
+    for r in final:
+        n, d = exact[r.key]
+        assert r.n_rows == n  # every micro-batch counted exactly once
+        assert abs(r.estimate - d) / d <= 3 * HLL(12).rel_error()
