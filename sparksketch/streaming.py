@@ -225,10 +225,11 @@ def stream_windowed_sketch(stream_df: DataFrame, ts_col: str, col: str,
 
 def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
                            factory: Callable, *, seeds: tuple[int, ...] | None = None,
-                           numeric: bool = False) -> DataFrame:
+                           numeric: bool = False, ts_col: str | None = None,
+                           ttl_seconds: int | None = None) -> DataFrame:
     """Custom stateful streaming operator: a running sketch PER KEY kept in
     Spark's keyed state store (``applyInPandasWithState``), emitting
-    ``(key, n_rows, estimate)`` updates each micro-batch.
+    ``(key, n_rows, estimate, evicted)`` updates each micro-batch.
 
     This is the state-store-native alternative to the ``foreachBatch`` folds
     above: state is partitioned by key across executors (scales with keys,
@@ -237,6 +238,14 @@ def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
     batch epoch.  Hashing stays JVM-side — the stream is projected to
     seeded ``xxhash64`` columns BEFORE the stateful groupBy, so the state
     function only does numpy updates on int64 columns (no per-row Python).
+
+    **Bounded state for unbounded key spaces**: pass ``ts_col`` +
+    ``ttl_seconds`` and apply ``withWatermark(ts_col, ...)`` upstream —
+    keys idle past the watermark + TTL emit one final ``evicted=True`` row
+    and their state is removed (event-time timeout).  Without eviction a
+    10^9-key stream grows the store forever; with it, state size tracks the
+    ACTIVE key set.  A key seen again later starts fresh (documented
+    forgetting semantics — size the TTL to the lateness you must absorb).
 
     Returns the transformed streaming DataFrame (caller adds writeStream).
     """
@@ -248,11 +257,14 @@ def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
     from sparksketch.hashing import hash_col, to_u64
 
     cls = type(factory(0))
+    if (ts_col is None) != (ttl_seconds is None):
+        raise ValueError("ts_col and ttl_seconds go together")
 
+    extra = [F.col(ts_col)] if ts_col else []
     if numeric:
         proj = stream_df.filter(F.col(col).isNotNull()).select(
             F.col(key_col).cast("string").alias("_k"),
-            F.col(col).cast("double").alias("_v0"))
+            F.col(col).cast("double").alias("_v0"), *extra)
         val_cols = ["_v0"]
     else:
         if not seeds:
@@ -260,10 +272,18 @@ def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
         key = F.col(col).cast("string")
         proj = stream_df.filter(key.isNotNull()).select(
             F.col(key_col).cast("string").alias("_k"),
-            *[hash_col(key, s).alias(f"_h{i}") for i, s in enumerate(seeds)])
+            *[hash_col(key, s).alias(f"_h{i}") for i, s in enumerate(seeds)], *extra)
         val_cols = [f"_h{i}" for i in range(len(seeds))]
 
     def fn(group_key, pdfs, state):
+        if state.hasTimedOut:
+            blob, n_rows = state.get
+            sk = cls.from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame({"key": [group_key[0]], "n_rows": [n_rows],
+                                "estimate": [float(sk.estimate())],
+                                "evicted": [True]})
+            return
         if state.exists:
             blob, n_rows = state.get
             sk = cls.from_bytes(bytes(blob))
@@ -277,15 +297,20 @@ def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
                 sk.update_hashes(*[to_u64(pdf[c].to_numpy(dtype=np.int64))
                                    for c in val_cols])
         state.update((sk.to_bytes(), n_rows))
+        if ttl_seconds is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
+                                      + ttl_seconds * 1000)
         yield pd.DataFrame({"key": [group_key[0]], "n_rows": [n_rows],
-                            "estimate": [float(sk.estimate())]})
+                            "estimate": [float(sk.estimate())],
+                            "evicted": [False]})
 
     return proj.groupBy("_k").applyInPandasWithState(
         fn,
-        outputStructType="key string, n_rows long, estimate double",
+        outputStructType="key string, n_rows long, estimate double, evicted boolean",
         stateStructType="blob binary, n_rows long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout if ttl_seconds is not None
+                     else GroupStateTimeout.NoTimeout),
     )
 
 

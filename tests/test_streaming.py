@@ -177,3 +177,40 @@ def test_stateful_sketch_by_key(spark, tmp_path):
         n, d = exact[r.key]
         assert r.n_rows == n  # every micro-batch counted exactly once
         assert abs(r.estimate - d) / d <= 3 * HLL(12).rel_error()
+
+
+def test_stateful_sketch_ttl_eviction(spark, tmp_path):
+    """Event-time-timeout eviction: keys idle past watermark + TTL emit one
+    final evicted=True row and leave the store (bounded state)."""
+    from sparksketch.streaming import stateful_sketch_by_key
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "ttl_src")
+    # time-ordered files → the watermark advances across micro-batches
+    src.repartitionByRange(4, "ts").write.parquet(out)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → TZ for watermark
+              .withWatermark("ts", "1 day")
+              .select("ts", F.col("user_id").cast("string").alias("uid"),
+                      F.col("event_type")))
+    updates = stateful_sketch_by_key(stream, "uid", "event_type",
+                                     lambda pid: HLL(12), seeds=(HLL_SEED,),
+                                     ts_col="ts", ttl_seconds=7 * 86400)
+    q = (updates.writeStream.format("memory").queryName("ttl_hll")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ttl_chk")).start())
+    q.processAllAvailable()
+    # timeouts fire when a LATER batch runs with the watermark advanced —
+    # append one trailing batch far in the future to flush idle keys
+    # deterministically (in production the next day's data does this)
+    (src.orderBy(F.desc("ts")).limit(1)
+     .withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
+     .withColumn("user_id", F.lit(999_999_999))
+     .write.mode("append").parquet(out))
+    q.processAllAvailable()
+    q.stop()
+    evicted = spark.sql("SELECT count(*) FROM ttl_hll WHERE evicted").first()[0]
+    assert evicted > 0  # idle users really left the store
+    # an evicted row carries the state it had at eviction (n_rows ≥ 1)
+    assert spark.sql(
+        "SELECT min(n_rows) FROM ttl_hll WHERE evicted").first()[0] >= 1
