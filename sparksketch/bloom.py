@@ -75,6 +75,7 @@ from sparksketch.hashing import (
     km_indices,
     set_bits,
     spark_xxhash64,
+    splitmix64,
     test_bits,
     to_u64,
 )
@@ -249,7 +250,10 @@ class BloomFilterState:
                 for lv in cascade[t]:
                     tgt = levels.get(lv.idx)
                     if tgt is None:
-                        mine[t].append(lv)
+                        # copy, like the shard-adopt branch: appending the
+                        # donor's Level object by reference would let a later
+                        # merge OR into the donor's own bits in place
+                        mine[t].append(lv.copy())
                     else:
                         tgt.bits |= lv.bits
                         tgt.n += lv.n
@@ -887,7 +891,7 @@ def blob_geometry(blob: bytes) -> tuple[int, int, bool]:
 
 def membership_join(probes: DataFrame, col: str, states: DataFrame,
                     tiers: int | None = None, n_shards: int | None = None,
-                    out: str = "is_member") -> DataFrame:
+                    out: str = "is_member", strict: bool | None = None) -> DataFrame:
     """Distributed membership for filters too big to broadcast.
 
     ``states`` is the output of :func:`build_bloom_states` (or the same
@@ -897,19 +901,24 @@ def membership_join(probes: DataFrame, col: str, states: DataFrame,
     ~40 B/row + the shard states once.  Same oversize-key caveat as
     :func:`with_membership`: zero FN holds among keys within the build's
     ``max_key_bytes`` guard."""
-    first = states.select("state").first()
-    if first is None:
-        return probes.withColumn(out, F.lit(False))
-    blob_tiers, blob_shards, blob_strict = blob_geometry(bytes(first[0]))
-    tiers = blob_tiers if tiers is None else tiers
-    n_shards = blob_shards if n_shards is None else n_shards
+    if tiers is None or n_shards is None or strict is None:
+        # geometry unknown → read one blob header; pass all THREE of
+        # (tiers, n_shards, strict) to skip this extra evaluation of the
+        # states plan (it would re-run an uncached distributed build)
+        first = states.select("state").first()
+        if first is None:
+            return probes.withColumn(out, F.lit(False))
+        blob_tiers, blob_shards, blob_strict = blob_geometry(bytes(first[0]))
+        tiers = blob_tiers if tiers is None else tiers
+        n_shards = blob_shards if n_shards is None else n_shards
+        strict = blob_strict if strict is None else strict
     probe_cols = [f.name for f in probes.schema.fields]
     reserved = {"_skh_a", "_skh_b", "_sktier", _ROUTE, "shard", "state", "rows"}
     clash = reserved & set(probe_cols)
     if clash:
         raise ValueError(f"probe columns clash with reserved names: {sorted(clash)}")
     hcols = hash_probe_cols(F.col(col).cast("string"))
-    if blob_strict:
+    if strict:
         return _membership_join_strict(probes, states, tiers, n_shards, hcols,
                                        probe_cols, out)
     # all probe columns ride through the kernel — evaluating `probes` exactly
@@ -995,19 +1004,29 @@ def _membership_join_strict(probes: DataFrame, states: DataFrame, tiers: int,
             tier_col = batch.column("_sktier").to_numpy(zero_copy_only=False).astype(np.int64)
             h1_all = batch.column("_skh_a").to_numpy(zero_copy_only=False).astype(np.int64)
             h2_all = batch.column("_skh_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            # shard-major grouping: the blob parses ONCE per shard (both its
+            # tier groups reuse it), and only the group's own tier hashes
+            # are derived
             key = shard_col * tiers + tier_col
             order = np.argsort(key, kind="stable")
             sorted_key = key[order]
             starts = np.concatenate(([0], np.flatnonzero(np.diff(sorted_key)) + 1, [n]))
+            st, st_shard = None, None
             for si in range(len(starts) - 1):
                 rows = order[starts[si] : starts[si + 1]]
                 i0 = int(rows[0])
                 if not blobs[i0].is_valid:
                     continue
-                st = BloomFilterState.from_bytes(blobs[i0].as_py())
+                sid = int(shard_col[i0])
+                if st_shard != sid:
+                    st = BloomFilterState.from_bytes(blobs[i0].as_py())
+                    st_shard = sid
                 t = int(tier_col[i0])
-                th = derive_tier_hashes(h1_all[rows], h2_all[rows], tiers)[t]
-                result[rows] = st._tier_grouped(shard_col[rows], t, th[0], th[1])
+                x1 = np.uint64(HASH_SEED_SELECTION[2 + 2 * t])
+                x2 = np.uint64(HASH_SEED_SELECTION[3 + 2 * t])
+                h1t = splitmix64(to_u64(h1_all[rows]) ^ x1)
+                h2t = splitmix64(to_u64(h2_all[rows]) ^ x2)
+                result[rows] = st._tier_grouped(shard_col[rows], t, h1t, h2t)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("_skh_a"), batch.column("_skh_b"),
                  pa.array(result, pa.bool_())],

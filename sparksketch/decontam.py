@@ -72,10 +72,16 @@ def contamination(df: DataFrame, col: str, id_col: str, state: BloomFilterState,
 
 def decontaminate(df: DataFrame, col: str, id_col: str, benchmark: DataFrame,
                   bench_col: str | None = None, shingle: int = 8,
-                  threshold: float = 0.5, **kwargs) -> DataFrame:
-    """Drop training docs contaminated against ``benchmark`` (end-to-end)."""
-    state = benchmark_filter(benchmark, bench_col or col, shingle, **kwargs)
-    flags = contamination(df, col, id_col, state, shingle, threshold=threshold)
+                  max_chars: int = 4096, threshold: float = 0.5,
+                  **kwargs) -> DataFrame:
+    """Drop training docs contaminated against ``benchmark`` (end-to-end).
+    ``shingle`` and ``max_chars`` apply to BOTH the benchmark filter and the
+    probe side — mismatched shingle sets would silently break the zero-FN
+    promise (probe shingles the filter never saw)."""
+    state = benchmark_filter(benchmark, bench_col or col, shingle,
+                             max_chars=max_chars, **kwargs)
+    flags = contamination(df, col, id_col, state, shingle,
+                          max_chars=max_chars, threshold=threshold)
     keep = flags.filter(~F.col("contaminated")).select(id_col)
     return df.join(keep, id_col, "left_semi")
 

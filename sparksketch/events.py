@@ -53,20 +53,28 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     Tie-break: a right row AT the left row's timestamp matches (inclusive),
     and among right rows sharing (key, ts) the values of the one sorted last
     win — pre-aggregate the right side if that ambiguity matters.
+
+    The right side's value columns travel as ONE struct through the window
+    (``last(struct, ignorenulls)`` skips only the left rows' NULL
+    placeholder): a matched right row is taken whole — genuine NULLs inside
+    its value columns survive, and the output never stitches columns from
+    two different right rows.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, ts)]
     left_cols = left.columns
     clash = set(value_cols) & set(left_cols)
     if clash:
         raise ValueError(f"value_cols clash with left columns: {sorted(clash)}")
-    l_tag = left.select("*", F.lit(1).alias("_is_l"),
-                        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-                          for c in value_cols])
+    rv = F.struct(*[F.col(c) for c in value_cols])
+    null_rv = F.lit(None).cast(
+        "struct<" + ", ".join(f"`{c}`: {right.schema[c].dataType.simpleString()}"
+                              for c in value_cols) + ">")
+    l_tag = left.select("*", F.lit(1).alias("_is_l"), null_rv.alias("_rv"))
     r_tag = right.select(
         F.col(on), F.col(ts),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in (on, ts)],
-        F.lit(0).alias("_is_l"), *value_cols,
+        F.lit(0).alias("_is_l"), rv.alias("_rv"),
     ).select(*l_tag.columns)  # align column order
     u = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at equal ts (⇒ inclusive ≤ semantics)
@@ -74,6 +82,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = u.select(
         *left_cols, "_is_l",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_rv"),
     )
-    return filled.filter(F.col("_is_l") == 1).drop("_is_l")
+    return (filled.filter(F.col("_is_l") == 1)
+            .select(*left_cols, *[F.col(f"_rv.{c}").alias(c) for c in value_cols]))

@@ -114,10 +114,11 @@ def main(argv=None) -> int:
     hosts = final.select(
         F.substring_index(F.substring_index("url", "/", 3), "//", -1).alias("h"))
     hh = heavy_hitters(hosts, "h", k=16)
+    kll = kll_build(final.select(F.length("text").alias("len")), "len")
     metrics["sketches"] = {
         "distinct_urls_hll": round(hll_distinct(final, "url", p=14), 1),
-        "n_chars_p50": kll_build(final.select(F.length("text").alias("len")), "len").quantile(0.5),
-        "n_chars_p99": kll_build(final.select(F.length("text").alias("len")), "len").quantile(0.99),
+        "n_chars_p50": kll.quantile(0.5),
+        "n_chars_p99": kll.quantile(0.99),
         "host_cms_total": cms_build(hosts, "h").total,
         "top_hosts": [{"host": k, "cnt_lo": c} for k, c in hh.topk(3)],
         "top_hosts_err_bound": hh.error_bound(),

@@ -30,8 +30,18 @@ from sparksketch.bloom import BloomConfig, BloomFilterState, build_bloom
 from sparksketch.sketch import build_sketch
 
 
+_STATE_MAGIC = b"SKST"
+
+
 class SketchStateStore:
-    """Atomic (epoch, blob) store for the streaming fold."""
+    """Atomic (epoch, blob) store for the streaming fold.
+
+    The epoch travels IN the state file's header, replaced in ONE
+    ``os.replace`` — a two-file design (blob then commit marker) has a
+    crash window between the writes where the blob already contains the
+    epoch's fold but the marker says it doesn't, and the replayed batch
+    folds twice.  ``commit.json`` is still written as a human-readable
+    mirror; the header is authoritative."""
 
     def __init__(self, path: str):
         self.path = path
@@ -45,24 +55,33 @@ class SketchStateStore:
     def _commit_path(self) -> str:
         return os.path.join(self.path, "commit.json")
 
-    def last_epoch(self) -> int:
-        try:
-            with open(self._commit_path) as f:
-                return int(json.load(f)["epoch"])
-        except (OSError, ValueError, KeyError):
-            return -1
-
-    def read_blob(self) -> bytes | None:
+    def _read(self) -> tuple[bytes | None, int]:
         try:
             with open(self._blob_path, "rb") as f:
-                return f.read()
+                data = f.read()
         except OSError:
-            return None
+            data = None
+        if data is not None and data[:4] == _STATE_MAGIC:
+            (epoch,) = struct.unpack_from("<q", data, 4)
+            return data[12:], epoch
+        # legacy layout: headerless blob + commit.json marker
+        try:
+            with open(self._commit_path) as f:
+                epoch = int(json.load(f)["epoch"])
+        except (OSError, ValueError, KeyError):
+            epoch = -1
+        return data, epoch
+
+    def last_epoch(self) -> int:
+        return self._read()[1]
+
+    def read_blob(self) -> bytes | None:
+        return self._read()[0]
 
     def commit(self, epoch: int, blob: bytes) -> None:
         tmp = self._blob_path + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(blob)
+            f.write(_STATE_MAGIC + struct.pack("<q", epoch) + blob)
         os.replace(tmp, self._blob_path)
         ctmp = self._commit_path + ".tmp"
         with open(ctmp, "w") as f:
@@ -76,8 +95,17 @@ def foreach_batch_fold(store: SketchStateStore,
     """The generic epoch-guarded fold for ``writeStream.foreachBatch``."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id <= store.last_epoch():
+        last = store.last_epoch()
+        if epoch_id == last:
             return  # replayed micro-batch after recovery: already folded
+        if epoch_id < last:
+            # a FRESH streaming checkpoint restarts epochs at 0; silently
+            # skipping would discard the next `last` batches of data
+            raise ValueError(
+                f"state_dir committed epoch {last} but the stream delivered "
+                f"epoch {epoch_id}: this state belongs to a different "
+                f"checkpoint lineage — clear the state_dir or reuse the "
+                f"original checkpointLocation")
         partial = build_partial(batch_df)
         prev = store.read_blob()
         blob = partial if prev is None else merge_blobs_fn(prev, partial)
@@ -172,8 +200,15 @@ def windowed_fold_handler(store: SketchStateStore, state_dir: str, factory: Call
         return _re.sub(r"[^0-9A-Za-zT:-]", "_", name)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id <= store.last_epoch():
+        last = store.last_epoch()
+        if epoch_id == last:
             return
+        if epoch_id < last:
+            raise ValueError(
+                f"state_dir committed epoch {last} but the stream delivered "
+                f"epoch {epoch_id}: this state belongs to a different "
+                f"checkpoint lineage — clear the state_dir or reuse the "
+                f"original checkpointLocation")
         keyed = batch_df.withColumn(
             "_w", F.window(F.col(ts_col), window)["start"].cast("string"))
         partials = sketch_by_group(keyed, "_w", col, factory, seeds=seeds, numeric=numeric)
@@ -289,6 +324,7 @@ def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
             sk = cls.from_bytes(bytes(blob))
         else:
             sk, n_rows = factory(0), 0
+        max_ev_ms = 0
         for pdf in pdfs:
             n_rows += len(pdf)
             if numeric:
@@ -296,10 +332,16 @@ def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
             else:
                 sk.update_hashes(*[to_u64(pdf[c].to_numpy(dtype=np.int64))
                                    for c in val_cols])
+            if ts_col is not None and len(pdf):
+                max_ev_ms = max(max_ev_ms, int(pdf[ts_col].max().timestamp() * 1000))
         state.update((sk.to_bytes(), n_rows))
         if ttl_seconds is not None:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
-                                      + ttl_seconds * 1000)
+            # base the timeout on the KEY'S OWN latest event time, not the
+            # global watermark: the watermark is 0 on the first batch and
+            # always one batch stale, which would evict keys long before
+            # they were ttl_seconds idle in event time
+            base = max(max_ev_ms, state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base + ttl_seconds * 1000)
         yield pd.DataFrame({"key": [group_key[0]], "n_rows": [n_rows],
                             "estimate": [float(sk.estimate())],
                             "evicted": [False]})

@@ -144,3 +144,24 @@ def test_write_metrics(tmp_path):
 def test_iceberg_unavailable_in_sandbox(spark):
     from sparksketch.sources import iceberg_available
     assert iceberg_available(spark) is False  # no catalog conf, no jars
+
+
+def test_merge_into_never_aliases_donor_levels(spark):
+    """Appending a donor's EXTRA levels (not just whole shards) must copy:
+    a later merge into the accumulator must never mutate the donor."""
+    from sparksketch.bloom import build_bloom
+    cfg = BloomConfig()
+    # acc: few keys (1 level/shard); donor: many keys (multi-level shards)
+    acc = build_bloom(_keys(spark, 200), "key", cfg, n_shards=2, partitions=2)
+    donor = build_bloom(
+        spark.range(10_000, 13_000).select(F.col("id").cast("string").alias("key")),
+        "key", cfg, n_shards=2, partitions=2)
+    assert max(len(t) for c in donor.shards.values() for t in c) >= 2
+    donor_bytes = donor.to_bytes()
+    acc.merge_into(donor)  # appends donor's deeper levels into acc's shards
+    extra = build_bloom(
+        spark.range(20_000, 23_000).select(F.col("id").cast("string").alias("key")),
+        "key", cfg, n_shards=2, partitions=2)
+    acc.merge_into(extra)  # ORs into the appended level objects
+    assert donor.to_bytes() == donor_bytes  # donor untouched
+    assert not donor.contains("20005")

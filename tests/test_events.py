@@ -61,3 +61,16 @@ def test_asof_join_clash_guard(spark):
     right = spark.createDataFrame([(1, 1, 3.0)], "k long, ts long, v double")
     with pytest.raises(ValueError):
         asof_join(left, right, "k", "ts")
+
+
+def test_asof_join_preserves_genuine_nulls(spark):
+    """A matched right row whose value is NULL must yield NULL — not fall
+    back to an older row; multi-column values never stitch across rows."""
+    left = spark.createDataFrame([(1, 3, 100), (1, 1, 101)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "x"), (1, 2, None, "y")],
+        "k long, ts long, v double, tag string")
+    got = {r.lid: (r.v, r.tag) for r in
+           asof_join(left, right, "k", "ts", ["v", "tag"]).collect()}
+    assert got[101] == (5.0, "x")      # matched the ts=1 row whole
+    assert got[100] == (None, "y")     # latest row taken whole, NULL kept

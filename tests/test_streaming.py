@@ -107,9 +107,11 @@ def test_windowed_fold_replay_after_crash(spark, tmp_path):
                                    "ts", "key", "7 days", CMS_SEEDS, False)
     handle(src, 0)
     totals0 = {w: sk.total for w, sk in read_windowed_states(state_dir, CMS).items()}
-    # crash simulation: windows folded epoch 1, global commit lost
+    # crash simulation: windows folded epoch 1, global commit lost (the
+    # commit is one atomic file now — remove it plus the mirror)
     handle(src, 1)
     import os
+    os.remove(os.path.join(state_dir, "state.bin"))
     os.remove(os.path.join(state_dir, "commit.json"))
     assert store.last_epoch() == -1
     totals1 = {w: sk.total for w, sk in read_windowed_states(state_dir, CMS).items()}
@@ -214,3 +216,31 @@ def test_stateful_sketch_ttl_eviction(spark, tmp_path):
     # an evicted row carries the state it had at eviction (n_rows ≥ 1)
     assert spark.sql(
         "SELECT min(n_rows) FROM ttl_hll WHERE evicted").first()[0] >= 1
+
+
+def test_stateful_ttl_not_premature(spark, tmp_path):
+    """A key idle for less than ttl_seconds of EVENT time must not evict —
+    the timeout is based on the key's own last event time, not the
+    batch-stale global watermark (which is 0 on the first batch)."""
+    from sparksketch.streaming import stateful_sketch_by_key
+    rows1 = [("A", "2026-01-01 00:00:00", "v1"), ("B", "2026-01-01 01:00:00", "v1")]
+    rows2 = [("B", "2026-01-01 02:00:00", "v2")]  # A idle 2h < ttl 7d
+    src = str(tmp_path / "npsrc")
+    df1 = spark.createDataFrame(rows1, "k string, ts string, v string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df1.coalesce(1).write.parquet(src)
+    df2 = spark.createDataFrame(rows2, "k string, ts string, v string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(df1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "10 seconds"))
+    upd = stateful_sketch_by_key(stream, "k", "v", lambda pid: HLL(10),
+                                 seeds=(HLL_SEED,), ts_col="ts",
+                                 ttl_seconds=7 * 86400)
+    q = (upd.writeStream.format("memory").queryName("np_ttl")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "np_chk")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM np_ttl WHERE evicted").first()[0] == 0
