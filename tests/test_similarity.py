@@ -204,3 +204,27 @@ def test_ivf_ann(spark, emb, emb_np):
         hits_by_probe.append(hits)
     assert hits_by_probe[-1] == 25  # n_probe = n_lists → exact
     assert hits_by_probe[0] <= hits_by_probe[1] <= hits_by_probe[2]
+
+
+def test_ivf_partitioned_table_prunes(spark, emb, tmp_path):
+    """The IVF scale claim: a table written partitionBy(ivf_list) serves a
+    probe by scanning ONLY the probed lists (partition pruning visible in
+    the plan, not just the result)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sparksketch.similarity import ivf_centroids, with_ivf_list
+    cents = ivf_centroids(emb, "embedding", n_lists=8, sample=500)
+    listed = with_ivf_list(emb, "embedding", cents)
+    out = str(tmp_path / "ivf_table")
+    listed.write.partitionBy("ivf_list").parquet(out)
+    back = spark.read.parquet(out)
+    probe = back.filter(F.col("ivf_list").isin([1, 3]))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+    # pruned scan reads only the probed lists' rows
+    full_counts = {r.ivf_list: r["count"] for r in back.groupBy("ivf_list").count().collect()}
+    assert probe.count() == full_counts.get(1, 0) + full_counts.get(3, 0)
