@@ -489,6 +489,25 @@ def route_expr(n_shards: int) -> Column:
     return F.pmod(F.col("_skh_a"), F.lit(n_shards).cast("long"))
 
 
+def strict_targets(n_shards: int) -> Column:
+    """The strict-parity 4-way (tier, shard) target array: tier t routes by
+    base hash t (reference per-tier seeds filter.rs:120-137), each with its
+    antipodal second shard ``p2 = (p1 + mask/2) & mask`` (filter.rs:133-134,
+    ``mask/2`` with integer division).  ONE definition shared by the build's
+    explode and the strict probe's explode — if they diverged, the build
+    would insert and the probe check different shards: false negatives."""
+    off = (n_shards - 1) // 2
+    nlit = F.lit(n_shards).cast("long")
+    p1a = F.pmod(F.col("_skh_a"), nlit)
+    p1b = F.pmod(F.col("_skh_b"), nlit)
+    return F.array(
+        F.struct(F.lit(0).alias("t"), p1a.alias("s")),
+        F.struct(F.lit(0).alias("t"), F.pmod(p1a + off, nlit).alias("s")),
+        F.struct(F.lit(1).alias("t"), p1b.alias("s")),
+        F.struct(F.lit(1).alias("t"), F.pmod(p1b + off, nlit).alias("s")),
+    )
+
+
 def _insert_tier(levels: list[Level], h1: np.ndarray, h2: np.ndarray,
                  m0: int, threshold: float, rehash: bool, cap_div: int = 1) -> None:
     """Insert a batch of (h1,h2) rows into ONE tier's level cascade, opening
@@ -701,17 +720,7 @@ def build_bloom_states(df: DataFrame, col: str, cfg: BloomConfig = BloomConfig()
         if n_shards < 4 or n_shards & (n_shards - 1):
             raise ValueError("strict_parity needs a power-of-two n_shards >= 4 "
                              "(the reference's mask arithmetic, filter.rs:133-134)")
-        off = (n_shards - 1) // 2  # mask/2 with integer division, filter.rs:134
-        nlit = F.lit(n_shards).cast("long")
-        p1a = F.pmod(F.col("_skh_a"), nlit)
-        p1b = F.pmod(F.col("_skh_b"), nlit)
-        targets = F.array(
-            F.struct(F.lit(0).alias("t"), p1a.alias("s")),
-            F.struct(F.lit(0).alias("t"), F.pmod(p1a + off, nlit).alias("s")),
-            F.struct(F.lit(1).alias("t"), p1b.alias("s")),
-            F.struct(F.lit(1).alias("t"), F.pmod(p1b + off, nlit).alias("s")),
-        )
-        hashed = (hashed.select("_skh_a", "_skh_b", F.explode(targets).alias("_tgt"))
+        hashed = (hashed.select("_skh_a", "_skh_b", F.explode(strict_targets(n_shards)).alias("_tgt"))
                   .select("_skh_a", "_skh_b",
                           F.col("_tgt.t").alias("_sktier"),
                           F.col("_tgt.s").alias(_ROUTE)))
@@ -978,17 +987,8 @@ def _membership_join_strict(probes: DataFrame, states: DataFrame, tiers: int,
     should be materialized first)."""
     hashed = probes.select("*", *hcols)
     keys = hashed.select("_skh_a", "_skh_b").distinct()
-    off = (n_shards - 1) // 2
-    nlit = F.lit(n_shards).cast("long")
-    p1a = F.pmod(F.col("_skh_a"), nlit)
-    p1b = F.pmod(F.col("_skh_b"), nlit)
-    targets = F.array(
-        F.struct(F.lit(0).alias("t"), p1a.alias("s")),
-        F.struct(F.lit(0).alias("t"), F.pmod(p1a + off, nlit).alias("s")),
-        F.struct(F.lit(1).alias("t"), p1b.alias("s")),
-        F.struct(F.lit(1).alias("t"), F.pmod(p1b + off, nlit).alias("s")),
-    )
-    exploded = (keys.select("_skh_a", "_skh_b", F.explode(targets).alias("_tgt"))
+    exploded = (keys.select("_skh_a", "_skh_b",
+                            F.explode(strict_targets(n_shards)).alias("_tgt"))
                 .select("_skh_a", "_skh_b",
                         F.col("_tgt.t").alias("_sktier"),
                         F.col("_tgt.s").alias(_ROUTE)))

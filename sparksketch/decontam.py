@@ -82,8 +82,12 @@ def decontaminate(df: DataFrame, col: str, id_col: str, benchmark: DataFrame,
                              max_chars=max_chars, **kwargs)
     flags = contamination(df, col, id_col, state, shingle,
                           max_chars=max_chars, threshold=threshold)
-    keep = flags.filter(~F.col("contaminated")).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    # anti-join on the CONTAMINATED ids: docs with NULL text produce no
+    # shingle rows and are absent from `flags` entirely — they cannot be
+    # contaminated and must survive (a semi-join on the clean ids would
+    # silently drop them)
+    bad = flags.filter(F.col("contaminated")).select(id_col)
+    return df.join(bad, id_col, "left_anti")
 
 
 # ====================================================================

@@ -65,6 +65,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     clash = set(value_cols) & set(left_cols)
     if clash:
         raise ValueError(f"value_cols clash with left columns: {sorted(clash)}")
+    reserved = {"_is_l", "_rv"} & (set(left_cols) | set(value_cols))
+    if reserved:
+        raise ValueError(f"columns clash with reserved names: {sorted(reserved)}")
+    # NULL keys never match (equi/ASOF-join semantics): a window partition
+    # would otherwise group the NULLs and attribute values across them
+    right = right.filter(F.col(on).isNotNull())
     rv = F.struct(*[F.col(c) for c in value_cols])
     null_rv = F.lit(None).cast(
         "struct<" + ", ".join(f"`{c}`: {right.schema[c].dataType.simpleString()}"

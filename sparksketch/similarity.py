@@ -251,7 +251,18 @@ def ivf_centroids(df: DataFrame, vec_col: str, n_lists: int = 16, dim: int | Non
     time-clustered table), seeded init, fixed iteration count."""
     dim = dim or infer_dim(df, vec_col)
     vecs = df.select(vec_col)
-    n = df.count()
+    # row count for the sample fraction: prefer the optimizer's estimate
+    # (free when catalog/CBO stats exist — ANALYZE TABLE at scale) over an
+    # extra count() job; the exact value only scales the fraction
+    n = None
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            n = int(str(rc.get()))
+    except Exception:
+        n = None
+    if n is None:
+        n = df.count()
     if n > sample:
         # 1.25× oversample, then downselect driver-side — a `.limit(sample)`
         # would take the FIRST partitions' rows (LocalLimit), reintroducing

@@ -333,7 +333,9 @@ def stateful_sketch_by_key(stream_df: DataFrame, key_col: str, col: str,
                 sk.update_hashes(*[to_u64(pdf[c].to_numpy(dtype=np.int64))
                                    for c in val_cols])
             if ts_col is not None and len(pdf):
-                max_ev_ms = max(max_ev_ms, int(pdf[ts_col].max().timestamp() * 1000))
+                ev = pdf[ts_col].dropna()  # all-NULL chunk → NaT.max() would raise
+                if len(ev):
+                    max_ev_ms = max(max_ev_ms, int(ev.max().timestamp() * 1000))
         state.update((sk.to_bytes(), n_rows))
         if ttl_seconds is not None:
             # base the timeout on the KEY'S OWN latest event time, not the

@@ -93,3 +93,14 @@ def test_hash_split_validation(spark, docs):
         hash_split(docs, "text", {"a": 0.5})
     ok = hash_split(docs, "text", {"a": 0.5}, out_default="rest")
     assert {r.split for r in ok.select("split").distinct().collect()} <= {"a", "rest"}
+
+
+def test_decontaminate_keeps_null_text_docs(spark, docs):
+    withnull = docs.unionByName(
+        spark.createDataFrame([(99999, None, "x", "srcX", 0)],
+                              "doc_id long, text string, lang string, source string, n_chars long"))
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    clean = decontaminate(withnull, "text", "doc_id", bench, shingle=SHINGLE,
+                          n_shards=8, partitions=4)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert 99999 in kept  # a NULL-text doc cannot be contaminated

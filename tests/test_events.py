@@ -74,3 +74,10 @@ def test_asof_join_preserves_genuine_nulls(spark):
            asof_join(left, right, "k", "ts", ["v", "tag"]).collect()}
     assert got[101] == (5.0, "x")      # matched the ts=1 row whole
     assert got[100] == (None, "y")     # latest row taken whole, NULL kept
+
+
+def test_asof_join_null_keys_never_match(spark):
+    left = spark.createDataFrame([(None, 10, 1), (1, 10, 2)], "k long, ts long, lid long")
+    right = spark.createDataFrame([(None, 5, 7.0), (1, 5, 9.0)], "k long, ts long, v double")
+    got = {r.lid: r.v for r in asof_join(left, right, "k", "ts", ["v"]).collect()}
+    assert got == {1: None, 2: 9.0}  # NULL key matches nothing, row preserved
