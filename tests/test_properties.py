@@ -192,3 +192,67 @@ def test_kll_serde_resume_reproducible(vals):
     a.update_values(arr[::-1].copy())
     b.update_values(arr[::-1].copy())
     assert a.to_bytes() == b.to_bytes()
+
+
+# ---------------- dedup kernels vs scalar reference ----------------
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=60),
+                min_size=1, max_size=30))
+@settings(max_examples=25, deadline=None)
+def test_shingle_window_hashes_match_scalar(texts):
+    """The vectorized byte-rolling shingle hash must equal a scalar
+    re-implementation row by row (offsets, short rows, empty rows)."""
+    import pyarrow as pa
+
+    from sparksketch.dedup import _shingle_window_hashes
+    from sparksketch.hashing import splitmix64
+    n = 5
+    arr = pa.array(texts, pa.string())
+    flat, starts, counts = _shingle_window_hashes(arr, n)
+    B = np.uint64(0x100000001B3)
+    for i, t in enumerate(texts):
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if data.size == 0:
+            want = np.empty(0, dtype=np.uint64)
+        elif data.size < n:
+            h = np.uint64(0)
+            for byte in data:
+                h = h * B + byte
+            want = splitmix64(np.array([h], dtype=np.uint64))
+        else:
+            ws = []
+            for j in range(data.size - n + 1):
+                h = np.uint64(0)
+                for byte in data[j : j + n]:
+                    h = h * B + byte
+                ws.append(h)
+            want = splitmix64(np.array(ws, dtype=np.uint64))
+        got = flat[starts[i] : starts[i] + counts[i]]
+        assert (got == want).all(), (i, t)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=0, max_size=200),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=25, deadline=None)
+def test_simhash_kernel_matches_scalar(token_hashes, pad):
+    """The 64-lane simhash bit-vote kernel vs a per-bit scalar count."""
+    import pyarrow as pa
+
+    from sparksketch.dedup import _simhash_kernel
+    rows = [token_hashes, [], token_hashes[: len(token_hashes) // 2]][: pad + 1] or [token_hashes]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(len(rows))), pa.int64()),
+         pa.array(rows, pa.list_(pa.int64()))],
+        names=["_id", "_th"])
+    out = list(_simhash_kernel()([batch]))[0]
+    got = out.column("simhash").to_pylist()
+    for r, ths in enumerate(rows):
+        sig = 0
+        for j in range(64):
+            ones = sum((np.uint64(h & (2**64 - 1)) >> np.uint64(j)) & np.uint64(1)
+                       for h in np.array(ths, dtype=np.int64).view(np.uint64)) if ths else 0
+            if ths and 2 * int(ones) - len(ths) > 0:
+                sig |= 1 << j
+        want = sig - (1 << 64) if sig >= (1 << 63) else sig
+        assert got[r] == want, r
