@@ -191,3 +191,43 @@ def test_multi_format_roundtrip(spark, tmp_path):
         back2 = load_table(spark, out,
                            schema="n_nationkey long, n_name string, n_regionkey long, n_comment string")
         assert back2.count() == 25
+
+
+def test_bucketed_join_avoids_exchange(spark, tmp_path):
+    """Bucketed tables co-locate join keys at WRITE time: a join of two
+    tables bucketed on the same key runs with NO shuffle exchange — the
+    at-scale recipe for repeated joins against a huge fact table."""
+    import io
+    from contextlib import redirect_stdout
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (docs.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+     .saveAsTable("docs_bucketed"))
+    (docs.select("doc_id", "lang").write.mode("overwrite")
+     .bucketBy(8, "doc_id").saveAsTable("meta_bucketed"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the test table is broadcast-sized; turn broadcast off so the
+        # planner faces the real choice the 100 TB fact table would: shuffle
+        # both sides, or use the buckets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("docs_bucketed").join(
+            spark.table("meta_bucketed"), "doc_id")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert "Bucketed: true" in plan
+        assert joined.count() == docs.count()
+        # contrast: the same join on plain parquet must shuffle both sides
+        plain = docs.join(docs.select("doc_id", "lang").withColumnRenamed("lang", "l2"),
+                          "doc_id")
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            plain.explain()
+        assert "Exchange" in buf2.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+        spark.sql("DROP TABLE IF EXISTS meta_bucketed")
