@@ -81,7 +81,8 @@ from sparksketch.hashing import (
 )
 
 _MAGIC = b"SKBF"
-_VERSION = 2
+_VERSION = 2        # flags byte == 0 (the original pad byte)
+_VERSION_FLAGS = 3  # same layout, nonzero flags byte (bit 0 = strict_parity)
 
 
 @dataclass
@@ -160,10 +161,14 @@ class BloomFilterState:
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()
         buf.write(_MAGIC)
-        # the flags byte occupies what was the V2 pad byte, so old blobs
-        # (pad = 0) read back as strict=False — layout-compatible
-        buf.write(struct.pack("<BBBBIId", _VERSION, self.tiers, int(self.rehash),
-                              int(self.strict), self.n_shards, len(self.shards),
+        # the flags byte occupies what was the V2 pad byte; blobs with any
+        # flag set are stamped V3 so a pre-flags reader REJECTS them instead
+        # of silently decoding strict=False and probing with default routing
+        # (a zero-FN contract break under reader/writer version skew)
+        flags = int(self.strict)
+        ver = _VERSION_FLAGS if flags else _VERSION
+        buf.write(struct.pack("<BBBBIId", ver, self.tiers, int(self.rehash),
+                              flags, self.n_shards, len(self.shards),
                               self.threshold))
         buf.write(struct.pack("<Q", self.m0))
         for sid in sorted(self.shards):
@@ -182,8 +187,15 @@ class BloomFilterState:
         off = 4
         ver, tiers, rehash, flags, n_shards, n_entries, threshold = struct.unpack_from("<BBBBIId", data, off)
         off += struct.calcsize("<BBBBIId")
-        if ver != _VERSION:
+        if ver not in (_VERSION, _VERSION_FLAGS):
             raise ValueError(f"unsupported blob version {ver}")
+        if ver == _VERSION and flags:
+            raise ValueError("v2 blob with nonzero flags byte (corrupt or "
+                             "written by a skewed writer) — refusing to guess")
+        if flags & ~1:
+            raise ValueError(f"unknown blob flag bits 0x{flags & ~1:x} — "
+                             "written by a newer sparksketch; refusing to "
+                             "probe with incompatible routing")
         (m0,) = struct.unpack_from("<Q", data, off)
         off += 8
         st = cls(tiers=tiers, n_shards=n_shards, m0=m0, threshold=threshold,
@@ -1061,6 +1073,13 @@ class GroupBloom:
     def __init__(self, cfg: BloomConfig | None = None, m0: int | None = None,
                  cap_div: int = 1):
         self.cfg = cfg or BloomConfig()
+        if self.cfg.strict_parity:
+            # strict mode's 2-shards-per-tier placement needs n_shards >= 4;
+            # a single-shard group sketch cannot satisfy it — fail loudly
+            # rather than silently dropping the user's explicit config
+            raise ValueError("strict_parity is incompatible with per-group "
+                             "filters (single-shard); use build_bloom for "
+                             "reference-parity filters")
         m0 = m0 or self.cfg.m0
         self.cap_div = cap_div
         self.state = BloomFilterState(self.cfg.tiers, 1, m0, self.cfg.threshold, self.cfg.rehash)
@@ -1104,6 +1123,12 @@ def bloom_by_group(df: DataFrame, group_col: str, col: str,
     produces at most one partial per partition regardless of its row count.
     Level capacities are split across partitions (scan-local accounting)."""
     from sparksketch import sketch as _sk
+    if cfg.strict_parity:
+        # validate on the driver: the GroupBloom factory runs inside executor
+        # tasks, where the same error would surface as an opaque task failure
+        raise ValueError("strict_parity is incompatible with per-group "
+                         "filters (single-shard); use build_bloom for "
+                         "reference-parity filters")
     spark = df.sparkSession
     cap_div = max(spark.sparkContext.defaultParallelism, 1)
     m0 = None

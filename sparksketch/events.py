@@ -68,9 +68,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     reserved = {"_is_l", "_rv"} & (set(left_cols) | set(value_cols))
     if reserved:
         raise ValueError(f"columns clash with reserved names: {sorted(reserved)}")
-    # NULL keys never match (equi/ASOF-join semantics): a window partition
-    # would otherwise group the NULLs and attribute values across them
-    right = right.filter(F.col(on).isNotNull())
+    # NULL keys and NULL timestamps never match (equi/ASOF-join semantics):
+    # a window partition would otherwise group the NULL keys together, and a
+    # NULL-ts right row would sort FIRST (NULLS FIRST) and leak its values
+    # into left rows with no true ts<=left.ts match.  Left rows with NULL ts
+    # also sort first and therefore see no carried values → NULL outputs,
+    # matching "NULL comparison never matches" on the left side too.
+    right = right.filter(F.col(on).isNotNull() & F.col(ts).isNotNull())
     rv = F.struct(*[F.col(c) for c in value_cols])
     null_rv = F.lit(None).cast(
         "struct<" + ", ".join(f"`{c}`: {right.schema[c].dataType.simpleString()}"

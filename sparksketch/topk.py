@@ -43,11 +43,14 @@ class MisraGries:
     def update_keys(self, keys) -> None:
         """``keys``: a pyarrow string array (or anything value_counts-able)."""
         if isinstance(keys, (pa.Array, pa.ChunkedArray)):
-            vc = pc.value_counts(keys)
+            # drop nulls BEFORE counting: value_counts counts null as a
+            # group, which would enter the counters and serialize as the
+            # literal string "None", corrupting topk()/estimate()
+            vc = pc.value_counts(pc.drop_null(keys))
             batch = pd.Series(vc.field("counts").to_numpy(zero_copy_only=False),
                               index=vc.field("values").to_pylist(), dtype=np.int64)
         else:
-            batch = pd.Series(np.asarray(keys, dtype=object)).value_counts()
+            batch = pd.Series(np.asarray(keys, dtype=object)).value_counts(dropna=True)
         self.n += int(batch.sum())
         self.counters = batch.add(self.counters, fill_value=0).astype(np.int64)
         self._prune()

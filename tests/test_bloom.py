@@ -450,3 +450,37 @@ def test_empty_input_builds_empty_filter(spark):
         assert state.strict == cfg.strict_parity
         probes = _keys_df(spark, 0, 100)
         assert with_membership(probes, "key", state).filter("is_member").count() == 0
+
+
+def test_blob_version_gates_strict_flag(spark):
+    """Strict blobs are stamped V3 so a pre-flags (v2) reader rejects them
+    instead of silently probing with default routing (ADVICE r2); plain
+    blobs stay V2; unknown flag bits are refused."""
+    cfg = BloomConfig(strict_parity=True)
+    strict = build_bloom(_keys_df(spark, 0, 500), "key", cfg, n_shards=8, partitions=4)
+    blob = strict.to_bytes()
+    assert blob[4] == 3  # version byte
+    plain = build_bloom(_keys_df(spark, 0, 500), "key", BloomConfig(), n_shards=8, partitions=4)
+    pblob = plain.to_bytes()
+    assert pblob[4] == 2
+    assert not BloomFilterState.from_bytes(pblob).strict
+    assert BloomFilterState.from_bytes(blob).strict
+    # v2 blob claiming flags => corrupt / skewed writer: refuse
+    bad = bytearray(blob)
+    bad[4] = 2
+    with pytest.raises(ValueError):
+        BloomFilterState.from_bytes(bytes(bad))
+    # unknown future flag bit: refuse
+    bad2 = bytearray(blob)
+    bad2[7] |= 2  # flags byte (B B B B -> ver tiers rehash flags)
+    with pytest.raises(ValueError):
+        BloomFilterState.from_bytes(bytes(bad2))
+
+
+def test_group_bloom_rejects_strict_parity(spark):
+    from sparksketch.bloom import GroupBloom, bloom_by_group
+    with pytest.raises(ValueError):
+        GroupBloom(BloomConfig(strict_parity=True))
+    df = _keys_df(spark, 0, 100).withColumn("g", F.lit("a"))
+    with pytest.raises(ValueError):
+        bloom_by_group(df, "g", "key", BloomConfig(strict_parity=True))

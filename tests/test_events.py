@@ -81,3 +81,14 @@ def test_asof_join_null_keys_never_match(spark):
     right = spark.createDataFrame([(None, 5, 7.0), (1, 5, 9.0)], "k long, ts long, v double")
     got = {r.lid: r.v for r in asof_join(left, right, "k", "ts", ["v"]).collect()}
     assert got == {1: None, 2: 9.0}  # NULL key matches nothing, row preserved
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """A right row with NULL ts sorts first (NULLS FIRST) in the window —
+    without the right-side ts filter its values would attach to left rows
+    that have no true ts<=left.ts match (ADVICE r2)."""
+    left = spark.createDataFrame([(1, 10, 1), (1, None, 2)], "k long, ts long, lid long")
+    right = spark.createDataFrame([(1, None, 666.0), (1, 5, 9.0)], "k long, ts long, v double")
+    got = {r.lid: r.v for r in asof_join(left, right, "k", "ts", ["v"]).collect()}
+    # lid=1 matches ts=5 (never the NULL-ts row); NULL-ts left row matches nothing
+    assert got == {1: 9.0, 2: None}

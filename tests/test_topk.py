@@ -104,3 +104,14 @@ def test_topk_by_group_dataframe(spark):
              ev.groupBy("event_type", "user_id").count().collect()}
     for r in rows:
         assert r.cnt_lo <= exact[(r.group, r.key)] <= r.cnt_lo + r.err_bound
+
+
+def test_mg_update_keys_drops_nulls():
+    """Direct public use with null keys: value_counts counts null as a group
+    — it must not enter the counters or the total (ADVICE r2)."""
+    import pyarrow as pa
+    mg = MisraGries(k=4)
+    mg.update_keys(pa.array(["a", None, "b", "a", None]))
+    assert mg.n == 3
+    assert set(mg.counters.index) == {"a", "b"}
+    assert "None" not in set(str(x) for x in MisraGries.from_bytes(mg.to_bytes()).counters.index)
