@@ -349,13 +349,28 @@ def _cms_min_user_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
 def _simhash_complete_check(spark: SparkSession, sf: str) -> DataFrame:
     # pigeonhole completeness certificate: 4×16-bit block banding must find
     # EXACTLY the pairs within Hamming distance 3 (≤3 flipped bits leave ≥1
-    # block untouched), so banded candidates == brute-force all-pairs set
+    # block untouched).  Both sides are restricted to the deterministic
+    # id-window |id_b − id_a| ≤ 100 so the ground truth is a banded
+    # self-join — O(n·W) rows, never an O(n²) crossJoin — and the
+    # certificate keeps the same cost shape if the driver raises sf.
+    # max_bucket is lifted above the corpus size so the claim stays an exact
+    # set equality (the cap's bounded-memory behavior has its own pytest).
+    W_IDS = 100
     docs = _T(spark, sf, "documents")
     sim = simhash(docs, "text", "doc_id").cache()
-    banded = simhash_candidates(sim, "doc_id", max_hamming=3)
-    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    brute = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    banded = (simhash_candidates(sim, "doc_id", max_hamming=3, max_bucket=1 << 30)
+              .filter(F.col("id_b") - F.col("id_a") <= W_IDS))
+    # bucket ids by W so the range join is TWO equi-joins (own bucket +
+    # successor bucket) instead of a nested-loop theta join — O(n·W) rows
+    # AND O(n·W) compute
+    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                   F.floor(F.col("doc_id") / W_IDS).alias("bkt"))
+    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                   F.floor(F.col("doc_id") / W_IDS).alias("bkt"))
+    cand = a.join(b, "bkt").unionByName(
+        a.withColumn("bkt", F.col("bkt") + 1).join(b, "bkt"))
+    brute = (cand.filter((F.col("id_b") > F.col("id_a"))
+                         & (F.col("id_b") <= F.col("id_a") + W_IDS))
              .filter(F.expr("bit_count(sh_a ^ sh_b)") <= 3)
              .select("id_a", "id_b"))
     n_banded = banded.count()

@@ -324,23 +324,62 @@ def simhash(df: DataFrame, col: str, id_col: str, max_chars: int = 8192) -> Data
     return out.withColumnRenamed("_id", id_col)
 
 
-def simhash_candidates(sim_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_candidates(sim_df: DataFrame, id_col: str, max_hamming: int = 3,
+                       n_blocks: int = 4, max_bucket: int = 1024) -> DataFrame:
     """Near-dup candidates: by pigeonhole, two signatures within Hamming
-    distance 3 agree on at least one of 4 16-bit blocks → equi-join per
-    block, then exact Hamming filter (``bit_count(a ^ b)``, JVM-side)."""
-    blocks = sim_df.select(
-        id_col, "simhash",
-        *[F.expr(f"(simhash >> {16 * i}) & 65535").alias(f"b{i}") for i in range(4)],
+    distance ``n_blocks - 1`` agree on at least one of ``n_blocks`` equal
+    bit-blocks → bucket per (block, value), then exact Hamming filter
+    (``bit_count(a ^ b)``, JVM-side).
+
+    Shape: ONE posexplode → window cap → bucket pair-generation, so the
+    (block, value) partitioning from the cap window is reused by the
+    grouped collect (no second exchange) and pairs carry both signatures —
+    no join back onto the signature table.
+
+    Bucket safety (the round-2 scale-killer): each (block, value) bucket is
+    capped at ``max_bucket`` ids (deterministic — lowest ids win, same
+    window-row_number pattern as :func:`lsh_candidates`).  Uncapped, a
+    10^9-doc corpus puts ~n/2^(64/n_blocks) docs in every bucket and the
+    pre-filter candidate volume goes O(n²/2^(64/n_blocks)).  Capped, peak
+    per-bucket work is O(max_bucket²) regardless of corpus shape.
+    Truncation trades recall only inside pathological buckets; duplicate
+    clusters that large are exact-dup territory — run exact_dedup first.
+    Sizing at scale: expect ~n/2^(64/n_blocks) docs per bucket; if that
+    exceeds ``max_bucket`` for ordinary (non-degenerate) buckets, use fewer,
+    wider blocks (``n_blocks=2`` covers ``max_hamming=1`` with a 2^32 value
+    space) rather than a bigger cap.
+    """
+    if 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole needs n_blocks > max_hamming: {max_hamming} flipped "
+            f"bits can touch all {n_blocks} blocks")
+    from pyspark.sql import Window as _W
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    exploded = sim_df.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(
+            *[F.expr(f"(simhash >> {width * i}) & {mask}") for i in range(n_blocks)]
+        )).alias("blk", "val"),
     )
-    cands = None
-    for i in range(4):
-        a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"b{i}").alias("blk"))
-        b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"b{i}").alias("blk"))
-        c = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
-        cands = c if cands is None else cands.unionByName(c)
-    dist = F.expr("bit_count(sh_a ^ sh_b)")
-    return (cands.distinct()
-            .withColumn("hamming", dist)
+    w = _W.partitionBy("blk", "val").orderBy(id_col)
+    capped = (exploded.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    buckets = capped.groupBy("blk", "val").agg(
+        F.sort_array(F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+        )).alias("xs"),
+    ).filter(F.size("xs") > 1)
+    pairs = buckets.select(
+        F.explode(F.expr(
+            "flatten(transform(xs, (x, i) -> transform(slice(xs, i + 2, size(xs)),"
+            " y -> named_struct('id_a', x.i, 'sh_a', x.s, 'id_b', y.i, 'sh_b', y.s))))"
+        )).alias("p")
+    ).select("p.*")
+    return (pairs.distinct()
+            .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
 

@@ -113,6 +113,42 @@ def test_simhash_candidates(spark):
     assert (0, 3) not in got  # unrelated doc far away
 
 
+def test_simhash_bucket_truncation_guard(spark):
+    # degenerate corpus: 100k signatures sharing every block value (all
+    # identical) — uncapped this is ~5·10^9 pairs in one bucket per block;
+    # capped it must complete with bounded work and emit ≤ C(cap, 2) pairs
+    n = 100_000
+    sh = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(-6148914691236517206).alias("simhash"))
+    cands = simhash_candidates(sh, "doc_id", max_hamming=3, max_bucket=128)
+    m = cands.count()
+    assert 0 < m <= 128 * 127 / 2
+    # the kept ids are the deterministic lowest ones
+    top = cands.agg(F.max("id_b")).first()[0]
+    assert top <= 127
+
+
+def test_simhash_candidates_param_guards(spark):
+    sh = spark.range(4).select(F.col("id").alias("doc_id"), F.col("id").alias("simhash"))
+    with pytest.raises(ValueError):
+        simhash_candidates(sh, "doc_id", max_hamming=4, n_blocks=4)
+    with pytest.raises(ValueError):
+        simhash_candidates(sh, "doc_id", n_blocks=5)
+
+
+def test_simhash_candidates_wider_blocks(spark):
+    # n_blocks=2 (32-bit blocks): pigeonhole covers max_hamming=1
+    words = [f"tok{i}" for i in range(300)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(words)),
+         (2, " ".join(f"zq{i}" for i in range(300)))],
+        "doc_id long, text string")
+    sh = simhash(df, "text", "doc_id", max_chars=8192)
+    got = {(r.id_a, r.id_b) for r in
+           simhash_candidates(sh, "doc_id", max_hamming=1, n_blocks=2).collect()}
+    assert (0, 1) in got and (0, 2) not in got
+
+
 def test_lsh_bucket_truncation_guard(spark):
     # 600 identical docs → one bucket; pair blowup must be capped
     df = spark.createDataFrame([(i, "same text for everyone here") for i in range(600)],
