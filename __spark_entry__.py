@@ -12,7 +12,10 @@ cosine scores) the oracle reproduces the values; randomized-estimate
 sketches (HLL, t-digest, KLL) emit *certificates* — the exact value computed
 Spark-side plus a boolean "estimate within the published bound", which the
 oracle pins to TRUE, so a broken sketch still fails the gate.  LSH-based
-candidate generators are non-SQL-expressible → rows-only checks.
+candidate generators (whose candidate sets are non-SQL-expressible) emit
+certificates too: deterministic data-derived columns the oracle recomputes,
+plus seed-fixed soundness/recall/accuracy booleans pinned TRUE — every query
+is hash-checked, none are rows-only.
 """
 
 from __future__ import annotations
@@ -37,7 +40,6 @@ from sparksketch.dedup import (
     connected_components,
     exact_dedup_ids,
     exact_jaccard,
-    minhash_dedup_pairs,
     simhash,
     simhash_candidates,
 )
@@ -236,14 +238,52 @@ def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_neardup_docs(spark: SparkSession, sf: str) -> DataFrame:
-    # LSH candidate generation is not SQL-expressible → rows-only check
+    # estimator-accuracy certificate over the REAL LSH pipeline: for every
+    # band-bucket candidate pair, the signature-estimated Jaccard must sit
+    # within 0.4 of the exact char-5-gram Jaccard.  Hoeffding with 64
+    # permutations: P(|est − J| ≥ 0.4) ≤ 2·exp(−2·64·0.4²) ≈ 3e−9 per pair;
+    # the run is seed-fixed, so the boolean is deterministic (measured max
+    # deviation: 0.113 over 28 candidates at sf0.01, 0.259 over 526 at
+    # sf0.1 — a broken permutation/banding shows up as ~0.5–1.0).  ok also
+    # requires a non-empty candidate set so a silently-empty pipeline cannot
+    # pass vacuously.  The candidate SET itself is not SQL-expressible; the
+    # oracle pins (n_docs, TRUE).
+    from sparksketch.dedup import lsh_candidates, minhash_signatures, signature_jaccard
     docs = _T(spark, sf, "documents")
-    return (minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
-            .orderBy("id_a", "id_b"))
+    sig = minhash_signatures(docs, "text", "doc_id").cache()
+    cands = lsh_candidates(sig, "doc_id").cache()
+    est = signature_jaccard(cands, sig, "doc_id")
+    ex = exact_jaccard(cands, docs, "text", "doc_id")
+    j = est.join(ex, ["id_a", "id_b"])
+    row = j.agg(
+        F.count("*").alias("n"),
+        F.max(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("mx"),
+    ).first()
+    ok = row.n > 0 and float(row.mx) <= 0.4
+    n_docs = docs.count()
+    return spark.createDataFrame([Row(n_docs=int(n_docs), ok=bool(ok))],
+                                 "n_docs long, ok boolean")
 
 
 def _simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash(_T(spark, sf, "documents"), "text", "doc_id")
+    # per-doc determinism certificate: simhash is a sum of per-token bit
+    # votes, so it must be invariant to (a) token ORDER and (b) the Arrow
+    # batch slicing that a different partitioning produces.  Side two
+    # reverses every doc's token order AND repartitions before hashing; the
+    # signatures must match bit-for-bit.  The signature VALUE is not
+    # SQL-expressible (Spark xxhash64 token hashes); the oracle pins one
+    # TRUE per doc_id, making this a 500-row hash-checked certificate.
+    docs = _T(spark, sf, "documents")
+    big = 1 << 20  # no truncation on either side (reversal moves chars across any cap)
+    s1 = simhash(docs, "text", "doc_id", max_chars=big)
+    rev = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.reverse(F.split(F.lower(F.trim("text")), r"\s+"))).alias("text"),
+    ).repartition(17)
+    s2 = (simhash(rev, "text", "doc_id", max_chars=big)
+          .withColumnRenamed("simhash", "simhash_rev"))
+    return (s1.join(s2, "doc_id")
+            .select("doc_id", (F.col("simhash") == F.col("simhash_rev")).alias("ok")))
 
 
 def _exact_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -382,10 +422,38 @@ def _simhash_complete_check(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # driver embeddings are near-random (max foreign cosine ≈ 0.37), so the
-    # "near-dup" threshold is set where the data actually has pairs
+    # soundness + recall certificate for the sign-LSH near-dup pipeline
+    # (driver embeddings are near-random — max foreign cosine ≈ 0.37 — so
+    # the threshold sits where the data actually has pairs):
+    #   n_exact_pairs — exact count of cosine-≥-0.3 pairs, which the oracle
+    #     recomputes in SQL (the hard, data-derived column);
+    #   subset_ok    — every emitted pair really is ≥ threshold (checked
+    #     against a 0.297 double-precision margin set: the kernel filters in
+    #     float32, so a boundary pair may sit ~1e-6 below 0.3 in double);
+    #   recall_ok    — emitted ∩ exact covers ≥ 15% of the exact set.  With
+    #     8 tables × 6 planes, per-pair collision at cos 0.3 (θ ≈ 72.5°) is
+    #     1−(1−(1−θ/π)^6)^8 ≈ 0.31; the run is seed-fixed (measured recall
+    #     0.330 at sf0.01, 0.343 at sf0.1), so the boolean is deterministic.
     emb = _T(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.3, n_planes=6)
+    emitted = embedding_near_dup_pairs(emb, "embedding", "vec_id",
+                                       threshold=0.3, n_planes=6, n_tables=8).cache()
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    allp = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", (dot / (na * nb)).alias("sim")).cache())
+    exact = allp.filter(F.round("sim", 4) >= 0.3)
+    margin = allp.filter(F.col("sim") >= 0.297)
+    n_exact = exact.count()
+    n_outside = emitted.join(margin, ["id_a", "id_b"], "left_anti").count()
+    n_overlap = emitted.join(exact, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [Row(n_exact_pairs=int(n_exact), subset_ok=bool(n_outside == 0),
+             recall_ok=bool(n_exact > 0 and n_overlap / n_exact >= 0.15))],
+        "n_exact_pairs long, subset_ok boolean, recall_ok boolean")
 
 
 def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
@@ -644,8 +712,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a, e b WHERE a.vec_id < b.vec_id "
             "AND round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
             "sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3"),
-        # minhash_neardup_docs / simhash_docs / embedding_neardup_lsh:
-        # LSH/hash internals are not SQL-expressible → rows-only checks.
+        # the three LSH queries are certificates: the hash/candidate
+        # internals are not SQL-expressible, so each emits deterministic
+        # data-derived columns plus booleans the oracle pins TRUE
+        "minhash_neardup_docs": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS ok FROM documents"),
+        "simhash_docs": "SELECT doc_id, TRUE AS ok FROM documents",
+        "embedding_neardup_lsh": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, "
+            "TRUE AS subset_ok, TRUE AS recall_ok FROM e a, e b "
+            "WHERE a.vec_id < b.vec_id "
+            "AND round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3"),
         "exact_jaccard_pairs": (
             "WITH t AS (SELECT doc_id, substring(text, 1, 4096) AS t FROM documents), "
             "sh AS (SELECT doc_id, list_distinct(list_transform("

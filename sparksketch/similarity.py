@@ -153,12 +153,54 @@ def lsh_query(df_bucketed: DataFrame, vec_col: str, id_col: str, query: np.ndarr
     return cosine_topk(cand, vec_col, id_col, q, k=k, dim=planes.shape[0])
 
 
+def with_lsh_table_buckets(df: DataFrame, vec_col: str, planes: np.ndarray,
+                           n_planes: int, n_tables: int,
+                           out: str = "bucket") -> DataFrame:
+    """One row per (input row, hash table): bucket id = table index in the
+    high bits | that table's packed sign bits.  ``planes`` has
+    ``n_tables * n_planes`` columns (one plane set per table).
+
+    This is standard LSH amplification (L independent hash tables OR-ed):
+    collision probability for a pair at angle θ rises from ``p^r`` to
+    ``1 − (1 − p^r)^L`` with ``p = 1 − θ/π``.  The cost is explicit: the
+    vector column is duplicated ``n_tables``× through the bucket shuffle —
+    choose L for the recall you need, not more."""
+    dim = planes.shape[0]
+    pl = planes
+
+    def fn(batches):
+        for batch in batches:
+            mat = _mat_of(batch.column(vec_col), dim)
+            signs = (mat @ pl) > 0
+            n = mat.shape[0]
+            buckets = np.zeros((n, n_tables), dtype=np.uint64)
+            for t in range(n_tables):
+                acc = np.full(n, np.uint64(t) << np.uint64(n_planes), dtype=np.uint64)
+                for j in range(n_planes):
+                    acc |= signs[:, t * n_planes + j].astype(np.uint64) << np.uint64(j)
+                buckets[:, t] = acc
+            offs = pa.array(np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32))
+            blist = pa.ListArray.from_arrays(
+                offs, pa.array(buckets.ravel().view(np.int64), pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, blist], names=[*batch.schema.names, "_buckets"])
+
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    multi = df.mapInArrow(fn, f"{out_schema}, `_buckets` array<bigint>")
+    return multi.select(*df.columns, F.explode("_buckets").alias(out))
+
+
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                              threshold: float = 0.95, n_planes: int = 12,
+                             n_tables: int = 1,
                              seed: int = 7, dim: int | None = None,
                              max_bucket: int = 65536, block: int = 2048) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold: bucket by sign-LSH, exact
     cosine only within buckets (vectorized per bucket group).
+
+    ``n_tables`` > 1 amplifies recall with independent hash tables (see
+    :func:`with_lsh_table_buckets`); emitted pairs are deduped across
+    tables by the final ``distinct()``.
 
     Hot-bucket safety (crawl corpora routinely have clusters of
     near-identical embeddings that all land in one bucket):
@@ -172,11 +214,14 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
       that large are exact-dup territory — run exact/minhash dedup first.
     """
     dim = dim or infer_dim(df, vec_col)
-    planes = lsh_planes(dim, n_planes, seed)
-    bucketed = with_lsh_bucket(
-        df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")),
-        "_v", planes,
-    ).repartition(F.col("bucket"))
+    proj = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    if n_tables == 1:
+        planes = lsh_planes(dim, n_planes, seed)
+        bucketed = with_lsh_bucket(proj, "_v", planes)
+    else:
+        planes = lsh_planes(dim, n_planes * n_tables, seed)
+        bucketed = with_lsh_table_buckets(proj, "_v", planes, n_planes, n_tables)
+    bucketed = bucketed.repartition(F.col("bucket"))
 
     def pairs_fn(batches):
         # a bucket never spans partitions (repartition on bucket) but can
@@ -232,8 +277,12 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                 )
 
     # group whole buckets per task: mapInArrow sees each repartitioned
-    # partition; grouping within the kernel handles multiple buckets/task
-    return bucketed.mapInArrow(pairs_fn, "id_a long, id_b long, cosine double").distinct()
+    # partition; grouping within the kernel handles multiple buckets/task.
+    # Dedup across tables on the PAIR KEY (not the full row): the same pair
+    # scored in two tables can carry float32 cosines that differ in the last
+    # ulp (BLAS blocking), which a distinct() would keep as two rows.
+    return (bucketed.mapInArrow(pairs_fn, "id_a long, id_b long, cosine double")
+            .groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine")))
 
 
 # ====================================================================

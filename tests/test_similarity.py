@@ -125,6 +125,38 @@ def test_embedding_near_dup_hot_bucket_bounded(spark):
         assert r.id_a < r.id_b and r.cosine >= 0.99
 
 
+def test_embedding_near_dup_multi_table_amplifies_recall(spark):
+    """L independent hash tables OR-ed: recall on moderate-cosine pairs must
+    rise with n_tables, emitted pairs stay sound (≥ threshold), and the same
+    pair found in several tables appears once."""
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((60, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        # moderate-similarity partner (~cos 0.85): single-table recall is low
+        noisy = 0.85 * v / np.linalg.norm(v) + 0.55 * rng.standard_normal(16).astype(np.float32) / 4
+        rows.append((100 + i, noisy.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def engineered_found(n_tables):
+        pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.6,
+                                         n_planes=8, n_tables=n_tables, dim=16)
+        got = [(r.id_a, r.id_b) for r in pairs.collect()]
+        assert len(got) == len(set(got))  # cross-table dedup on the pair key
+        return sum((i, 100 + i) in set(got) for i in range(60)), set(got)
+
+    f1, _ = engineered_found(1)
+    f8, got8 = engineered_found(8)
+    assert f8 > f1  # amplification is real
+    assert f8 >= 45  # 1-(1-p^8)^8 at cos>=0.6 keeps most engineered pairs
+    vecs = dict(rows)
+    for (a, b) in got8:
+        va, vb = np.array(vecs[a]), np.array(vecs[b])
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos >= 0.6 - 1e-4, (a, b, cos)
+
+
 def test_embedding_near_dup_tiling_matches_untiled(spark):
     """Tiny block size must produce exactly the untiled pair set."""
     rng = np.random.default_rng(9)
