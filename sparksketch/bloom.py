@@ -837,11 +837,18 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
     × 32 local workers, then cached in the single worker slot).  For
     filters beyond ~100 MiB probed once, or too big for worker memory,
     prefer :func:`membership_join`, which never replicates the filter."""
-    spark = df.sparkSession
+    hcols = hash_probe_cols(F.col(col).cast("string"))
+    return df.withColumn(out, _membership_probe_udf(df.sparkSession, state)(*hcols))
+
+
+def _membership_probe_udf(spark, state: BloomFilterState):
+    """The broadcast-probe pandas UDF over the two base-hash columns.
+    Membership is a pure function of (h1, h2) — callers that have already
+    computed the hash columns (e.g. to dedup probes) can apply this
+    directly without rehashing."""
     bc = spark.sparkContext.broadcast(state.to_bytes())
     _BC_SEQ[0] += 1
     bc_key = _BC_SEQ[0]
-    tiers = state.tiers
 
     @F.pandas_udf("boolean")
     def probe(ha, hb):
@@ -856,8 +863,7 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
             ha.to_numpy(dtype=np.int64, na_value=0),
             hb.to_numpy(dtype=np.int64, na_value=0)))
 
-    hcols = hash_probe_cols(F.col(col).cast("string"))
-    return df.withColumn(out, probe(*hcols))
+    return probe
 
 
 def with_group_membership(df: DataFrame, group_col: str, col: str, states,

@@ -131,6 +131,41 @@ def with_lsh_bucket(df: DataFrame, vec_col: str, planes: np.ndarray,
     return df.mapInArrow(fn, f"{out_schema}, `{out}` bigint")
 
 
+def write_lsh_index(df: DataFrame, vec_col: str, id_col: str, target: str,
+                    n_planes: int = 16, seed: int = 7,
+                    dim: int | None = None) -> np.ndarray:
+    """Persist a sign-LSH index as a table partitioned by ``bucket``, so a
+    probe's ``bucket IN (...)`` filter becomes PARTITION PRUNING — repeated
+    queries scan ~(1 + n_planes·multiprobe)/2^n_planes of the data instead
+    of re-scanning the full table (the same layout contract as IVF's
+    ``partitionBy(ivf_list)``).  Alongside the data, a ``<target>_meta``
+    table records (dim, n_planes, seed) — the planes are a pure function of
+    those three, so the index is re-openable with no binary sidecars.
+    Returns the plane matrix for immediate probing."""
+    from sparksketch.sources import write_table
+    dim = dim or infer_dim(df, vec_col)
+    planes = lsh_planes(dim, n_planes, seed)
+    bucketed = with_lsh_bucket(df.select(F.col(id_col), F.col(vec_col)), vec_col, planes)
+    write_table(bucketed, target, mode="overwrite", partition_by=["bucket"])
+    meta = df.sparkSession.createDataFrame(
+        [(int(dim), int(n_planes), int(seed))], "dim int, n_planes int, seed int")
+    write_table(meta, _lsh_meta_target(target), mode="overwrite")
+    return planes
+
+
+def _lsh_meta_target(target: str) -> str:
+    if target.endswith(".parquet"):
+        return target[: -len(".parquet")] + "_meta.parquet"
+    return target.rstrip("/") + "_meta"
+
+
+def read_lsh_index(spark, target: str) -> tuple[DataFrame, np.ndarray]:
+    """Re-open a persisted sign-LSH index: (bucketed DataFrame, planes)."""
+    from sparksketch.sources import load_table
+    m = load_table(spark, _lsh_meta_target(target)).first()
+    return load_table(spark, target), lsh_planes(m.dim, m.n_planes, m.seed)
+
+
 def lsh_query(df_bucketed: DataFrame, vec_col: str, id_col: str, query: np.ndarray,
               planes: np.ndarray, k: int = 10, multiprobe: int = 1) -> list[tuple[int, float]]:
     """ANN probe: scan only the query's bucket (plus buckets within

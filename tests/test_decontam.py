@@ -104,3 +104,21 @@ def test_decontaminate_keeps_null_text_docs(spark, docs):
                           n_shards=8, partitions=4)
     kept = {r.doc_id for r in clean.select("doc_id").collect()}
     assert 99999 in kept  # a NULL-text doc cannot be contaminated
+
+
+def test_contamination_probe_modes_identical(spark):
+    """probe='distinct' joins flags back on the filter's own base-hash pair
+    — bit-identical to probing every occurrence."""
+    from pyspark.sql import functions as F
+    from sparksketch.decontam import benchmark_filter, contamination
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    state = benchmark_filter(bench, "text", shingle=20, n_shards=8, partitions=4)
+    a = contamination(docs, "text", "doc_id", state, shingle=20, probe="all")
+    d = contamination(docs, "text", "doc_id", state, shingle=20, probe="distinct")
+    ra = sorted(map(tuple, a.collect()))
+    rd = sorted(map(tuple, d.collect()))
+    assert ra == rd
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        contamination(docs, "text", "doc_id", state, probe="bogus")
