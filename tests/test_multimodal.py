@@ -1,6 +1,7 @@
 """Multimodal plumbing: schema, deterministic fake codec, resize, frame
 sampling, and the explicit real-decoder seam."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -32,10 +33,70 @@ def test_decode_features(media):
         assert again[r.media_id] == r.features
 
 
-def test_real_decoder_raises(media):
-    with pytest.raises(Exception) as ei:
-        decode_features(media, decoder="real").collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+def test_real_decoder_matches_fake_on_fmed(media):
+    """decoder='real' dispatches FMED blobs to the same kernel — identical
+    schema AND values, proving a decoder swap never changes the plumbing."""
+    real = decode_features(media, decoder="real", n_features=16)
+    fake = decode_features(media, decoder="fake", n_features=16)
+    assert real.schema == fake.schema
+    rv = {r.media_id: r.features for r in real.collect()}
+    fv = {r.media_id: r.features for r in fake.collect()}
+    assert rv == fv
+
+
+def _pgm_blob(w, h, seed):
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    return b"P5\n# comment\n%d %d\n255\n" % (w, h) + pix.tobytes(), pix
+
+
+def _wav_blob(n, seed):
+    import io
+    import wave
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-30000, 30000, n, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def test_real_decoder_pgm_and_wav(spark):
+    """Real formats decode natively: binary PGM via numpy, WAV via stdlib
+    wave — through the full Spark pipeline with the fake-path schema."""
+    from sparksketch.multimodal import decode_blob
+    pgm, pix = _pgm_blob(12, 7, 3)
+    wav, samples = _wav_blob(500, 4)
+    # kernel-level: exact pixel/sample recovery
+    got_pix, nf = decode_blob(pgm)
+    assert nf == 1 and np.array_equal(got_pix, pix.ravel())
+    got_s, _ = decode_blob(wav)
+    assert np.array_equal(got_s, ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8))
+    # pipeline-level: same schema as the fake path
+    df = spark.createDataFrame([(1, bytearray(pgm)), (2, bytearray(wav))],
+                               "media_id long, media binary")
+    out = decode_features(df, decoder="real", n_features=16).collect()
+    feats = {r.media_id: r.features for r in out}
+    assert len(feats[1]) == 16 and len(feats[2]) == 16
+    assert abs(feats[1][0] - pix.mean() / 255.0) < 1e-6
+
+
+def test_real_decoder_png_seam(spark):
+    """PNG/JPEG go through the PIL probe: decode when PIL is importable,
+    NotImplementedError at the seam otherwise (either way, same plumbing)."""
+    import importlib.util
+
+    from sparksketch.multimodal import decode_blob
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError):
+            decode_blob(png_magic)
+    else:  # pragma: no cover - container has no PIL; branch for real deploys
+        with pytest.raises(Exception):
+            decode_blob(png_magic)  # truncated PNG still fails, but in PIL
 
 
 def test_resize(media):
