@@ -456,6 +456,49 @@ def _embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "n_exact_pairs long, subset_ok boolean, recall_ok boolean")
 
 
+def _repetition_features_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher/C4-style repetition quality filters: duplicate-line fraction +
+    # most-frequent-word-2-gram share, deterministic tie-break — the oracle
+    # reproduces the mode with the identical window rank
+    from sparksketch.textstats import repetition_features
+    docs = _T(spark, sf, "documents")
+    return repetition_features(docs).select(
+        "doc_id", "n_lines", "dup_line_ratio", "top_2gram_count", "top_2gram_ratio")
+
+
+def _scrub_pii_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # PII redaction over text with deterministic synthetic PII appended
+    # (the corpus itself is clean, so without the injection the scrub would
+    # be a vacuous identity); RE2-safe patterns run identically in DuckDB
+    from sparksketch.textstats import scrub_pii
+    docs = _T(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"), (F.col("doc_id") % 10000).cast("string"),
+            F.lit(" from 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    return salted.select("doc_id", scrub_pii("text").alias("scrubbed"))
+
+
+def _canonical_url_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # URL canonicalization over deterministically-synthesized messy URLs
+    # (documents carry no url column; both engines build the identical
+    # string from doc_id/source, then canonicalize): uppercase scheme/host,
+    # default port, trailing slash, tracking params, fragment — all
+    # normalized to one engine-portable dedup key
+    from sparksketch.webtext import canonical_url
+    docs = _T(spark, sf, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")), F.lit(".COM:443/Path/"),
+        F.col("doc_id").cast("string"), F.lit("/?utm_source=x&b="),
+        (F.col("doc_id") % 3).cast("string"), F.lit("&a=1&gclid=zz#frag"),
+    )
+    return docs.select("doc_id", canonical_url(messy).alias("url_canon"))
+
+
 def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # Full TPC-H q1 aggregate set in integer-exact money math: prices carry 2
     # decimals, discount/tax 2 each, so *100 / *10^4 / *10^6 factors are
@@ -577,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_class_counts": _char_class_counts,
         "lang_id_documents": _lang_id_documents,
         "fingerprint_documents": _fingerprint_documents,
+        "repetition_features_docs": _repetition_features_docs,
+        "scrub_pii_docs": _scrub_pii_docs,
+        "canonical_url_docs": _canonical_url_docs,
         # similarity
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "cosine_pairs": _cosine_pairs,
@@ -660,6 +706,24 @@ def _quality_sql() -> str:
         f"AS quality_score FROM g")
 
 
+def _scrub_pii_sql_query() -> str:
+    from sparksketch.textstats import scrub_pii_sql
+    salted = ("text || ' contact: user' || CAST(doc_id AS VARCHAR) || "
+              "'@example.com or +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR) || "
+              "' from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)")
+    return (f"WITH s AS (SELECT doc_id, {salted} AS text FROM documents) "
+            f"SELECT doc_id, {scrub_pii_sql('text')} AS scrubbed FROM s")
+
+
+def _canonical_url_sql_query() -> str:
+    from sparksketch.webtext import canonical_url_sql
+    messy = ("'HTTPS://WWW.' || upper(source) || '.COM:443/Path/' || "
+             "CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=' || "
+             "CAST(doc_id % 3 AS VARCHAR) || '&a=1&gclid=zz#frag'")
+    return (f"WITH s AS (SELECT doc_id, {messy} AS url FROM documents) "
+            f"SELECT doc_id, {canonical_url_sql('url')} AS url_canon FROM s")
+
+
 def _hash_split_sql() -> str:
     from sparksketch.decontam import split_sql_case
     case = split_sql_case("text", {"train": 0.8, "val": 0.1, "test": 0.1})
@@ -700,6 +764,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"),
         "lang_id_documents": f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents",
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "repetition_features_docs": (
+            "WITH toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1), "
+            "i -> t[i] || ' ' || t[i + 1])) AS g FROM toks WHERE len(t) >= 2), "
+            "c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g), "
+            "r AS (SELECT doc_id, cnt, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY cnt DESC, g) AS rn, "
+            "sum(cnt) OVER (PARTITION BY doc_id) AS total FROM c), "
+            "top AS (SELECT doc_id, CAST(cnt AS BIGINT) AS top_2gram_count, "
+            "round(cnt * 1.0 / total, 4) AS top_2gram_ratio FROM r WHERE rn = 1), "
+            "lines AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) "
+            "AS n_lines, CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "round(1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0 / "
+            "len(string_split(text, chr(10))), 4) END AS dup_line_ratio FROM documents) "
+            "SELECT l.doc_id, l.n_lines, l.dup_line_ratio, "
+            "COALESCE(t.top_2gram_count, 0) AS top_2gram_count, "
+            "COALESCE(t.top_2gram_ratio, 0.0) AS top_2gram_ratio "
+            "FROM lines l LEFT JOIN top t USING (doc_id)"),
+        "scrub_pii_docs": _scrub_pii_sql_query(),
+        "canonical_url_docs": _canonical_url_sql_query(),
         "cosine_topk_embeddings": (
             "SELECT vec_id, " + cos + " AS sim FROM embeddings, "
             "(SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "

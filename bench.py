@@ -116,6 +116,16 @@ def main() -> int:
     bench("quality_lang", lambda: lang_id(quality_features(wp))
           .agg(F.avg("quality_score"), F.count("lang_pred")).collect())
 
+    # --- crawl hygiene: URL canonicalization + PII scrub + repetition ---
+    from sparksketch.textstats import repetition_features, scrub_pii
+    from sparksketch.webtext import canonical_url
+    bench("canon_scrub", lambda: wp.select(
+        canonical_url("url").alias("cu"), scrub_pii(F.col("text")).alias("st"))
+        .agg(F.count_distinct("cu"), F.sum(F.length("st"))).collect())
+    bench("repetition_docs", lambda: repetition_features(docs)
+          .filter((F.col("dup_line_ratio") > 0.3) | (F.col("top_2gram_ratio") > 0.2))
+          .count())
+
     # --- dedup ---
     bench("dedup_exact_docs", lambda: exact_dedup_ids(docs, "text", "doc_id").count())
     bench("dedup_minhash_docs", lambda: minhash_dedup_pairs(

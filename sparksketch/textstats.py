@@ -202,3 +202,100 @@ def rolling_fingerprint(df: DataFrame, col: str, id_col: str, window: int = 8,
     proj = _parallelize_small(
         df.select(F.col(id_col).cast("long").alias("_id"), F.col(col).cast("string").alias("_t")))
     return proj.mapInArrow(fn, "_id long, fingerprint bigint").withColumnRenamed("_id", id_col)
+
+
+# ====================================================================
+# repetition features (Gopher/C4-style quality filters)
+# ====================================================================
+
+def repetition_features(df: DataFrame, col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition signals — the standard "repetitious document"
+    quality filters from the Gopher / C4 data pipelines (Rae et al. 2021
+    §A1.1; Raffel et al. 2020 §2.2), exactly specified for oracle parity:
+
+    - ``n_lines`` / ``dup_line_ratio`` — fraction of newline-separated
+      lines that repeat an earlier line (1 − distinct/total; 0 for empty
+      docs).  Boilerplate nav/footer text shows up here.
+    - ``top_2gram_count`` / ``top_2gram_ratio`` — occurrences of the most
+      frequent word 2-gram over total 2-grams (mode tie-break:
+      lexicographically smallest gram, so the choice is deterministic in
+      any engine).  Machine-generated spam shows up here.
+
+    Shapes: the line features are pure JVM array expressions (zero
+    shuffle).  The 2-gram mode is explode → groupBy(id, gram) → one window
+    pass per id (rank by count desc, gram asc + running total) — the
+    Spark-first formulation of a per-group mode with a deterministic
+    tie-break.  At 100 TB the explode ships only (id, 2-gram) pairs, never
+    documents, and the map-side combine collapses repeated grams before the
+    shuffle.
+    """
+    c = F.col(col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    dup_line_ratio = F.when(
+        F.length(c) == 0, F.lit(0.0)
+    ).otherwise(1.0 - F.size(F.array_distinct(lines)) / n_lines)
+    base = df.select(
+        F.col(id_col), n_lines.alias("n_lines"),
+        F.round(dup_line_ratio, 4).alias("dup_line_ratio"),
+    )
+
+    toks = tokens_col(c)
+    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)))
+    from pyspark.sql import Window as _W
+    g = df.select(F.col(id_col), F.explode(grams).alias("_g"))
+    counts = g.groupBy(id_col, "_g").count()
+    w = _W.partitionBy(id_col)
+    ranked = counts.select(
+        F.col(id_col), F.col("count"),
+        F.row_number().over(w.orderBy(F.desc("count"), F.col("_g"))).alias("_rn"),
+        F.sum("count").over(w).alias("_total"),
+    )
+    top = ranked.filter(F.col("_rn") == 1).select(
+        id_col, F.col("count").cast("long").alias("top_2gram_count"),
+        F.round(F.col("count") / F.col("_total"), 4).alias("top_2gram_ratio"),
+    )
+    return (base.join(top, id_col, "left")
+            .na.fill({"top_2gram_count": 0, "top_2gram_ratio": 0.0}))
+
+
+# ====================================================================
+# PII scrubbing
+# ====================================================================
+
+# engine-portable patterns: character classes + bounded repetition only —
+# no backreferences or lookarounds, so Java regex (Spark) and RE2 (DuckDB,
+# which rejects backreferences outright) match identically
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email before phone: the local part's digits would otherwise be eaten
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone-number-shaped digit runs to
+    typed placeholders — the standard pre-training scrub pass.  Patterns are
+    deliberately RE2-safe (see ``PII_PATTERNS``) so the exact same regexes
+    run in Spark's Java engine and the DuckDB oracle with identical
+    leftmost-match semantics; all three rewrites are JVM ``regexp_replace``
+    (codegen'd, no Python in the path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def scrub_pii_sql(col: str) -> str:
+    """The DuckDB-dialect expression mirroring :func:`scrub_pii` (for
+    oracles and other engines)."""
+    expr = col
+    for pat, repl in PII_PATTERNS:
+        sq = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sq}', '{repl}', 'g')"
+    return expr

@@ -281,3 +281,97 @@ def salted_host(df: DataFrame, url_col: str = "url", hot: list[str] | None = Non
 def unsalt(col: str | Column = "host_salted") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, "#").getItem(0)
+
+
+# ====================================================================
+# URL canonicalization (crawl-dedup key normalization)
+# ====================================================================
+
+# query parameters that never identify content (tracking/attribution)
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+
+def canonical_url(col: str | Column) -> Column:
+    """Canonical form of a URL for crawl dedup / grouping — the
+    normalization pass that runs before url-keyed exact dedup so trivially
+    different URLs of the same resource collapse to one key:
+
+    1. fragment stripped (``#...``);
+    2. scheme and host:port lowercased (path/query case preserved);
+    3. default ports dropped (``:80`` for http, ``:443`` for https);
+    4. trailing slashes stripped from the path;
+    5. tracking params removed (``utm_*`` prefixes + ``TRACKING_PARAMS``),
+       remaining params sorted bytewise, ``?`` dropped when none survive.
+
+    Built entirely from ``substring_index``/``split``/``filter``/
+    ``array_sort`` JVM expressions (codegen'd, no regex except the
+    trailing-slash trim, no Python) with exact DuckDB counterparts
+    (:func:`canonical_url_sql`) — the canonical key is engine-portable, so
+    a dedup decision made here is reproducible anywhere.  NULL in → NULL
+    out; scheme-less strings are treated as host-first."""
+    u = F.col(col) if isinstance(col, str) else col
+    nofrag = F.substring_index(u, "#", 1)
+    pre_q = F.substring_index(nofrag, "?", 1)
+    q = F.when(F.length(nofrag) > F.length(pre_q),
+               F.substring(nofrag, F.length(pre_q) + 2, F.lit(1 << 30))
+               ).otherwise(F.lit(""))
+    has_scheme = F.locate("://", pre_q) > 0
+    scheme_raw = F.substring_index(pre_q, "://", 1)
+    scheme = F.lower(scheme_raw)
+    rest = F.when(has_scheme,
+                  F.substring(pre_q, F.length(scheme_raw) + 4, F.lit(1 << 30))
+                  ).otherwise(pre_q)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    path = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    host = (
+        F.when((scheme == "http") & hostport.endswith(":80"),
+               F.substring(hostport, 1, F.length(hostport) - 3))
+        .when((scheme == "https") & hostport.endswith(":443"),
+              F.substring(hostport, 1, F.length(hostport) - 4))
+        .otherwise(hostport))
+    path_clean = F.regexp_replace(path, "/+$", "")
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
+    )
+    qs = F.array_join(F.array_sort(keep), "&")
+    out = F.concat(
+        F.when(has_scheme, F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        host, path_clean,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def canonical_url_sql(col: str) -> str:
+    """DuckDB-dialect expression mirroring :func:`canonical_url` term for
+    term (split_part == substring_index when the separator is absent)."""
+    u = col
+    nofrag = f"split_part({u}, '#', 1)"
+    pre_q = f"split_part({nofrag}, '?', 1)"
+    q = (f"CASE WHEN length({nofrag}) > length({pre_q}) "
+         f"THEN substr({nofrag}, length({pre_q}) + 2) ELSE '' END")
+    has_scheme = f"(instr({pre_q}, '://') > 0)"
+    scheme_raw = f"split_part({pre_q}, '://', 1)"
+    scheme = f"lower({scheme_raw})"
+    rest = (f"CASE WHEN {has_scheme} THEN substr({pre_q}, length({scheme_raw}) + 4) "
+            f"ELSE {pre_q} END")
+    hostport = f"lower(split_part({rest}, '/', 1))"
+    path = f"substr({rest}, length({hostport}) + 1)"
+    host = (f"CASE WHEN {scheme} = 'http' AND ends_with({hostport}, ':80') "
+            f"THEN substr({hostport}, 1, length({hostport}) - 3) "
+            f"WHEN {scheme} = 'https' AND ends_with({hostport}, ':443') "
+            f"THEN substr({hostport}, 1, length({hostport}) - 4) "
+            f"ELSE {hostport} END")
+    path_clean = f"regexp_replace({path}, '/+$', '')"
+    tracking = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    keep = (f"list_filter(string_split({q}, '&'), p -> p <> '' "
+            f"AND NOT starts_with(p, 'utm_') "
+            f"AND NOT split_part(p, '=', 1) IN ({tracking}))")
+    qs = f"array_to_string(list_sort({keep}), '&')"
+    return (f"CASE WHEN {u} IS NULL THEN NULL ELSE "
+            f"(CASE WHEN {has_scheme} THEN {scheme} || '://' ELSE '' END) "
+            f"|| {host} || {path_clean} "
+            f"|| (CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END) END")

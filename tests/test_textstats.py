@@ -83,3 +83,57 @@ def test_rolling_fingerprint(spark):
     assert got[1] == got[2]          # identical content → identical fingerprint
     assert got[1] != got[3]
     assert got[4] == 0               # sub-window content → sentinel 0
+
+
+def test_repetition_features_edges(spark):
+    from sparksketch.textstats import repetition_features
+    df = spark.createDataFrame(
+        [(1, "nav bar\nnav bar\nbody text\nnav bar"),   # dup lines
+         (2, "x y x y x"),                               # tied top 2-grams
+         (3, ""),                                        # empty doc
+         (4, "single"),                                  # no 2-grams
+         (5, "  spaced   out   tokens   spaced   out ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 4
+    assert r1.dup_line_ratio == round(1 - 2 / 4, 4)   # 2 distinct of 4 lines
+    # tokens span newlines (\s+): "nav bar" x3 of 7 grams
+    assert r1.top_2gram_count == 3 and r1.top_2gram_ratio == round(3 / 7, 4)
+    r2 = rows[2]  # "x y" and "y x" both occur 2x of 4 grams; tie-break is stable
+    assert r2.top_2gram_count == 2 and r2.top_2gram_ratio == 0.5
+    r3 = rows[3]
+    assert (r3.n_lines, r3.dup_line_ratio, r3.top_2gram_count, r3.top_2gram_ratio) == (
+        1, 0.0, 0, 0.0)
+    r4 = rows[4]
+    assert (r4.top_2gram_count, r4.top_2gram_ratio) == (0, 0.0)
+    r5 = rows[5]  # whitespace-run tokenization: 5 tokens → 4 grams, top = 2
+    assert r5.top_2gram_count == 2 and r5.top_2gram_ratio == 0.5
+
+
+def test_scrub_pii_edges_and_duckdb_parity(spark):
+    import duckdb
+    from sparksketch.textstats import scrub_pii, scrub_pii_sql
+    vals = [
+        "mail john.doe+spam@sub.example.co.uk now",
+        "hosts 192.168.001.1 and 8.8.8.8 up",
+        "call +1 (555) 010-1234 or 555-867-5309 today",
+        "email with digits a1234567890@b.com stays one token",
+        "room 1234 is fine",                    # short digit run untouched
+        "date-like 2026-08-16 19 is redacted",  # documented over-match
+        "",
+        "no pii at all",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r.s for r in df.select(scrub_pii("t").alias("s")).collect()]
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "hosts <IP> and <IP> up"
+    assert got[2] == "call <PHONE> or <PHONE> today"
+    assert got[3] == "email with digits <EMAIL> stays one token"
+    assert got[4] == "room 1234 is fine"
+    assert "<PHONE>" in got[5]          # naive scrubber over-match, same in both engines
+    assert got[6] == "" and got[7] == "no pii at all"
+    want = [duckdb.sql(f"SELECT {scrub_pii_sql('?')} ", params=[v]).fetchone()[0]
+            for v in vals]
+    assert got == want

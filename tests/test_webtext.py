@@ -97,3 +97,42 @@ def test_key_guard_drops_oversize(spark):
     kept = enforce_key_limit(df, "text")
     assert kept.count() == 50_000 - over
     assert kept.filter(F.octet_length("text") > 2**20).count() == 0
+
+
+def test_canonical_url_edges_and_duckdb_parity(spark):
+    import duckdb
+    from sparksketch.webtext import canonical_url, canonical_url_sql
+    vals = [
+        "HTTP://ExAmPle.COM:80/",                                   # ports + case + slash
+        "https://A.com:443/x/?utm_source=1&z=2&a=3#frag",           # tracking + sort + frag
+        "example.com/Path/?gclid=1&keep=2",                         # scheme-less
+        "https://a.com/?utm_x=1&fbclid=2",                          # all params dropped
+        "https://a.com:4433/x",                                     # non-default port kept
+        "http://a.com:443/x",                                       # :443 not default for http
+        "https://a.com/p?a",                                        # valueless param kept
+        "https://a.com/p?",                                         # empty query dropped
+        "https://a.com/CaseSensitive/Path",                         # path case preserved
+        "://weird",                                                 # empty scheme
+        "https://a.com/a#b#c",                                      # first # wins
+        "",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    got = [r.c for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert got[0] == "http://example.com"
+    assert got[1] == "https://a.com/x?a=3&z=2"
+    assert got[2] == "example.com/Path?keep=2"
+    assert got[3] == "https://a.com"
+    assert got[4] == "https://a.com:4433/x"
+    assert got[5] == "http://a.com:443/x"
+    assert got[6] == "https://a.com/p?a"
+    assert got[7] == "https://a.com/p"
+    assert got[8] == "https://a.com/CaseSensitive/Path"
+    assert got[10] == "https://a.com/a"
+    want = [duckdb.sql(
+        f"SELECT {canonical_url_sql('u')} FROM (SELECT ? AS u)", params=[v]
+    ).fetchone()[0] for v in vals]
+    assert got == want
+    # NULL in → NULL out on both engines
+    ndf = spark.createDataFrame([(None,)], "u string")
+    assert ndf.select(canonical_url("u").alias("c")).collect()[0].c is None
+    assert duckdb.sql(f"SELECT {canonical_url_sql('CAST(NULL AS VARCHAR)')}").fetchone()[0] is None
