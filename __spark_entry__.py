@@ -223,6 +223,17 @@ def _cosine_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_df(emb, "embedding", "vec_id", q, k=10, round_to=4)
 
 
+def _knn_join_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    # batch k-NN: top-5 cosine neighbors for each of the first 10 vectors
+    # (queries kept in-corpus, so rank 1 is the self hit at sim 1.0 — exact
+    # and oracle-mirrorable); ranking happens pre-round on float64 scores
+    from sparksketch.similarity import knn_join
+    emb = _T(spark, sf, "embeddings")
+    out = knn_join(emb, "embedding", "vec_id",
+                   queries=emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("q_id", "nb_id", F.round("sim", 4).alias("sim"))
+
+
 def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = _T(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -456,6 +467,34 @@ def _embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "n_exact_pairs long, subset_ok boolean, recall_ok boolean")
 
 
+_MIX_FRACTIONS = {"src0": 0.2, "src1": 0.5, "src2": 0.0}
+
+
+def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic training-mix rebalancing: per-source keep fractions via
+    # salted md5 thresholds; pure pushed-down predicate, zero shuffle
+    from sparksketch.decontam import stratified_sample
+    docs = _T(spark, sf, "documents")
+    return stratified_sample(docs, "source", "doc_id", _MIX_FRACTIONS,
+                             default=0.8).select("doc_id", "source")
+
+
+def _paragraph_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # corpus-level paragraph dedup over deterministically multi-paragraph
+    # docs: every doc gets a shared footer (one global survivor) and a
+    # mod-7 group line (one survivor per residue class); the oracle
+    # reproduces first-occurrence = min (doc_id, position) exactly
+    from sparksketch.dedup import paragraph_dedup
+    docs = _T(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.lit("SHARED FOOTER"),
+            F.concat(F.lit("GROUP-"), (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"))
+    return paragraph_dedup(salted)
+
+
 def _repetition_features_docs(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher/C4-style repetition quality filters: duplicate-line fraction +
     # most-frequent-word-2-gram share, deterministic tie-break — the oracle
@@ -620,12 +659,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_class_counts": _char_class_counts,
         "lang_id_documents": _lang_id_documents,
         "fingerprint_documents": _fingerprint_documents,
+        "stratified_sample_docs": _stratified_sample_docs,
+        "paragraph_dedup_docs": _paragraph_dedup_docs,
         "repetition_features_docs": _repetition_features_docs,
         "scrub_pii_docs": _scrub_pii_docs,
         "canonical_url_docs": _canonical_url_docs,
         # similarity
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "cosine_pairs": _cosine_pairs,
+        "knn_join_embeddings": _knn_join_embeddings,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         # event-stream surface
         "sessions_per_user": _sessions_per_user,
@@ -724,6 +766,12 @@ def _canonical_url_sql_query() -> str:
             f"SELECT doc_id, {canonical_url_sql('url')} AS url_canon FROM s")
 
 
+def _stratified_sample_sql_query() -> str:
+    from sparksketch.decontam import sample_sql_pred
+    pred = sample_sql_pred("source", "doc_id", _MIX_FRACTIONS, default=0.8)
+    return f"SELECT doc_id, source FROM documents WHERE {pred}"
+
+
 def _hash_split_sql() -> str:
     from sparksketch.decontam import split_sql_case
     case = split_sql_case("text", {"train": 0.8, "val": 0.1, "test": 0.1})
@@ -764,6 +812,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"),
         "lang_id_documents": f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents",
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "stratified_sample_docs": _stratified_sample_sql_query(),
+        "paragraph_dedup_docs": (
+            "WITH s AS (SELECT doc_id, text || chr(10) || 'SHARED FOOTER' || chr(10) || "
+            "'GROUP-' || CAST(doc_id % 7 AS VARCHAR) AS text FROM documents), "
+            "sp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM s), "
+            "q AS (SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos, "
+            "unnest(parts) AS para FROM sp), "
+            "k AS (SELECT doc_id, pos, para, row_number() OVER "
+            "(PARTITION BY para ORDER BY doc_id, pos) AS rn FROM q), "
+            "r AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup, "
+            "count(*) AS n_kept FROM k WHERE rn = 1 GROUP BY doc_id), "
+            "t AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) "
+            "AS n_paras FROM s) "
+            "SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, t.n_paras, "
+            "CAST(t.n_paras - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM t LEFT JOIN r USING (doc_id)"),
         "repetition_features_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
             "ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), "
@@ -789,6 +853,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, " + cos + " AS sim FROM embeddings, "
             "(SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
             "ORDER BY sim DESC, vec_id LIMIT 10"),
+        "knn_join_embeddings": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10), "
+            "c AS (SELECT q_id, e.vec_id AS nb_id, "
+            "list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * "
+            "sqrt(list_dot_product(qv, qv))) AS sim FROM e, q), "
+            "r AS (SELECT q_id, nb_id, sim, row_number() OVER "
+            "(PARTITION BY q_id ORDER BY sim DESC, nb_id) AS rn FROM c) "
+            "SELECT q_id, nb_id, round(sim, 4) AS sim FROM r WHERE rn <= 5"),
         "cosine_pairs": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -128,6 +128,9 @@ def main() -> int:
 
     # --- dedup ---
     bench("dedup_exact_docs", lambda: exact_dedup_ids(docs, "text", "doc_id").count())
+    from sparksketch.dedup import paragraph_dedup
+    bench("paragraph_dedup_docs", lambda: paragraph_dedup(docs)
+          .agg(F.sum("n_removed")).collect())
     bench("dedup_minhash_docs", lambda: minhash_dedup_pairs(
         docs, "text", "doc_id", threshold=0.8).count())
     bench("simhash_docs", lambda: simhash(docs, "text", "doc_id").count())
@@ -170,6 +173,8 @@ def main() -> int:
     # --- similarity ---
     qv = np.array(emb.first().embedding, dtype=np.float32)
     bench("cosine_topk", lambda: cosine_topk(emb, "embedding", "vec_id", qv, k=10))
+    from sparksketch.similarity import knn_join
+    bench("knn_join_emb", lambda: knn_join(emb, "embedding", "vec_id", k=10).count())
 
     # --- relational surface ---
     bench("q1_pricing", lambda: lineitem

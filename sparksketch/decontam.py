@@ -172,3 +172,60 @@ def split_sql_case(col: str, fractions: dict[str, float], out_default: str | Non
         parts.append(f"WHEN substring(md5({col}), 1, 8) < '{_hex_threshold(cum)}' THEN '{name}'")
     default = out_default if out_default is not None else list(fractions)[-1]
     return "CASE " + " ".join(parts) + f" ELSE '{default}' END"
+
+
+# ====================================================================
+# stratified sampling (training-mix rebalancing)
+# ====================================================================
+
+def sample_flag(strata_col: str, key_col: str, fractions: dict[str, float],
+                default: float = 1.0, salt: str = "mix") -> Column:
+    """Boolean keep-flag for deterministic **stratified sampling**: each
+    stratum keeps its configured fraction of rows, decided by an md5-prefix
+    threshold over ``stratum|salt|key`` — reshuffle/partition/engine
+    invariant (the rebalancing pass that downweights overrepresented
+    sources in a training mix).  The stratum and a salt participate in the
+    hash so the decision is independent of :func:`hash_split` on the same
+    key (same-md5 correlation would otherwise make the sample a biased
+    slice of one split).  Unlisted strata keep ``default`` (1.0 = all).
+    NULL stratum/key hash as empty strings — deterministic, never NULL."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} outside [0, 1]: {frac}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction outside [0, 1]: {default}")
+    sc = F.coalesce(F.col(strata_col).cast("string"), F.lit(""))
+    kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    prefix = F.substring(
+        F.md5(F.encode(F.concat(sc, F.lit(f"|{salt}|"), kc), "UTF-8")), 1, 8)
+    expr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        hit = prefix < F.lit(_hex_threshold(frac))
+        expr = F.when(cond, hit) if expr is None else expr.when(cond, hit)
+    fallback = prefix < F.lit(_hex_threshold(default))
+    return fallback if expr is None else expr.otherwise(fallback)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
+                      fractions: dict[str, float], default: float = 1.0,
+                      salt: str = "mix") -> DataFrame:
+    """Filter ``df`` to the deterministic stratified sample (see
+    :func:`sample_flag`).  Pure JVM expression — the filter pushes down to
+    the scan, no shuffle, no RNG state; at 100 TB this is a predicate, not
+    a job."""
+    return df.filter(sample_flag(strata_col, key_col, fractions, default, salt))
+
+
+def sample_sql_pred(strata_col: str, key_col: str, fractions: dict[str, float],
+                    default: float = 1.0, salt: str = "mix") -> str:
+    """ANSI-SQL predicate mirroring :func:`sample_flag` (for oracles and
+    other engines)."""
+    sc = f"coalesce(CAST({strata_col} AS VARCHAR), '')"
+    kc = f"coalesce(CAST({key_col} AS VARCHAR), '')"
+    prefix = f"substring(md5({sc} || '|{salt}|' || {kc}), 1, 8)"
+    branches = " ".join(
+        f"WHEN {strata_col} = '{name}' THEN {prefix} < '{_hex_threshold(frac)}'"
+        for name, frac in fractions.items())
+    return (f"CASE {branches} ELSE {prefix} < '{_hex_threshold(default)}' END"
+            if branches else f"{prefix} < '{_hex_threshold(default)}'")

@@ -484,3 +484,57 @@ def dedup_representatives(df: DataFrame, pairs: DataFrame, id_col: str) -> DataF
     comp = connected_components(pairs, nodes=df.select(id_col))
     keep = comp.filter(F.col("id") == F.col("component")).select(F.col("id").alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+# ====================================================================
+# paragraph-level dedup (sub-document exact dedup)
+# ====================================================================
+
+def paragraph_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                    sep: str = "\n", join_sep: str = "\n") -> DataFrame:
+    """Corpus-level **paragraph** dedup (the RefinedWeb/CCNet pass that
+    doc-level dedup can't express): split every document on ``sep``, keep
+    only the globally FIRST occurrence of each paragraph — "first" =
+    smallest ``(doc_id, position)``, fully deterministic — and reassemble
+    each document from its surviving paragraphs in original order.
+    Boilerplate (nav bars, footers, license blurbs) collapses to one copy
+    corpus-wide.  Empty paragraphs dedup like any other (documented).
+
+    Returns ``(id_col, text_dedup, n_paras, n_removed)`` — one row per input
+    document (a fully-deduped doc survives with ``text_dedup = ''``).
+
+    Plan shape (the 100-TB story): winners are found with
+    ``groupBy(md5(para)).agg(min(struct(doc_id, pos)))`` — a map-side
+    combined aggregation, so a footer occurring 10^9 times collapses to one
+    row per mapper BEFORE the shuffle (a ``row_number`` window over the
+    paragraph hash would ship all 10^9 copies to one reducer).  Paragraph
+    text crosses the wire once for the winners join (AQE splits the hot
+    hash keys; the join is 1-row-per-key on the winner side), and the
+    rebuild groups by ``doc_id`` with ``sort_array`` for order stability
+    under any partitioning.  ``sep`` is a Java regex; ``join_sep`` is the literal used to reassemble (default: newline for both).
+    """
+    pos = F.col("_pos")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), sep)).alias("_pos", "_para"),
+    )
+    h = F.md5("_para").alias("_h")
+    wins = (paras.select(h, F.struct(F.col(id_col), pos).alias("_o"))
+            .groupBy("_h").agg(F.min("_o").alias("_w")))
+    kept = (paras.join(wins, F.md5("_para") == F.col("_h"))
+            .filter((F.col("_w")[id_col] == F.col(id_col)) & (F.col("_w")["_pos"] == pos))
+            .select(id_col, "_pos", "_para"))
+    rebuilt = (kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                        lambda s: s["_para"]),
+            join_sep).alias("text_dedup"),
+        F.count("*").alias("_n_kept")))
+    totals = df.select(F.col(id_col),
+                       F.size(F.split(F.col(col), sep)).cast("long").alias("n_paras"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    "n_paras",
+                    (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))

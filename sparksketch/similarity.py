@@ -412,3 +412,84 @@ def ivf_query(df_listed: DataFrame, vec_col: str, id_col: str, query: np.ndarray
     order = np.argsort(-(centroids @ qn))[:n_probe]
     cand = df_listed.filter(F.col("ivf_list").isin([int(x) for x in order]))
     return cosine_topk(cand, vec_col, id_col, q, k=k, dim=centroids.shape[1])
+
+
+# ====================================================================
+# k-NN join (batch top-k: every query's k nearest neighbors)
+# ====================================================================
+
+def knn_join(corpus: DataFrame, vec_col: str, id_col: str,
+             queries: DataFrame | None = None, k: int = 10,
+             dim: int | None = None, include_self: bool = False,
+             max_queries: int = 100_000, q_block: int = 512) -> DataFrame:
+    """Exact cosine k-NN **join**: for every query vector, its ``k`` nearest
+    corpus neighbors — the batch counterpart of :func:`cosine_topk` (which
+    takes one query) and the standard primitive behind near-dup clustering /
+    retrieval eval.  ``queries=None`` means self-join over the corpus
+    (``include_self=False`` drops the trivial q==neighbor hit).
+
+    Plan shape (the 100-TB story): the query set is collected and
+    **broadcast** (gated at ``max_queries`` — beyond that, brute-force is the
+    wrong tool and the LSH/IVF paths are the answer), then one corpus scan
+    where each partition computes a numpy ``(q_block × batch)`` GEMM and
+    keeps a running per-query top-k; only ``partitions × n_q × k`` candidate
+    rows ever shuffle, never the vectors.  The global winner set is one
+    window pass (rank by sim desc, id asc — fully deterministic).  Scores
+    are float64 so ranking agrees with a declarative/SQL recomputation.
+    """
+    dim = dim or infer_dim(corpus, vec_col)
+    qsrc = queries if queries is not None else corpus
+    qrows = (qsrc.select(F.col(id_col).cast("long"), F.col(vec_col))
+             .filter(F.col(vec_col).isNotNull()).limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join broadcasts the query set; got >{max_queries} queries — "
+            "use the sign-LSH / IVF paths for query sets this large")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((qids, qmat))
+
+    # one extra slot when self-hits are filtered downstream, so a
+    # single-partition corpus still yields k survivors per query
+    kk = k + 1 if (queries is None and not include_self) else k
+
+    def fn(batches):
+        ids_b, mat_b = bc.value
+        nq = ids_b.shape[0]
+        best_sim = np.full((nq, kk), -np.inf)
+        best_id = np.full((nq, kk), np.iinfo(np.int64).max, dtype=np.int64)
+        for batch in batches:
+            cids = batch.column("_id").to_numpy(zero_copy_only=False)
+            mat = _mat_of(batch.column("_v"), dim).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            for q0 in range(0, nq, q_block):
+                q1 = min(q0 + q_block, nq)
+                sims = mat_b[q0:q1] @ mat.T                      # (bq, n)
+                cand_sim = np.concatenate([best_sim[q0:q1], sims], axis=1)
+                cand_id = np.concatenate(
+                    [best_id[q0:q1], np.broadcast_to(cids, (q1 - q0, cids.shape[0]))], axis=1)
+                # deterministic top-k per query: (-sim, id) lexicographic,
+                # so boundary ties always resolve to the lower neighbor id
+                order = np.lexsort((cand_id, -cand_sim), axis=1)[:, :kk]
+                rows = np.arange(q1 - q0)[:, None]
+                best_sim[q0:q1] = cand_sim[rows, order]
+                best_id[q0:q1] = cand_id[rows, order]
+        mask = np.isfinite(best_sim).ravel()
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(np.repeat(ids_b, kk)[mask]),
+             pa.array(best_id.ravel()[mask]),
+             pa.array(best_sim.ravel()[mask])],
+            names=["q_id", "nb_id", "sim"],
+        )
+
+    proj = (corpus.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+            .filter(F.col("_v").isNotNull()))
+    local = proj.mapInArrow(fn, "q_id long, nb_id long, sim double")
+    if queries is None and not include_self:
+        local = local.filter(F.col("q_id") != F.col("nb_id"))
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("q_id").orderBy(F.desc("sim"), F.col("nb_id"))
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

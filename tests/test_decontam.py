@@ -122,3 +122,33 @@ def test_contamination_probe_modes_identical(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         contamination(docs, "text", "doc_id", state, probe="bogus")
+
+
+def test_stratified_sample(spark):
+    import duckdb
+    from sparksketch.decontam import sample_sql_pred, stratified_sample
+    import pytest
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"))
+    fr = {"s0": 0.25, "s1": 0.75, "s2": 0.0}
+    kept = stratified_sample(df, "src", "id", fr, default=1.0).cache()
+    by = {r.src: r["count"] for r in kept.groupBy("src").count().collect()}
+    assert by.get("s2", 0) == 0
+    assert by["s3"] == n // 4                      # default 1.0 keeps all
+    assert abs(by["s0"] - 0.25 * n / 4) < 0.25 * n / 4 * 0.35
+    assert abs(by["s1"] - 0.75 * n / 4) < 0.75 * n / 4 * 0.2
+    # engine parity: DuckDB picks the identical row set
+    import pandas as pd
+    pdf = df.toPandas()
+    want = duckdb.sql(
+        f"SELECT id FROM pdf WHERE {sample_sql_pred('src', 'id', fr, 1.0)} ORDER BY id"
+    ).fetchall()
+    got = sorted(r.id for r in kept.collect())
+    assert got == [w[0] for w in want]
+    # reshuffle-invariant
+    again = sorted(r.id for r in stratified_sample(df.repartition(13), "src", "id", fr).collect())
+    assert again == got
+    with pytest.raises(ValueError, match="outside"):
+        stratified_sample(df, "src", "id", {"s0": 1.5})

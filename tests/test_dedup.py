@@ -234,3 +234,26 @@ def test_connected_components_max_iter_raises(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError):
         connected_components(pairs, max_iter=0)
+
+
+def test_paragraph_dedup(spark):
+    from sparksketch.dedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "unique one\nSHARED FOOTER\nunique two"),
+         (2, "SHARED FOOTER\nother text"),
+         (3, "SHARED FOOTER"),                       # fully deduped away
+         (4, "repeat\nrepeat\nmiddle\nrepeat"),      # within-doc dups
+         (5, "")],                                   # empty doc = one empty para
+        "doc_id long, text string",
+    ).repartition(5)
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert got[1].text_dedup == "unique one\nSHARED FOOTER\nunique two"
+    assert (got[1].n_paras, got[1].n_removed) == (3, 0)
+    assert got[2].text_dedup == "other text" and got[2].n_removed == 1
+    assert got[3].text_dedup == "" and got[3].n_removed == 1
+    assert got[4].text_dedup == "repeat\nmiddle" and got[4].n_removed == 2
+    # doc 5's single empty paragraph is globally first '' -> kept
+    assert got[5].text_dedup == "" and got[5].n_removed == 0
+    # determinism under a different partitioning
+    again = {r.doc_id: r.text_dedup for r in paragraph_dedup(df.coalesce(1)).collect()}
+    assert again == {k: v.text_dedup for k, v in got.items()}

@@ -289,3 +289,58 @@ def test_lsh_index_partitioned_table_prunes(spark, emb, emb_np, tmp_path):
     q = mat[7]
     got = lsh_query(back, "embedding", "vec_id", q, planes2, k=5, multiprobe=1)
     assert got and got[0][0] == int(ids[7])
+
+
+def test_knn_join_self_matches_bruteforce(spark):
+    import numpy as np
+    from sparksketch.similarity import knn_join
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[7] = vecs[3]  # exact duplicate -> sim-1.0 tie, id tie-break
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vid long, v array<float>").repartition(7)
+
+    got = knn_join(df, "v", "vid", k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.nb_id, r.sim))
+    assert set(by_q) == set(range(40))
+    assert all(len(v) == 3 for v in by_q.values())
+    assert all(nb != q for q, v in by_q.items() for nb, _ in v)
+
+    m = vecs.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    for q in range(40):
+        order = sorted(((-sims[q, j], j) for j in range(40) if j != q))[:3]
+        want = [j for _, j in order]
+        assert [nb for nb, _ in by_q[q]] == want, f"query {q}"
+    # duplicate pair: each is the other's top hit at sim ~1.0
+    assert by_q[3][0][0] == 7 and by_q[7][0][0] == 3
+    assert abs(by_q[3][0][1] - 1.0) < 1e-12
+
+    # partitioning-invariant (deterministic tie-breaks in the kernel)
+    got1 = sorted((r.q_id, r.nb_id) for r in knn_join(df.coalesce(1), "v", "vid", k=3).collect())
+    assert got1 == sorted((r.q_id, r.nb_id) for r in got)
+
+
+def test_knn_join_external_queries_and_gate(spark):
+    import numpy as np
+    import pytest
+    from sparksketch.similarity import knn_join
+    rng = np.random.default_rng(5)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(30)],
+        "vid long, v array<float>")
+    queries = corpus.filter("vid < 4")
+    got = knn_join(corpus, "v", "vid", queries=queries, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    # external queries keep the self hit: rank-1 is the query itself at ~1.0
+    for q, rows in by_q.items():
+        top = max(rows, key=lambda r: r.sim)
+        assert top.nb_id == q and abs(top.sim - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="broadcasts the query set"):
+        knn_join(corpus, "v", "vid", k=2, max_queries=10)
