@@ -479,6 +479,14 @@ def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                              default=0.8).select("doc_id", "source")
 
 
+def _top_terms_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # per-doc top-3 distinguishing terms; idf='ratio' so the rank key uses
+    # only IEEE-exact ops (*, /) and cross-engine ranking cannot flip
+    from sparksketch.textstats import top_terms
+    docs = _T(spark, sf, "documents")
+    return top_terms(docs, k=3)
+
+
 def _paragraph_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     # corpus-level paragraph dedup over deterministically multi-paragraph
     # docs: every doc gets a shared footer (one global survivor) and a
@@ -660,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": _lang_id_documents,
         "fingerprint_documents": _fingerprint_documents,
         "stratified_sample_docs": _stratified_sample_docs,
+        "top_terms_docs": _top_terms_docs,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "repetition_features_docs": _repetition_features_docs,
         "scrub_pii_docs": _scrub_pii_docs,
@@ -813,6 +822,21 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents",
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
         "stratified_sample_docs": _stratified_sample_sql_query(),
+        "top_terms_docs": (
+            "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+            "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "
+            "p AS (SELECT doc_id, unnest(t) AS term FROM toks), "
+            "f AS (SELECT doc_id, term FROM p WHERE length(term) >= 2), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY doc_id, term), "
+            "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT doc_id, term, tf, df, tf * (n + 1.0) / (df + 1.0) AS score "
+            "FROM tf JOIN dft USING (term), n), "
+            "r AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, df, score, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn "
+            "FROM s) "
+            "SELECT doc_id, term, tf, df, round(score, 4) AS score, "
+            "CAST(rn AS INT) AS \"rank\" FROM r WHERE rn <= 3"),
         "paragraph_dedup_docs": (
             "WITH s AS (SELECT doc_id, text || chr(10) || 'SHARED FOOTER' || chr(10) || "
             "'GROUP-' || CAST(doc_id % 7 AS VARCHAR) AS text FROM documents), "

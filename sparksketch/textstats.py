@@ -267,12 +267,19 @@ def repetition_features(df: DataFrame, col: str = "text",
 # PII scrubbing
 # ====================================================================
 
-# engine-portable patterns: character classes + bounded repetition only —
-# no backreferences or lookarounds, so Java regex (Spark) and RE2 (DuckDB,
-# which rejects backreferences outright) match identically
+# engine-portable patterns: character classes + BOUNDED repetition + \b only
+# (no backreferences/lookarounds/possessives, so Java regex (Spark) and RE2
+# (DuckDB) match identically).  The email pattern is \b-anchored and
+# RFC-bounded ({1,64} local / {1,255} host) deliberately: an UNBOUNDED
+# `[class]+@` is O(len²) in a backtracking engine on a long run of
+# local-part characters with no '@' (a 1 MiB such page costs ~10^12 char
+# ops — measured as a multi-minute stall on this corpus' oversize rows),
+# while with \b every in-run start position fails in O(1), making the whole
+# scan linear.  RE2 is linear either way; the bounds keep semantics
+# identical across engines.
 PII_PATTERNS: list[tuple[str, str]] = [
     # email before phone: the local part's digits would otherwise be eaten
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"\b[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
     (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
     (r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
 ]
@@ -299,3 +306,48 @@ def scrub_pii_sql(col: str) -> str:
         sq = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sq}', '{repl}', 'g')"
     return expr
+
+
+# ====================================================================
+# tf-idf top terms
+# ====================================================================
+
+def top_terms(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+              k: int = 5, min_token_len: int = 2,
+              idf: str = "ratio") -> DataFrame:
+    """Per-document top-``k`` distinguishing terms by tf-idf.  Terms are
+    lowercased whitespace tokens of length ≥ ``min_token_len``.
+
+    ``idf='log'`` is the textbook smooth idf ``ln((N+1)/(df+1)) + 1``;
+    ``idf='ratio'`` scores ``tf·(N+1)/(df+1)`` instead — chosen for oracle
+    work because +,·,/ are IEEE-exactly specified (bit-identical in any
+    engine) while ``ln`` is only correctly-rounded-ish and may differ by an
+    ulp between libm implementations, which could flip a rank at the k
+    boundary.  Both are deterministic within one engine; ties break by term.
+
+    Plan shape: tokens explode to (id, term) pairs (never documents), tf =
+    one map-side-combined groupBy, document frequency reuses the tf result
+    (second tiny aggregation), one term-keyed join, one per-doc window.
+    The corpus size N is the only driver-side scalar.
+    """
+    if idf not in ("ratio", "log"):
+        raise ValueError(f"idf must be 'ratio' or 'log', got {idf!r}")
+    n_docs = df.count()
+    toks = tokens_col(F.lower(F.col(col)))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term")) \
+              .filter(F.length("term") >= min_token_len)
+    tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(dft, "term")
+    if idf == "ratio":
+        score = F.col("tf") * (F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))
+    else:
+        score = F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy(id_col).orderBy(F.desc("_score"), F.col("term"))
+    return (scored.withColumn("_score", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "df",
+                    F.round("_score", 4).alias("score"),
+                    F.col("_rn").cast("int").alias("rank")))

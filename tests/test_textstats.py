@@ -137,3 +137,44 @@ def test_scrub_pii_edges_and_duckdb_parity(spark):
     want = [duckdb.sql(f"SELECT {scrub_pii_sql('?')} ", params=[v]).fetchone()[0]
             for v in vals]
     assert got == want
+
+
+def test_top_terms(spark):
+    from sparksketch.textstats import top_terms
+    import math
+    import pytest
+    df = spark.createDataFrame(
+        [(1, "apple apple banana shared shared shared"),
+         (2, "banana cherry shared"),
+         (3, "cherry cherry cherry shared x")],   # "x" dropped (len < 2)
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rank): r for r in top_terms(df, k=2).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*4/2=4.0 beats shared tf=3 df=3 -> 3*4/4=3.0
+    assert got[(1, 1)].term == "apple" and got[(1, 1)].score == 4.0
+    assert got[(1, 2)].term == "shared" and got[(1, 2)].score == 3.0
+    # doc 3: cherry tf=3 df=2 -> 3*4/3=4.0 beats shared 1.0
+    assert got[(3, 1)].term == "cherry" and got[(3, 1)].score == 4.0
+    # doc 2: all tf=1; banana df=2, cherry df=2 tie at 4/3 -> term tie-break
+    assert got[(2, 1)].term == "banana" and got[(2, 2)].term == "cherry"
+    # log variant ranks by textbook smooth idf
+    lg = {(r.doc_id, r.rank): r for r in top_terms(df, k=1, idf="log").collect()}
+    want = 2 * (math.log(4 / 2) + 1)
+    assert lg[(1, 1)].term == "apple" and abs(lg[(1, 1)].score - round(want, 4)) < 1e-9
+    with pytest.raises(ValueError, match="idf"):
+        top_terms(df, idf="bm25")
+
+
+def test_scrub_pii_linear_on_pathological_runs(spark):
+    # a 1 MiB run of email-local-part chars with no '@' must scrub in linear
+    # time: the \b anchor makes every in-run start position fail O(1)
+    # (the unbounded pattern was O(len^2) ~ minutes per page on Java regex)
+    import time
+    from sparksketch.textstats import scrub_pii
+    z = "word " + "z" * (1 << 20) + " end a@b.com +1 (555) 010-1234"
+    df = spark.createDataFrame([(z,)] * 8, "t string")
+    t0 = time.time()
+    got = df.select(scrub_pii("t").alias("s")).collect()
+    assert time.time() - t0 < 20          # was multi-minute per row before
+    assert got[0].s.endswith(" end <EMAIL> <PHONE>")
+    assert "z" * (1 << 20) in got[0].s     # the run itself is untouched
