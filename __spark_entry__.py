@@ -479,6 +479,15 @@ def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                              default=0.8).select("doc_id", "source")
 
 
+def _quota_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # absolute per-source caps: exactly 12 docs per source, picked by
+    # salted-md5 rank (uniform without replacement, engine-invariant)
+    from sparksketch.decontam import quota_sample
+    docs = _T(spark, sf, "documents")
+    return quota_sample(docs, "source", "doc_id", 12,
+                        n_buckets=4).select("doc_id", "source")
+
+
 def _top_terms_docs(spark: SparkSession, sf: str) -> DataFrame:
     # per-doc top-3 distinguishing terms; idf='ratio' so the rank key uses
     # only IEEE-exact ops (*, /) and cross-engine ranking cannot flip
@@ -669,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _fingerprint_documents,
         "stratified_sample_docs": _stratified_sample_docs,
         "top_terms_docs": _top_terms_docs,
+        "quota_sample_docs": _quota_sample_docs,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "repetition_features_docs": _repetition_features_docs,
         "scrub_pii_docs": _scrub_pii_docs,
@@ -781,6 +791,12 @@ def _stratified_sample_sql_query() -> str:
     return f"SELECT doc_id, source FROM documents WHERE {pred}"
 
 
+def _quota_sample_sql_query() -> str:
+    from sparksketch.decontam import quota_sql_pred
+    pred = quota_sql_pred("source", "doc_id", 12)
+    return f"SELECT doc_id, source FROM documents QUALIFY {pred}"
+
+
 def _hash_split_sql() -> str:
     from sparksketch.decontam import split_sql_case
     case = split_sql_case("text", {"train": 0.8, "val": 0.1, "test": 0.1})
@@ -822,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents",
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
         "stratified_sample_docs": _stratified_sample_sql_query(),
+        "quota_sample_docs": _quota_sample_sql_query(),
         "top_terms_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

@@ -229,3 +229,56 @@ def sample_sql_pred(strata_col: str, key_col: str, fractions: dict[str, float],
         for name, frac in fractions.items())
     return (f"CASE {branches} ELSE {prefix} < '{_hex_threshold(default)}' END"
             if branches else f"{prefix} < '{_hex_threshold(default)}'")
+
+
+def quota_sample(df: DataFrame, strata_col: str, key_col: str,
+                 n: int | dict[str, int], default_n: int | None = None,
+                 salt: str = "quota", n_buckets: int = 1) -> DataFrame:
+    """Deterministic per-stratum **quota** sampling: keep exactly the ``n``
+    rows per stratum whose ``md5(stratum|salt|key)`` ranks smallest — a
+    uniform-without-replacement sample of fixed size (the absolute-count
+    complement to :func:`stratified_sample`'s fractions; "cap every source
+    at 1M docs" is this operator).  Reshuffle/engine invariant; strata with
+    fewer than ``n`` rows keep everything.  ``n`` may be a per-stratum dict
+    (unlisted strata keep ``default_n``; None = unlimited).
+
+    Plan shape: rank-by-hash needs per-group order statistics, i.e. a
+    window sort per stratum.  With ``n_buckets > 1`` the sort is two-phase:
+    rows first compete inside ``(stratum, hash_bucket)`` sub-groups (all
+    buckets sort in parallel), and only the ``n_buckets × n`` survivors
+    enter the final per-stratum window — so a 10^9-row hot stratum never
+    lands on one reducer.  Phase 1 keeps ``n`` per bucket, which can only
+    under-prune (every global winner also wins its bucket), never changes
+    the result."""
+    sc = F.coalesce(F.col(strata_col).cast("string"), F.lit(""))
+    kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    rk = F.md5(F.encode(F.concat(sc, F.lit(f"|{salt}|"), kc), "UTF-8"))
+    if isinstance(n, dict):
+        quota = None
+        for name, q in n.items():
+            cond = F.col(strata_col) == name
+            quota = F.when(cond, q) if quota is None else quota.when(cond, q)
+        quota = quota.otherwise(F.lit(default_n))
+    else:
+        quota = F.lit(int(n))
+    from pyspark.sql import Window as _W
+    out = df.withColumn("_rk", rk)
+    if n_buckets > 1:
+        bucket = F.pmod(F.xxhash64("_rk"), F.lit(n_buckets))
+        w1 = _W.partitionBy(F.col(strata_col), bucket).orderBy("_rk", key_col)
+        out = (out.withColumn("_rn1", F.row_number().over(w1))
+               .filter(quota.isNull() | (F.col("_rn1") <= quota)).drop("_rn1"))
+    w = _W.partitionBy(strata_col).orderBy("_rk", key_col)
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .filter(quota.isNull() | (F.col("_rn") <= quota)).drop("_rn", "_rk"))
+
+
+def quota_sql_pred(strata_col: str, key_col: str, n: int,
+                   salt: str = "quota") -> str:
+    """QUALIFY-style oracle fragment for :func:`quota_sample` with a scalar
+    quota: ``row_number() OVER (...) <= n`` over the identical rank key."""
+    sc = f"coalesce(CAST({strata_col} AS VARCHAR), '')"
+    kc = f"coalesce(CAST({key_col} AS VARCHAR), '')"
+    rk = f"md5({sc} || '|{salt}|' || {kc})"
+    return (f"row_number() OVER (PARTITION BY {strata_col} "
+            f"ORDER BY {rk}, {key_col}) <= {int(n)}")

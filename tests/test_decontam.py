@@ -152,3 +152,30 @@ def test_stratified_sample(spark):
     assert again == got
     with pytest.raises(ValueError, match="outside"):
         stratified_sample(df, "src", "id", {"s0": 1.5})
+
+
+def test_quota_sample(spark):
+    import duckdb
+    from sparksketch.decontam import quota_sample, quota_sql_pred
+    df = spark.range(3000).select(
+        F.col("id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"))
+    kept = quota_sample(df, "src", "id", 50)
+    by = {r.src: r["count"] for r in kept.groupBy("src").count().collect()}
+    assert by == {"s0": 50, "s1": 50, "s2": 50}
+    # under-full stratum keeps everything
+    small = quota_sample(df.filter("id < 30"), "src", "id", 50)
+    assert small.count() == 30
+    # dict quotas; None default = unlimited
+    mixed = quota_sample(df, "src", "id", {"s0": 10, "s1": 0}, default_n=None)
+    byq = {r.src: r["count"] for r in mixed.groupBy("src").count().collect()}
+    assert byq.get("s0") == 10 and "s1" not in byq and byq["s2"] == 1000
+    # two-phase bucketed plan returns the identical row set
+    two = quota_sample(df, "src", "id", 50, n_buckets=8)
+    assert sorted(r.id for r in two.collect()) == sorted(r.id for r in kept.collect())
+    # DuckDB picks the identical rows
+    pdf = df.toPandas()
+    want = duckdb.sql(
+        f"SELECT id FROM pdf QUALIFY {quota_sql_pred('src', 'id', 50)} ORDER BY id"
+    ).fetchall()
+    assert sorted(r.id for r in kept.collect()) == [w[0] for w in want]

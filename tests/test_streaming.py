@@ -244,3 +244,29 @@ def test_stateful_ttl_not_premature(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT count(*) FROM np_ttl WHERE evicted").first()[0] == 0
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from sparksketch.streaming import stream_dedup_exact
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1)
+    rows = [(i % 40, base + dt.timedelta(seconds=i)) for i in range(200)]
+    src = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = str(tmp_path / "in")
+    src.repartition(4).write.parquet(out)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 2).parquet(out)
+              .select(F.col("user_id").cast("string").alias("key"), "ts"))
+    dd = stream_dedup_exact(stream, ["key"], "ts", delay="1 hour")
+    sink = str(tmp_path / "out")
+    q = (dd.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(sink)
+    # 40 distinct keys, all duplicates within the watermark horizon dropped
+    assert got.count() == 40
+    assert got.select("key").distinct().count() == 40
+    # schema passthrough: helper column removed
+    assert set(got.columns) == {"key", "ts"}
