@@ -405,10 +405,15 @@ def _simhash_complete_check(spark: SparkSession, sf: str) -> DataFrame:
     # self-join — O(n·W) rows, never an O(n²) crossJoin — and the
     # certificate keeps the same cost shape if the driver raises sf.
     # max_bucket is lifted above the corpus size so the claim stays an exact
-    # set equality (the cap's bounded-memory behavior has its own pytest).
+    # set equality (the cap's bounded-memory behavior has its own pytest);
+    # BOTH sides therefore run on a fixed-size doc_id prefix (N_CERT) so the
+    # uncapped enumeration stays bounded even if the driver raises sf and
+    # the corpus carries a large duplicate-text cluster (worst case is
+    # N_CERT²/2 pair structs in one bucket row, constant in sf).
     W_IDS = 100
+    N_CERT = 2000
     docs = _T(spark, sf, "documents")
-    sim = simhash(docs, "text", "doc_id").cache()
+    sim = simhash(docs, "text", "doc_id").filter(F.col("doc_id") < N_CERT).cache()
     banded = (simhash_candidates(sim, "doc_id", max_hamming=3, max_bucket=1 << 30)
               .filter(F.col("id_b") - F.col("id_a") <= W_IDS))
     # bucket ids by W so the range join is TWO equi-joins (own bucket +
@@ -503,11 +508,13 @@ def _paragraph_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     # reproduces first-occurrence = min (doc_id, position) exactly
     from sparksketch.dedup import paragraph_dedup
     docs = _T(spark, sf, "documents")
+    # F.concat (NULL-propagating) deliberately mirrors the oracle's `||`;
+    # concat_ws would skip a NULL text and silently diverge from DuckDB
     salted = docs.select(
         "doc_id",
-        F.concat_ws(
-            "\n", F.col("text"), F.lit("SHARED FOOTER"),
-            F.concat(F.lit("GROUP-"), (F.col("doc_id") % 7).cast("string")),
+        F.concat(
+            F.col("text"), F.lit("\nSHARED FOOTER\nGROUP-"),
+            (F.col("doc_id") % 7).cast("string"),
         ).alias("text"))
     return paragraph_dedup(salted)
 

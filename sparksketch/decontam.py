@@ -198,12 +198,19 @@ def sample_flag(strata_col: str, key_col: str, fractions: dict[str, float],
     kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
     prefix = F.substring(
         F.md5(F.encode(F.concat(sc, F.lit(f"|{salt}|"), kc), "UTF-8")), 1, 8)
+    def hit_for(frac: float) -> Column:
+        # frac >= 1 must keep ALL rows: _hex_threshold clamps to 'ffffffff'
+        # and a strict < would silently drop the ~1-in-4.3B rows whose md5
+        # prefix is exactly that value
+        if frac >= 1.0:
+            return F.lit(True)
+        return prefix < F.lit(_hex_threshold(frac))
+
     expr = None
     for name, frac in fractions.items():
         cond = F.col(strata_col) == name
-        hit = prefix < F.lit(_hex_threshold(frac))
-        expr = F.when(cond, hit) if expr is None else expr.when(cond, hit)
-    fallback = prefix < F.lit(_hex_threshold(default))
+        expr = F.when(cond, hit_for(frac)) if expr is None else expr.when(cond, hit_for(frac))
+    fallback = hit_for(default)
     return fallback if expr is None else expr.otherwise(fallback)
 
 
@@ -224,11 +231,17 @@ def sample_sql_pred(strata_col: str, key_col: str, fractions: dict[str, float],
     sc = f"coalesce(CAST({strata_col} AS VARCHAR), '')"
     kc = f"coalesce(CAST({key_col} AS VARCHAR), '')"
     prefix = f"substring(md5({sc} || '|{salt}|' || {kc}), 1, 8)"
+
+    def hit_for(frac: float) -> str:
+        if frac >= 1.0:
+            return "TRUE"
+        return f"{prefix} < '{_hex_threshold(frac)}'"
+
     branches = " ".join(
-        f"WHEN {strata_col} = '{name}' THEN {prefix} < '{_hex_threshold(frac)}'"
+        f"WHEN {strata_col} = '{name}' THEN {hit_for(frac)}"
         for name, frac in fractions.items())
-    return (f"CASE {branches} ELSE {prefix} < '{_hex_threshold(default)}' END"
-            if branches else f"{prefix} < '{_hex_threshold(default)}'")
+    return (f"CASE {branches} ELSE {hit_for(default)} END"
+            if branches else hit_for(default))
 
 
 def quota_sample(df: DataFrame, strata_col: str, key_col: str,
@@ -250,6 +263,10 @@ def quota_sample(df: DataFrame, strata_col: str, key_col: str,
     lands on one reducer.  Phase 1 keeps ``n`` per bucket, which can only
     under-prune (every global winner also wins its bucket), never changes
     the result."""
+    reserved = {"_rk", "_rn", "_rn1"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"quota_sample: input columns clash with reserved "
+                         f"working names {sorted(reserved)}")
     sc = F.coalesce(F.col(strata_col).cast("string"), F.lit(""))
     kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
     rk = F.md5(F.encode(F.concat(sc, F.lit(f"|{salt}|"), kc), "UTF-8"))

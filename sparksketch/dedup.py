@@ -378,7 +378,9 @@ def simhash_candidates(sim_df: DataFrame, id_col: str, max_hamming: int = 3,
             " y -> named_struct('id_a', x.i, 'sh_a', x.s, 'id_b', y.i, 'sh_b', y.s))))"
         )).alias("p")
     ).select("p.*")
-    return (pairs.distinct()
+    # strict < (not the sorted-position <=): duplicate ids in sim_df would
+    # otherwise enumerate as degenerate (id, id, 0) self-pairs
+    return (pairs.filter(F.col("id_a") < F.col("id_b")).distinct()
             .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

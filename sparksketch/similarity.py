@@ -160,10 +160,15 @@ def _lsh_meta_target(target: str) -> str:
 
 
 def read_lsh_index(spark, target: str) -> tuple[DataFrame, np.ndarray]:
-    """Re-open a persisted sign-LSH index: (bucketed DataFrame, planes)."""
+    """Re-open a persisted sign-LSH index: (bucketed DataFrame, planes).
+    ``bucket`` is a partition directory on disk, so Spark re-infers its type
+    from the path names (int for small values) — cast back to the bigint
+    that ``with_lsh_bucket`` produces so round-tripped and fresh DataFrames
+    union cleanly."""
     from sparksketch.sources import load_table
     m = load_table(spark, _lsh_meta_target(target)).first()
-    return load_table(spark, target), lsh_planes(m.dim, m.n_planes, m.seed)
+    df = load_table(spark, target).withColumn("bucket", F.col("bucket").cast("long"))
+    return df, lsh_planes(m.dim, m.n_planes, m.seed)
 
 
 def lsh_query(df_bucketed: DataFrame, vec_col: str, id_col: str, query: np.ndarray,
@@ -214,9 +219,8 @@ def with_lsh_table_buckets(df: DataFrame, vec_col: str, planes: np.ndarray,
                 for j in range(n_planes):
                     acc |= signs[:, t * n_planes + j].astype(np.uint64) << np.uint64(j)
                 buckets[:, t] = acc
-            offs = pa.array(np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32))
-            blist = pa.ListArray.from_arrays(
-                offs, pa.array(buckets.ravel().view(np.int64), pa.int64()))
+            from sparksketch.dedup import _as_list_array
+            blist = _as_list_array(buckets, n_tables)
             yield pa.RecordBatch.from_arrays(
                 [*batch.columns, blist], names=[*batch.schema.names, "_buckets"])
 
@@ -445,7 +449,14 @@ def knn_join(corpus: DataFrame, vec_col: str, id_col: str,
         raise ValueError(
             f"knn_join broadcasts the query set; got >{max_queries} queries — "
             "use the sign-LSH / IVF paths for query sets this large")
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, nb_id long, sim double")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    if len(set(qids.tolist())) != len(qids):
+        raise ValueError(
+            "knn_join query ids must be unique — duplicate q_id values would "
+            "silently merge the neighbor lists of different vectors")
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
     sc = corpus.sparkSession.sparkContext

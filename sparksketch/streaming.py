@@ -392,6 +392,14 @@ def stream_dedup_exact(stream_df: DataFrame, cols: list[str], ts_col: str,
         raise ValueError("stream_dedup_exact needs at least one key column")
     wm = stream_df.withWatermark(ts_col, delay)
     if hash_keys:
-        wm = wm.withColumn("_dk", F.xxhash64(*[F.col(c) for c in cols]))
+        # xxhash64 silently SKIPS null children, so (x, NULL) and (NULL, x)
+        # would otherwise hash identically — a deterministic cross-column
+        # collision.  Hash a per-column (null-flag, coalesced-value) pair
+        # instead: flags are never null, so every key layout is distinct.
+        parts = []
+        for c in cols:
+            parts.append(F.col(c).isNull().cast("int"))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        wm = wm.withColumn("_dk", F.xxhash64(*parts))
         return wm.dropDuplicatesWithinWatermark(["_dk"]).drop("_dk")
     return wm.dropDuplicatesWithinWatermark(list(cols))

@@ -179,3 +179,11 @@ def test_quota_sample(spark):
         f"SELECT id FROM pdf QUALIFY {quota_sql_pred('src', 'id', 50)} ORDER BY id"
     ).fetchall()
     assert sorted(r.id for r in kept.collect()) == [w[0] for w in want]
+
+
+def test_quota_sample_reserved_column_guard(spark):
+    import pytest
+    from sparksketch.decontam import quota_sample
+    df = spark.range(10).select("id", F.lit("s").alias("src"), F.lit(1).alias("_rk"))
+    with pytest.raises(ValueError, match="reserved"):
+        quota_sample(df, "src", "id", 3)

@@ -257,3 +257,15 @@ def test_paragraph_dedup(spark):
     # determinism under a different partitioning
     again = {r.doc_id: r.text_dedup for r in paragraph_dedup(df.coalesce(1)).collect()}
     assert again == {k: v.text_dedup for k, v in got.items()}
+
+
+def test_simhash_candidates_no_self_pairs_on_duplicate_ids(spark):
+    from sparksketch.dedup import simhash, simhash_candidates
+    df = spark.createDataFrame(
+        [(1, "the same text here"), (2, "the same text here")],
+        "doc_id long, text string")
+    sim = simhash(df, "text", "doc_id")
+    dup = sim.union(sim)          # same ids twice
+    got = simhash_candidates(dup, "doc_id", max_hamming=3).collect()
+    assert all(r.id_a < r.id_b for r in got)
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}

@@ -344,3 +344,19 @@ def test_knn_join_external_queries_and_gate(spark):
         assert top.nb_id == q and abs(top.sim - 1.0) < 1e-12
     with pytest.raises(ValueError, match="broadcasts the query set"):
         knn_join(corpus, "v", "vid", k=2, max_queries=10)
+
+
+def test_knn_join_empty_and_duplicate_queries(spark):
+    import numpy as np
+    import pytest
+    from sparksketch.similarity import knn_join
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(10)],
+        "vid long, v array<float>")
+    empty = knn_join(corpus, "v", "vid", queries=corpus.filter(F.lit(False)), k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["q_id", "nb_id", "sim"]
+    dup = corpus.union(corpus.limit(1))
+    with pytest.raises(ValueError, match="unique"):
+        knn_join(corpus, "v", "vid", queries=dup, k=3)

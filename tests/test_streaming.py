@@ -270,3 +270,24 @@ def test_stream_dedup_exact(spark, tmp_path):
     assert got.select("key").distinct().count() == 40
     # schema passthrough: helper column removed
     assert set(got.columns) == {"key", "ts"}
+
+
+def test_stream_dedup_null_columns_are_distinct(spark, tmp_path):
+    # (x, NULL) and (NULL, x) must NOT collide: xxhash64 skips null children
+    from sparksketch.streaming import stream_dedup_exact
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1)
+    rows = [("x", None, base), (None, "x", base),
+            ("", "x", base), ("x", "", base)]
+    src = spark.createDataFrame(rows, "a string, b string, ts timestamp")
+    out = str(tmp_path / "in2")
+    src.coalesce(1).write.parquet(out)
+    stream = spark.readStream.schema(src.schema).parquet(out)
+    dd = stream_dedup_exact(stream, ["a", "b"], "ts", delay="1 hour")
+    sink = str(tmp_path / "out2")
+    q = (dd.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "chk2"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(sink).count() == 4   # all four keys distinct
