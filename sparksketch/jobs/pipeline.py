@@ -5,13 +5,19 @@ library's operators:
 
   1. load (Iceberg identifier or parquet path; synthetic fallback)
   2. extract text from html, verify byte-identical per url
-  3. enforce the 1 MB key guard
-  4. quality scoring + language ID; filter to quality ≥ threshold
-  5. exact + MinHash near-dup removal
-  6. build the Bloom filter over surviving urls (dedupe gate for the NEXT
+  3. enforce the 1 MB key guard; collapse trivially-different URLs of the
+     same resource via canonical_url (first-by-url kept, deterministic)
+  4. quality scoring + language ID + Gopher/C4 repetition filters; PII
+     scrub of the surviving text
+  5. exact + MinHash near-dup removal, then corpus-level paragraph dedup
+     of the survivors (boilerplate collapses to one copy)
+  6. per-host quota cap (no single host dominates the mix)
+  7. build the Bloom filter over curated urls (dedupe gate for the NEXT
      crawl increment: "which urls are definitely new?")
-  7. companion sketches for corpus stats (distinct urls, host frequencies,
+  8. companion sketches for corpus stats (distinct urls, host frequencies,
      doc-length quantiles)
+  9. deterministic train/val/test split, then decontaminate train against
+     the held-out splits' shingles (zero-FN gate)
 
 Prints ONE JSON line of stage metrics (rows in/out per stage, docs/s).
 
@@ -38,6 +44,8 @@ def main(argv=None) -> int:
     ap.add_argument("--jaccard-threshold", type=float, default=0.85)
     ap.add_argument("--n-shards", type=int, default=None)
     ap.add_argument("--output-filter", default=None)
+    ap.add_argument("--host-cap", type=int, default=100_000,
+                    help="max docs kept per host (quota_sample)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -73,14 +81,30 @@ def main(argv=None) -> int:
     bad = ext.filter(F.col("extracted_text") != F.col("text")).count()
     metrics["stages"]["extraction_mismatches"] = bad
 
-    # 3. key guard
+    # 3. key guard + canonical-url dedup (same resource under tracking
+    # params / case / port variants collapses to one row; first-by-url kept)
     guarded = enforce_key_limit(ext.select("url", F.col("extracted_text").alias("text"), "lang"), "text")
     n_guard = guarded.count()
     metrics["stages"]["after_key_guard"] = n_guard
+    from pyspark.sql import Window as W
 
-    # 4. quality + language
-    scored = lang_id(quality_features(guarded))
-    kept = scored.filter(F.col("quality_score") >= args.quality_min).cache()
+    from sparksketch.webtext import canonical_url
+    wcanon = W.partitionBy("url_canon").orderBy("url")
+    canoned = (guarded.withColumn("url_canon", canonical_url("url"))
+               .withColumn("_rn", F.row_number().over(wcanon))
+               .filter(F.col("_rn") == 1).drop("_rn", "url_canon"))
+    n_canon = canoned.count()
+    metrics["stages"]["after_url_canon_dedup"] = n_canon
+
+    # 4. quality + language + repetition filters, then PII scrub
+    from sparksketch.textstats import repetition_features, scrub_pii
+    scored = lang_id(quality_features(canoned))
+    kept = scored.filter(F.col("quality_score") >= args.quality_min)
+    rep = repetition_features(kept, "text", "url").filter(
+        (F.col("dup_line_ratio") <= 0.3) & (F.col("top_2gram_ratio") <= 0.2)
+    ).select("url")
+    kept = (kept.join(rep, "url", "left_semi")
+            .withColumn("text", scrub_pii("text")).cache())
     n_quality = kept.count()
     metrics["stages"]["after_quality_filter"] = n_quality
 
@@ -96,10 +120,29 @@ def main(argv=None) -> int:
     n_exact = exact.count()
     pairs = minhash_dedup_pairs(exact, "text", "doc_id",
                                 threshold=args.jaccard_threshold)
-    final = dedup_representatives(exact, pairs, "doc_id").cache()
-    n_final = final.count()
+    near = dedup_representatives(exact, pairs, "doc_id").cache()
+    n_near = near.count()
     metrics["stages"]["after_exact_dedup"] = n_exact
-    metrics["stages"]["after_near_dedup"] = n_final
+    metrics["stages"]["after_near_dedup"] = n_near
+
+    # 5b. corpus-level paragraph dedup: boilerplate shared across surviving
+    # docs collapses to its first occurrence; doc rows are preserved
+    from sparksketch.dedup import paragraph_dedup
+    cleaned = paragraph_dedup(near, "text", "doc_id")
+    final = (near.drop("text")
+             .join(cleaned.select("doc_id", F.col("text_dedup").alias("text"),
+                                  "n_removed"), "doc_id"))
+    metrics["stages"]["paragraphs_removed"] = (
+        final.agg(F.sum("n_removed")).first()[0] or 0)
+    final = final.drop("n_removed")
+
+    # 6. per-host quota: no single host dominates the training mix
+    from sparksketch.decontam import quota_sample
+    final = quota_sample(
+        final.withColumn("_host", F.substring_index(F.substring_index("url", "/", 3), "//", -1)),
+        "_host", "url", args.host_cap, n_buckets=4).drop("_host").cache()
+    n_final = final.count()
+    metrics["stages"]["after_host_quota"] = n_final
 
     # 6. bloom filter over the curated urls
     state = build_bloom(final, "url", BloomConfig(), n_shards=args.n_shards,
@@ -124,11 +167,21 @@ def main(argv=None) -> int:
         "top_hosts_err_bound": hh.error_bound(),
     }
 
-    # 8. deterministic train/val/test split (content-keyed, engine-portable)
-    from sparksketch.decontam import hash_split
-    splits = hash_split(final, "url", {"train": 0.9, "val": 0.05, "test": 0.05})
+    # 8. deterministic train/val/test split (content-keyed, engine-portable),
+    # then decontaminate train against the held-out splits' shingles: any
+    # train doc sharing enough content with val/test is flagged (zero FN —
+    # a contaminated doc can never slip through the Bloom gate)
+    from sparksketch.decontam import benchmark_filter, contamination, hash_split
+    splits = hash_split(final, "url", {"train": 0.9, "val": 0.05, "test": 0.05}).cache()
     metrics["splits"] = {r.split: r["count"] for r in
                          splits.groupBy("split").count().collect()}
+    held_out = splits.filter(F.col("split") != "train")
+    if held_out.first() is not None:
+        bf = benchmark_filter(held_out, "text", shingle=30)
+        train = splits.filter(F.col("split") == "train")
+        flagged = (contamination(train, "text", "doc_id", bf, shingle=30)
+                   .filter("contaminated").count())
+        metrics["decontamination"] = {"train_docs_flagged": flagged}
 
     elapsed = time.perf_counter() - t0
     metrics["elapsed_sec"] = round(elapsed, 2)

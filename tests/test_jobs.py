@@ -32,5 +32,9 @@ def test_pipeline_cli(spark, tmp_path, capsys):
     m = json.loads(out)
     assert m["stages"]["input_rows"] == 3000
     assert m["stages"]["extraction_mismatches"] == 0
-    assert m["bloom"]["key_count"] == m["stages"]["after_near_dedup"]
+    # synthetic urls are already canonical/unique → canon dedup is a no-op
+    assert m["stages"]["after_url_canon_dedup"] == m["stages"]["after_key_guard"]
+    assert m["bloom"]["key_count"] == m["stages"]["after_host_quota"]
+    assert m["stages"]["after_host_quota"] <= m["stages"]["after_near_dedup"]
+    assert "train_docs_flagged" in m.get("decontamination", {})
     assert SparkSession.getActiveSession() is not None
