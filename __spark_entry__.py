@@ -484,6 +484,21 @@ def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                              default=0.8).select("doc_id", "source")
 
 
+def _kll_bucketize_events(spark: SparkSession, sf: str) -> DataFrame:
+    # equi-depth certificate: bucketize events.value into 8 KLL-quantile
+    # buckets; every bucket's population must sit within 6% of N/8 (KLL
+    # k=200 rank error ~1%; deterministic per-partition seeds make the
+    # boolean stable).  The oracle pins all 8 (bucket, TRUE) rows.
+    from sparksketch.kll import bucketize
+    ev = _T(spark, sf, "events").select(
+        F.col("value").cast("double").alias("v")).filter("v IS NOT NULL")
+    out, _bounds = bucketize(ev, "v", n_buckets=8)
+    n = ev.count()
+    return (out.groupBy("bucket").count()
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    (F.abs(F.col("count") - F.lit(n / 8.0)) <= 0.06 * n).alias("ok")))
+
+
 def _quota_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     # absolute per-source caps: exactly 12 docs per source, picked by
     # salted-md5 rank (uniform without replacement, engine-invariant)
@@ -686,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _stratified_sample_docs,
         "top_terms_docs": _top_terms_docs,
         "quota_sample_docs": _quota_sample_docs,
+        "kll_bucketize_events": _kll_bucketize_events,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "repetition_features_docs": _repetition_features_docs,
         "scrub_pii_docs": _scrub_pii_docs,
@@ -846,6 +862,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
         "stratified_sample_docs": _stratified_sample_sql_query(),
         "quota_sample_docs": _quota_sample_sql_query(),
+        "kll_bucketize_events": (
+            "SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bucket, "
+            "TRUE AS ok"),
         "top_terms_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

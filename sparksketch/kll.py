@@ -16,6 +16,7 @@ import struct
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from sparksketch import sketch as _sk
 
@@ -175,3 +176,37 @@ def kll_build(df: DataFrame, col: str, k: int = 200) -> KLL:
 
 def kll_by_group(df: DataFrame, group_col: str, col: str, k: int = 200) -> DataFrame:
     return _sk.sketch_by_group(df, group_col, col, lambda pid: KLL(k, seed=pid), numeric=True)
+
+
+def bucket_boundaries(sk: KLL, n_buckets: int) -> list[float]:
+    """The ``n_buckets − 1`` interior equi-depth boundaries of a KLL sketch
+    (quantiles at i/B)."""
+    if n_buckets < 2:
+        raise ValueError("need at least 2 buckets")
+    return [sk.quantile(i / n_buckets) for i in range(1, n_buckets)]
+
+
+def bucketize(df: DataFrame, col: str, n_buckets: int = 10,
+              out: str = "bucket", k: int = 200,
+              sk: KLL | None = None) -> tuple[DataFrame, list[float]]:
+    """Equi-depth bucketing: append the quantile-bucket index of ``col`` —
+    bucket ``i`` covers values in ``(q_{i/B}, q_{(i+1)/B}]``, so every
+    bucket holds ≈ N/B rows (within the sketch's rank error ε: the
+    population of any bucket is N/B ± 2εN).  The consumption counterpart of
+    the quantile sketches — feeds equi-depth histograms, length-balanced
+    batch packing, and skew-aware range partitioning.
+
+    One sketch pass (zero shuffle) + one pure-JVM assignment expression
+    (``size(filter(boundaries, b -> col > b))`` — codegen'd, no UDF, no
+    second shuffle).  Pass ``sk`` to reuse an existing sketch (e.g. built
+    on yesterday's data) so the assignment is the only work.
+
+    Returns ``(df_with_bucket, boundaries)``; NULL values get bucket NULL.
+    """
+    sk = sk if sk is not None else kll_build(df, col, k=k)
+    bounds = bucket_boundaries(sk, n_buckets)
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    c = F.col(col).cast("double")
+    bucket = F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(F.filter(barr, lambda b: c > b)).cast("int"))
+    return df.withColumn(out, bucket), bounds

@@ -193,3 +193,23 @@ def test_merge_geometry_mismatches_raise():
     e, f = HLL(10), HLL(12)
     with pytest.raises(ValueError):
         e.merge(f)
+
+
+def test_kll_bucketize(spark):
+    from sparksketch.kll import bucketize
+    import pytest
+    n = 20_000
+    df = spark.range(n).select((F.col("id") * 7919 % n).cast("double").alias("v"))
+    out, bounds = bucketize(df, "v", n_buckets=8)
+    assert len(bounds) == 7 and bounds == sorted(bounds)
+    counts = {r.bucket: r["count"] for r in out.groupBy("bucket").count().collect()}
+    assert set(counts) == set(range(8))
+    # equi-depth within the sketch's rank error (eps ~ 1.7/200*sqrt(L))
+    for b, c in counts.items():
+        assert abs(c - n / 8) < 0.05 * n, (b, c)
+    # NULL value -> NULL bucket
+    wnull = spark.createDataFrame([(None,), (1.0,)], "v double")
+    got = bucketize(wnull, "v", n_buckets=4, sk=None)[0].collect()
+    assert any(r.bucket is None for r in got)
+    with pytest.raises(ValueError, match="buckets"):
+        bucketize(df, "v", n_buckets=1)
