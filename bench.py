@@ -109,6 +109,10 @@ def main() -> int:
         wp.select(F.parse_url("url", F.lit("HOST")).alias("host")), "host", d=5, w=65536))
     bench("tdigest_events_value", lambda: tdigest_build(events, "value").quantile(0.5))
     bench("kll_docs_nchars", lambda: kll_build(docs, "n_chars").quantile(0.99))
+    from sparksketch.kll import bucketize
+    bench("kll_bucketize_events", lambda: bucketize(
+        events.select(F.col("value").cast("double").alias("v")), "v", n_buckets=8
+    )[0].groupBy("bucket").count().collect())
 
     # --- webtext ops ---
     bench("extract_text", lambda: extract_text(wp, passthrough=["text"])
