@@ -256,3 +256,41 @@ def test_simhash_kernel_matches_scalar(token_hashes, pad):
                 sig |= 1 << j
         want = sig - (1 << 64) if sig >= (1 << 63) else sig
         assert got[r] == want, r
+
+
+# --- canonical_url: idempotence + engine parity (via the DuckDB mirror,
+# which is cheap per-example; Spark parity has its own fixed-case test) ---
+
+_URL_CHARS = st.sampled_from(list("abcXYZ09.-_/:?&=#%~+ "))
+
+
+@given(st.lists(_URL_CHARS, min_size=0, max_size=60).map("".join),
+       st.sampled_from(["http://", "HTTPS://", "", "ftp://"]))
+@settings(max_examples=40, deadline=None)
+def test_canonical_url_idempotent(tail, scheme):
+    import duckdb
+    from sparksketch.webtext import canonical_url_sql
+    u = scheme + tail
+    once, twice = duckdb.sql(
+        f"SELECT {canonical_url_sql('u')} AS c1, "
+        f"{canonical_url_sql(canonical_url_sql('u'))} AS c2 "
+        f"FROM (SELECT ? AS u)", params=[u]).fetchone()
+    assert once == twice, (u, once, twice)
+
+
+@given(st.lists(st.sampled_from(list("ab@.+-09xyz ()")), min_size=0,
+                max_size=80).map("".join))
+@settings(max_examples=60, deadline=None)
+def test_scrub_pii_python_duckdb_agree(s):
+    # Python re and DuckDB RE2 must agree on every input (Java regex parity
+    # is covered by the Spark-side tests; this pins the pattern class to the
+    # portable subset under fuzzing)
+    import re
+
+    import duckdb
+    from sparksketch.textstats import PII_PATTERNS, scrub_pii_sql
+    got = s
+    for pat, repl in PII_PATTERNS:
+        got = re.sub(pat, repl, got)
+    want = duckdb.sql(f"SELECT {scrub_pii_sql('?')}", params=[s]).fetchone()[0]
+    assert got == want, (s, got, want)
