@@ -48,3 +48,22 @@ def get_spark(app: str = "sparksketch", cores: int | str | None = None,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def estimated_row_count(df) -> int | None:
+    """The optimizer's row-count estimate, or None when unavailable.
+
+    Free when catalog/CBO stats exist (ANALYZE TABLE at scale) — callers
+    use it to avoid an extra count() job where only the magnitude matters.
+    This is the ONE sanctioned use of the private `_jdf` seam in the
+    library: classic-mode PySpark only (Spark Connect DataFrames have no
+    `_jdf`), version-fragile by nature, so it is wrapped here with a broad
+    fallback to None and must never gate correctness.
+    """
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return None
