@@ -187,3 +187,20 @@ def test_quota_sample_reserved_column_guard(spark):
     df = spark.range(10).select("id", F.lit("s").alias("src"), F.lit(1).alias("_rk"))
     with pytest.raises(ValueError, match="reserved"):
         quota_sample(df, "src", "id", 3)
+
+
+def test_stratified_sample_plan_is_scan_side(spark):
+    """The sample must stay a pushed predicate: zero Exchange in the plan,
+    filter evaluated in the scan stage (at 100 TB it's a predicate, not a
+    job)."""
+    import os
+    import tempfile
+    from sparksketch.decontam import stratified_sample
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.parquet")
+    spark.range(100).selectExpr("id", "'s' AS src").write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    out = stratified_sample(df, "src", "id", {"s": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "FileScan" in plan

@@ -269,3 +269,14 @@ def test_simhash_candidates_no_self_pairs_on_duplicate_ids(spark):
     got = simhash_candidates(dup, "doc_id", max_hamming=3).collect()
     assert all(r.id_a < r.id_b for r in got)
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_paragraph_dedup_plan_has_no_paragraph_window(spark):
+    """Winners must come from a map-side-combined aggregation, never a
+    row_number window over the paragraph hash (a corpus-wide hot footer
+    would land on one reducer)."""
+    from sparksketch.dedup import paragraph_dedup
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan    # map-side combine on the winner struct
