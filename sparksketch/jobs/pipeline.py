@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     ap.add_argument("--output-filter", default=None)
     ap.add_argument("--host-cap", type=int, default=100_000,
                     help="max docs kept per host (quota_sample)")
+    ap.add_argument("--decontam-max-heldout", type=int, default=1_000_000,
+                    help="skip the in-pipeline leakage report beyond this "
+                         "many held-out docs (driver-merged benchmark Bloom)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -86,26 +89,31 @@ def main(argv=None) -> int:
     guarded = enforce_key_limit(ext.select("url", F.col("extracted_text").alias("text"), "lang"), "text")
     n_guard = guarded.count()
     metrics["stages"]["after_key_guard"] = n_guard
-    from pyspark.sql import Window as W
-
     from sparksketch.webtext import canonical_url
-    wcanon = W.partitionBy("url_canon").orderBy("url")
+    # winner per canonical key via map-side-combined min(struct) — NOT a
+    # row_number window: a popular resource under millions of URL variants
+    # is the expected hot key here (it's why canonical_url exists), and a
+    # window would sort it all on one reducer
     canoned = (guarded.withColumn("url_canon", canonical_url("url"))
-               .withColumn("_rn", F.row_number().over(wcanon))
-               .filter(F.col("_rn") == 1).drop("_rn", "url_canon"))
+               .groupBy("url_canon")
+               .agg(F.min(F.struct("url", "text", "lang")).alias("_w"))
+               .select("_w.url", "_w.text", "_w.lang"))
     n_canon = canoned.count()
     metrics["stages"]["after_url_canon_dedup"] = n_canon
 
     # 4. quality + language + repetition filters, then PII scrub
+    # (base is cached BEFORE the repetition semi-join — both join sides
+    # derive from it, so the expensive scoring lineage runs once)
     from sparksketch.textstats import repetition_features, scrub_pii
     scored = lang_id(quality_features(canoned))
-    kept = scored.filter(F.col("quality_score") >= args.quality_min)
-    rep = repetition_features(kept, "text", "url").filter(
+    base = scored.filter(F.col("quality_score") >= args.quality_min).cache()
+    rep = repetition_features(base, "text", "url").filter(
         (F.col("dup_line_ratio") <= 0.3) & (F.col("top_2gram_ratio") <= 0.2)
     ).select("url")
-    kept = (kept.join(rep, "url", "left_semi")
+    kept = (base.join(rep, "url", "left_semi")
             .withColumn("text", scrub_pii("text")).cache())
     n_quality = kept.count()
+    base.unpersist()
     metrics["stages"]["after_quality_filter"] = n_quality
 
     # 5. dedup: exact, then near-dup PAIRS resolved into CLUSTERS (connected
@@ -129,19 +137,21 @@ def main(argv=None) -> int:
     # docs collapses to its first occurrence; doc rows are preserved
     from sparksketch.dedup import paragraph_dedup
     cleaned = paragraph_dedup(near, "text", "doc_id")
-    final = (near.drop("text")
-             .join(cleaned.select("doc_id", F.col("text_dedup").alias("text"),
-                                  "n_removed"), "doc_id"))
+    deduped = (near.drop("text")
+               .join(cleaned.select("doc_id", F.col("text_dedup").alias("text"),
+                                    "n_removed"), "doc_id").cache())
     metrics["stages"]["paragraphs_removed"] = (
-        final.agg(F.sum("n_removed")).first()[0] or 0)
-    final = final.drop("n_removed")
+        deduped.agg(F.sum("n_removed")).first()[0] or 0)
 
-    # 6. per-host quota: no single host dominates the training mix
+    # 6. per-host quota: no single host dominates the training mix (the
+    # host column is kept through stage 7's sketches — one derivation)
     from sparksketch.decontam import quota_sample
+    host_col = F.substring_index(F.substring_index("url", "/", 3), "//", -1)
     final = quota_sample(
-        final.withColumn("_host", F.substring_index(F.substring_index("url", "/", 3), "//", -1)),
-        "_host", "url", args.host_cap, n_buckets=4).drop("_host").cache()
+        deduped.drop("n_removed").withColumn("_host", host_col),
+        "_host", "url", args.host_cap, n_buckets=4).cache()
     n_final = final.count()
+    deduped.unpersist()
     metrics["stages"]["after_host_quota"] = n_final
 
     # 6. bloom filter over the curated urls
@@ -154,8 +164,8 @@ def main(argv=None) -> int:
 
     # 7. corpus stats via sketches
     from sparksketch.topk import heavy_hitters
-    hosts = final.select(
-        F.substring_index(F.substring_index("url", "/", 3), "//", -1).alias("h"))
+    hosts = final.select(F.col("_host").alias("h"))
+    final = final.drop("_host")
     hh = heavy_hitters(hosts, "h", k=16)
     kll = kll_build(final.select(F.length("text").alias("len")), "len")
     metrics["sketches"] = {
@@ -175,13 +185,24 @@ def main(argv=None) -> int:
     splits = hash_split(final, "url", {"train": 0.9, "val": 0.05, "test": 0.05}).cache()
     metrics["splits"] = {r.split: r["count"] for r in
                          splits.groupBy("split").count().collect()}
+    # benchmark_filter's contract is a SMALL benchmark (the Bloom over its
+    # distinct shingles is driver-merged and broadcast whole) — at real
+    # scale you pass an external eval set here, not 10% of the corpus, so
+    # the in-pipeline leakage report is gated on the held-out size and
+    # skipped with an explicit note beyond it
     held_out = splits.filter(F.col("split") != "train")
-    if held_out.first() is not None:
+    n_held = held_out.count()
+    if 0 < n_held <= args.decontam_max_heldout:
         bf = benchmark_filter(held_out, "text", shingle=30)
         train = splits.filter(F.col("split") == "train")
         flagged = (contamination(train, "text", "doc_id", bf, shingle=30)
                    .filter("contaminated").count())
         metrics["decontamination"] = {"train_docs_flagged": flagged}
+    elif n_held:
+        metrics["decontamination"] = {
+            "skipped": f"held-out {n_held} docs > --decontam-max-heldout "
+                       f"{args.decontam_max_heldout}; pass an external "
+                       "benchmark table for at-scale decontamination"}
 
     elapsed = time.perf_counter() - t0
     metrics["elapsed_sec"] = round(elapsed, 2)

@@ -189,15 +189,12 @@ def test_quota_sample_reserved_column_guard(spark):
         quota_sample(df, "src", "id", 3)
 
 
-def test_stratified_sample_plan_is_scan_side(spark):
+def test_stratified_sample_plan_is_scan_side(spark, tmp_path):
     """The sample must stay a pushed predicate: zero Exchange in the plan,
     filter evaluated in the scan stage (at 100 TB it's a predicate, not a
     job)."""
-    import os
-    import tempfile
     from sparksketch.decontam import stratified_sample
-    d = tempfile.mkdtemp()
-    p = os.path.join(d, "t.parquet")
+    p = str(tmp_path / "t.parquet")
     spark.range(100).selectExpr("id", "'s' AS src").write.mode("overwrite").parquet(p)
     df = spark.read.parquet(p)
     out = stratified_sample(df, "src", "id", {"s": 0.5})
