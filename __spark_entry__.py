@@ -102,6 +102,25 @@ def _bloom_partkey_screen(spark: SparkSession, sf: str) -> DataFrame:
             .filter(~F.col("is_member")).select("p_partkey"))
 
 
+def _bloom_join_brand_qty(spark: SparkSession, sf: str) -> DataFrame:
+    # runtime-filter join: bloom over the SELECTIVE dim side's keys
+    # prefilters the fact table before the shuffle join — zero FN makes the
+    # prefilter semantically invisible (FPs are removed by the join itself),
+    # so the result is unconditionally EXACT and the oracle is the plain
+    # join.  At 100 TB this is the pattern that turns a full fact-table
+    # shuffle into a shuffle of only the matching fraction.
+    part = _T(spark, sf, "part").filter(F.col("p_size") < 10)
+    li = _T(spark, sf, "lineitem")
+    state = build_bloom(part, "p_partkey", BloomConfig(), n_shards=32, partitions=8)
+    pre = with_membership(li.select("l_partkey", "l_quantity"),
+                          "l_partkey", state).filter(F.col("is_member"))
+    return (pre.join(part.select("p_partkey", "p_brand"),
+                     pre.l_partkey == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
 def _bloom_by_source_zero_fn(spark: SparkSession, sf: str) -> DataFrame:
     # per-group filters (bloom_by_group): every text of a source must be a
     # member of that source's filter — zero FN per group.  Fully distributed
@@ -671,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom (the centerpiece)
         "bloom_zero_fn": _bloom_zero_fn,
         "bloom_partkey_screen": _bloom_partkey_screen,
+        "bloom_join_brand_qty": _bloom_join_brand_qty,
         "bloom_by_source_zero_fn": _bloom_by_source_zero_fn,
         # companion sketches
         "hll_users_by_event_type": _hll_users_by_event_type,
@@ -837,6 +857,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_zero_fn": "SELECT count(*) AS n_keys, CAST(0 AS BIGINT) AS false_negatives FROM customer",
         "bloom_partkey_screen": ("SELECT DISTINCT p_partkey FROM part "
                                  "WHERE p_partkey NOT IN (SELECT c_custkey FROM customer)"),
+        "bloom_join_brand_qty": (
+            "SELECT p_brand, count(*) AS n_items, "
+            "round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size < 10 GROUP BY p_brand"),
         "bloom_by_source_zero_fn": "SELECT DISTINCT source, TRUE AS ok FROM documents",
         "hll_users_by_event_type": ("SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
                                     "TRUE AS hll_ok FROM events GROUP BY event_type"),
