@@ -503,6 +503,31 @@ def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                              default=0.8).select("doc_id", "source")
 
 
+def _theta_user_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # set-operation certificate: Theta sketches of click-users and
+    # view-users, intersection/union/difference estimates each within
+    # 4/sqrt(k) relative error of the exact SQL answer (k=4096 -> RSE
+    # ~1.6%, margin ~6.3%; fixed hash seed makes the booleans stable).
+    # n_exact_inter is the hard data-derived column the oracle recomputes.
+    from sparksketch.theta import (difference_estimate, intersection_estimate,
+                                   theta_build, union_estimate)
+    ev = _T(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    tc = theta_build(clicks, "user_id", k=4096)
+    tv = theta_build(views, "user_id", k=4096)
+    exact_i = clicks.intersect(views).count()
+    exact_u = clicks.union(views).distinct().count()
+    exact_d = clicks.distinct().exceptAll(views.distinct()).count()
+    m = 4.0 / math.sqrt(4096)
+    ok = (abs(intersection_estimate(tc, tv) - exact_i) <= m * max(exact_i, 1)
+          and abs(union_estimate(tc, tv) - exact_u) <= m * max(exact_u, 1)
+          and abs(difference_estimate(tc, tv) - exact_d) <= m * max(exact_d, 1))
+    return spark.createDataFrame(
+        [Row(n_exact_inter=int(exact_i), ok=bool(ok))],
+        "n_exact_inter long, ok boolean")
+
+
 def _kll_bucketize_events(spark: SparkSession, sf: str) -> DataFrame:
     # equi-depth certificate: bucketize events.value into 8 KLL-quantile
     # buckets; every bucket's population must sit within 6% of N/8 (KLL
@@ -722,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_docs": _top_terms_docs,
         "quota_sample_docs": _quota_sample_docs,
         "kll_bucketize_events": _kll_bucketize_events,
+        "theta_user_overlap": _theta_user_overlap,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "repetition_features_docs": _repetition_features_docs,
         "scrub_pii_docs": _scrub_pii_docs,
@@ -890,6 +916,10 @@ def oracle_sql() -> dict[str, str]:
         "kll_bucketize_events": (
             "SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bucket, "
             "TRUE AS ok"),
+        "theta_user_overlap": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_exact_inter, TRUE AS ok FROM "
+            "(SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'view')"),
         "top_terms_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

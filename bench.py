@@ -109,6 +109,13 @@ def main() -> int:
         wp.select(F.parse_url("url", F.lit("HOST")).alias("host")), "host", d=5, w=65536))
     bench("tdigest_events_value", lambda: tdigest_build(events, "value").quantile(0.5))
     bench("kll_docs_nchars", lambda: kll_build(docs, "n_chars").quantile(0.99))
+    from sparksketch.theta import intersection_estimate, theta_build
+    def theta_overlap():
+        clicks = events.filter(F.col("event_type") == "click").select("user_id")
+        views = events.filter(F.col("event_type") == "view").select("user_id")
+        return intersection_estimate(theta_build(clicks, "user_id"),
+                                     theta_build(views, "user_id"))
+    bench("theta_user_overlap", theta_overlap)
     from sparksketch.kll import bucketize
     bench("kll_bucketize_events", lambda: bucketize(
         events.select(F.col("value").cast("double").alias("v")), "v", n_buckets=8

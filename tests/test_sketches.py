@@ -213,3 +213,38 @@ def test_kll_bucketize(spark):
     assert any(r.bucket is None for r in got)
     with pytest.raises(ValueError, match="buckets"):
         bucketize(df, "v", n_buckets=1)
+
+
+def test_theta_set_operations(spark):
+    from sparksketch.theta import (
+        Theta,
+        difference_estimate,
+        intersection_estimate,
+        theta_build,
+        union_estimate,
+    )
+    import pytest
+    a = spark.range(0, 20_000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(12_000, 30_000).select(F.col("id").cast("string").alias("k"))
+    ta = theta_build(a, "k", k=2048)
+    tb = theta_build(b, "k", k=2048)
+    assert abs(ta.estimate() - 20_000) < 0.1 * 20_000
+    inter = intersection_estimate(ta, tb)        # true 8000
+    union = union_estimate(ta, tb)               # true 30000
+    diff = difference_estimate(ta, tb)           # true 12000
+    assert abs(inter - 8_000) < 0.15 * 8_000
+    assert abs(union - 30_000) < 0.1 * 30_000
+    assert abs(diff - 12_000) < 0.15 * 12_000
+    # merge == build-on-union, byte-identical (order-invariant bottom-k)
+    tm = theta_build(a, "k", k=2048).merge(theta_build(b, "k", k=2048))
+    tu = theta_build(a.union(b), "k", k=2048)
+    assert tm.to_bytes() == tu.to_bytes()
+    # below capacity the sketch is exact
+    small = theta_build(a.limit(500), "k", k=2048)
+    assert small.estimate() == 500.0
+    # serde roundtrip
+    assert Theta.from_bytes(tm.to_bytes()).to_bytes() == tm.to_bytes()
+    with pytest.raises(ValueError, match="k"):
+        Theta(4)
+    with pytest.raises(ValueError, match="different k"):
+        Theta(16).merge(Theta(32))
