@@ -503,6 +503,15 @@ def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                              default=0.8).select("doc_id", "source")
 
 
+def _funnel_depth_events(spark: SparkSession, sf: str) -> DataFrame:
+    # view -> click -> purchase funnel per user, strictly-increasing ts;
+    # the oracle reproduces greedy-earliest matching as a min() cascade
+    from sparksketch.events import funnel_depth
+    ev = _T(spark, sf, "events")
+    return funnel_depth(ev, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+
+
 def _theta_user_overlap(spark: SparkSession, sf: str) -> DataFrame:
     # set-operation certificate: Theta sketches of click-users and
     # view-users, intersection/union/difference estimates each within
@@ -748,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample_docs": _quota_sample_docs,
         "kll_bucketize_events": _kll_bucketize_events,
         "theta_user_overlap": _theta_user_overlap,
+        "funnel_depth_events": _funnel_depth_events,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "repetition_features_docs": _repetition_features_docs,
         "scrub_pii_docs": _scrub_pii_docs,
@@ -916,6 +926,19 @@ def oracle_sql() -> dict[str, str]:
         "kll_bucketize_events": (
             "SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bucket, "
             "TRUE AS ok"),
+        "funnel_depth_events": (
+            "WITH e AS (SELECT user_id, ts, event_type FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "a AS (SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') "
+            "AS t1 FROM e GROUP BY user_id), "
+            "b AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN a USING (user_id) "
+            "WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY e.user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN b USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY e.user_id) "
+            "SELECT a.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 "
+            "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
+            "ELSE 0 END AS INT) AS depth "
+            "FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)"),
         "theta_user_overlap": (
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_inter, TRUE AS ok FROM "
             "(SELECT user_id FROM events WHERE event_type = 'click' "

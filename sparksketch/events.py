@@ -96,3 +96,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     )
     return (filled.filter(F.col("_is_l") == 1)
             .select(*left_cols, *[F.col(f"_rv.{c}").alias(c) for c in value_cols]))
+
+
+def funnel_depth(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+                 steps: list[str], out: str = "depth") -> DataFrame:
+    """Funnel analysis: per user, the deepest stage of ``steps`` reached **in
+    order with strictly increasing timestamps** (view → click → purchase …).
+    Returns one row per user with ``out`` ∈ [0, len(steps)].
+
+    Greedy-earliest matching (take the first event completing each stage) is
+    depth-optimal, so the result is well-defined; ties at the same timestamp
+    never chain (strict >), and the answer is partitioning-invariant.
+
+    Plan shape: filter to step events only (pushed to the scan), ONE shuffle
+    to group by user, then a single Catalyst ``aggregate`` fold over each
+    user's time-sorted (ts, type) structs — whole-stage-codegen'd, no
+    Python, state is one (depth, last_ts) struct per user.  Per-user event
+    counts bound the array; a user with billions of step events would need
+    pre-thinning (keep first occurrence per (user, type, coarse window)),
+    documented rather than hidden.
+    """
+    if not steps:
+        raise ValueError("funnel_depth needs at least one step")
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    evs = (df.filter(F.col(type_col).isin(list(steps)))
+           .groupBy(F.col(user_col))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))).alias("_evs")))
+    init = F.struct(F.lit(0).alias("d"),
+                    F.lit("1900-01-01 00:00:00").cast("timestamp").alias("t"))
+    fold = F.aggregate(
+        "_evs", init,
+        lambda acc, e: F.when(
+            (acc["d"] < n)
+            & (e["et"] == F.element_at(steps_arr, acc["d"] + 1))
+            & (e["ts"] > acc["t"]),
+            F.struct((acc["d"] + 1).alias("d"), e["ts"].alias("t")),
+        ).otherwise(acc),
+    )
+    return evs.select(user_col, fold["d"].cast("int").alias(out))

@@ -92,3 +92,29 @@ def test_asof_join_null_right_ts_never_matches(spark):
     got = {r.lid: r.v for r in asof_join(left, right, "k", "ts", ["v"]).collect()}
     # lid=1 matches ts=5 (never the NULL-ts row); NULL-ts left row matches nothing
     assert got == {1: 9.0, 2: None}
+
+
+def test_funnel_depth(spark):
+    import datetime as dt
+    import pytest
+    from sparksketch.events import funnel_depth
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full funnel in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click before view -> only reaches depth 1 via the later view
+        (2, t(1), "click"), (2, t(2), "view"),
+        # u3: view and click at the SAME ts -> strict > blocks chaining
+        (3, t(5), "view"), (3, t(5), "click"),
+        # u4: no step events at all (only noise)
+        (4, t(1), "error"),
+        # u5: repeated views then a late purchase without click
+        (5, t(1), "view"), (5, t(2), "view"), (5, t(9), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r.depth for r in
+           funnel_depth(df, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 1, 3: 1, 5: 1}   # u4 filtered out (no step events)
+    with pytest.raises(ValueError, match="step"):
+        funnel_depth(df, "user_id", "ts", "event_type", [])
