@@ -180,6 +180,10 @@ def main() -> int:
                   .groupBy("user_id", "ts").agg(F.max("value").alias("cv")))
         return asof_join(events, clicks, "user_id", "ts", ["cv"]).count()
     bench("asof_join_events", asof)
+    from sparksketch.events import funnel_depth
+    bench("funnel_depth_events", lambda: funnel_depth(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+        .agg(F.avg("depth")).collect())
 
     # --- similarity ---
     qv = np.array(emb.first().embedding, dtype=np.float32)
