@@ -630,6 +630,52 @@ def _canonical_url_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", canonical_url(messy).alias("url_canon"))
 
 
+def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q3 shape: selective dim (BUILDING customers, broadcast) ⋈ orders
+    # ⋈ lineitem, revenue in exact integer 10^-4 units (price/discount carry
+    # 2 decimals each), top-10 via TakeOrdered; date emitted as a string so
+    # both engines hash it identically
+    cust = _T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1997-06-15").cast("timestamp_ntz")
+    orders = _T(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _T(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).alias("revenue_e4"))
+            .orderBy(F.desc("revenue_e4"), "l_orderkey").limit(10)
+            .select("l_orderkey", "revenue_e4",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    "o_orderpriority"))
+
+
+def _q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q5 shape: 6-way join (region → nation → customer → orders →
+    # lineitem → supplier) with the local-supplier twist (supplier and
+    # customer share a nation); all dims broadcast, one fact shuffle;
+    # revenue in exact integer 10^-4 units
+    region = _T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _T(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    cust = _T(spark, sf, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    orders = _T(spark, sf, "orders")
+    li = _T(spark, sf, "lineitem")
+    supp = _T(spark, sf, "supplier")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp),
+               (li.l_suppkey == supp.s_suppkey)
+               & (cust.c_nationkey == supp.s_nationkey)))
+    return (j.groupBy("n_name")
+            .agg(F.sum(rev).alias("revenue_e4"))
+            .orderBy(F.desc("revenue_e4"), "n_name"))
+
+
 def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # Full TPC-H q1 aggregate set in integer-exact money math: prices carry 2
     # decimals, discount/tax 2 each, so *100 / *10^4 / *10^6 factors are
@@ -773,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / semi-structured surface
         "props_k_stats_by_event_type": _props_k_stats_by_event_type,
         "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
         "top3_orders_per_customer": _top3_orders_per_customer,
         "distinct_parts_per_returnflag": _distinct_parts_per_returnflag,
         "customers_without_orders": _customers_without_orders,
@@ -1094,6 +1142,27 @@ def oracle_sql() -> dict[str, str]:
         # outer CAST(... AS BIGINT) on every SUM: DuckDB promotes SUM(BIGINT)
         # to HUGEINT, which an Arrow fetch surfaces as decimal128 and the
         # driver's float path would hash differently from Spark's int64.
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1997-06-15' "
+            "AND l_shipdate > TIMESTAMP '1997-06-15' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
+        "q5_local_supplier_volume": (
+            "SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name "
+            "ORDER BY revenue_e4 DESC, n_name"),
         "q1_pricing_summary": (
             "WITH a AS (SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
