@@ -107,6 +107,9 @@ def funnel_depth(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     Greedy-earliest matching (take the first event completing each stage) is
     depth-optimal, so the result is well-defined; ties at the same timestamp
     never chain (strict >), and the answer is partitioning-invariant.
+    Output has one row per user **with at least one step event** — users
+    whose events are all non-step types are absent (left-join the user
+    universe back if a depth-0 row per user is needed).
 
     Plan shape: filter to step events only (pushed to the scan), ONE shuffle
     to group by user, then a single Catalyst ``aggregate`` fold over each
@@ -124,14 +127,17 @@ def funnel_depth(df: DataFrame, user_col: str, ts_col: str, type_col: str,
            .groupBy(F.col(user_col))
            .agg(F.sort_array(F.collect_list(F.struct(
                F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))).alias("_evs")))
+    # null last-ts sentinel (not an arbitrary date floor): the first stage
+    # matches unconditionally, later stages need strictly increasing ts
+    ts_type = df.schema[ts_col].dataType.simpleString()
     init = F.struct(F.lit(0).alias("d"),
-                    F.lit("1900-01-01 00:00:00").cast("timestamp").alias("t"))
+                    F.lit(None).cast(ts_type).alias("t"))
     fold = F.aggregate(
         "_evs", init,
         lambda acc, e: F.when(
             (acc["d"] < n)
             & (e["et"] == F.element_at(steps_arr, acc["d"] + 1))
-            & (e["ts"] > acc["t"]),
+            & ((acc["d"] == 0) | (e["ts"] > acc["t"])),
             F.struct((acc["d"] + 1).alias("d"), e["ts"].alias("t")),
         ).otherwise(acc),
     )

@@ -191,7 +191,7 @@ def main(argv=None) -> int:
     # the in-pipeline leakage report is gated on the held-out size and
     # skipped with an explicit note beyond it
     held_out = splits.filter(F.col("split") != "train")
-    n_held = held_out.count()
+    n_held = sum(v for k, v in metrics["splits"].items() if k != "train")
     if 0 < n_held <= args.decontam_max_heldout:
         bf = benchmark_filter(held_out, "text", shingle=30)
         train = splits.filter(F.col("split") == "train")

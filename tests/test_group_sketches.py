@@ -242,9 +242,6 @@ def test_theta_by_group(spark):
     out = theta_by_group(df, "g", "k", k=2048)
     est = {r.group: r.est for r in
            out.withColumn("est", estimate_col(Theta)("state")).collect()}
-    # each group sees 9000/3-spaced distinct keys: g=0 holds ids ≡ 0 mod 3 of
-    # 0..8999 -> 3000 distinct per group... actually every k value occurs in
-    # every group (id and id%9000 cycle independently mod 3? no: id ≡ g mod 3
-    # and k = id mod 9000 ≡ id mod 3 mod gcd -> k ≡ g mod 3), so 3000 each
+    # 9000 ≡ 0 (mod 3) ⇒ k = id mod 9000 ≡ g (mod 3): 3000 distinct k/group
     for g in ("0", "1", "2"):
         assert abs(est[g] - 3000) < 0.12 * 3000, (g, est[g])

@@ -360,3 +360,31 @@ def test_knn_join_empty_and_duplicate_queries(spark):
     dup = corpus.union(corpus.limit(1))
     with pytest.raises(ValueError, match="unique"):
         knn_join(corpus, "v", "vid", queries=dup, k=3)
+
+
+def test_knn_join_preselect_path_matches_bruteforce(spark):
+    """Corpora large enough to trigger the argpartition fast path (batch >
+    kk+64) and the mass-tie full-width redo must still produce the exact
+    deterministic (sim desc, id asc) result."""
+    import numpy as np
+    from sparksketch.similarity import knn_join
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((300, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vid long, v array<float>").coalesce(1)
+    got = {r.q_id: [] for r in []}
+    for r in knn_join(df, "v", "vid", queries=df.filter("vid < 5"), k=4).collect():
+        got.setdefault(r.q_id, []).append((r.sim, r.nb_id))
+    m = vecs.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(5):
+        sims = m @ m[q]
+        want = [j for _, j in sorted(((-sims[j], j) for j in range(300)))[:4]]
+        assert [nb for _, nb in sorted(got[q], key=lambda t: (-t[0], t[1]))] == want
+
+    # mass-tie: 400 identical vectors in ONE partition (cluster >> kk+64);
+    # the redo path must keep the LOWEST neighbor ids
+    dup = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(400)], "vid long, v array<float>").coalesce(1)
+    got2 = knn_join(dup, "v", "vid", queries=dup.filter("vid = 399"), k=5).collect()
+    assert sorted(r.nb_id for r in got2) == [0, 1, 2, 3, 4]
