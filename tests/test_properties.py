@@ -294,3 +294,33 @@ def test_scrub_pii_python_duckdb_agree(s):
         got = re.sub(pat, repl, got)
     want = duckdb.sql(f"SELECT {scrub_pii_sql('?')}", params=[s]).fetchone()[0]
     assert got == want, (s, got, want)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=0,
+                max_size=300),
+       st.integers(min_value=1, max_value=6), st.randoms())
+@settings(max_examples=60, deadline=None)
+def test_theta_merge_order_invariance(vals, n_parts, rnd):
+    # any partitioning, any merge order -> byte-identical sketch; estimate
+    # exact below capacity
+    import numpy as np
+
+    from sparksketch.theta import Theta
+    vals = list(vals)
+    rnd.shuffle(vals)
+    parts = [vals[i::n_parts] for i in range(n_parts)]
+    sketches = []
+    for p in parts:
+        t = Theta(k=64)
+        t.update_hashes(np.array(p, dtype=np.uint64))
+        sketches.append(t)
+    rnd.shuffle(sketches)
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.merge(s)
+    ref = Theta(k=64)
+    ref.update_hashes(np.array(vals, dtype=np.uint64))
+    assert merged.to_bytes() == ref.to_bytes()
+    distinct = len(set(vals))
+    if distinct < 64:
+        assert merged.estimate() == float(distinct)
