@@ -537,6 +537,25 @@ def _theta_user_overlap(spark: SparkSession, sf: str) -> DataFrame:
         "n_exact_inter long, ok boolean")
 
 
+def _fd_embeddings_cov(spark: SparkSession, sf: str) -> DataFrame:
+    # matrix-sketch certificate: Frequent Directions over the embedding
+    # column must satisfy its deterministic spectral guarantee against the
+    # exact Gram matrix — 0 ⪯ AᵀA − BᵀB ⪯ Δ·I with the exactly-tracked
+    # Δ ≤ ‖A‖_F²/ℓ (no randomness anywhere, so the boolean is stable).
+    # n_vecs/dim are the hard data-derived columns the oracle recomputes.
+    from sparksketch.fd import exact_gram, fd_build
+    emb = _T(spark, sf, "embeddings")
+    fd = fd_build(emb, "embedding", ell=16)
+    G = exact_gram(emb, "embedding", dim=fd.d)
+    ev = np.linalg.eigvalsh(G - fd.cov())
+    tol = 1e-6 * fd.fro2
+    ok = (ev[0] >= -tol and ev[-1] <= fd.cov_error_bound() + tol
+          and fd.cov_error_bound() <= fd.worst_case_bound() + tol)
+    return spark.createDataFrame(
+        [Row(n_vecs=int(fd.n), dim=int(fd.d), ok=bool(ok))],
+        "n_vecs long, dim int, ok boolean")
+
+
 def _kll_bucketize_events(spark: SparkSession, sf: str) -> DataFrame:
     # equi-depth certificate: bucketize events.value into 8 KLL-quantile
     # buckets; every bucket's population must sit within 3% of N, i.e.
@@ -804,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample_docs": _quota_sample_docs,
         "kll_bucketize_events": _kll_bucketize_events,
         "theta_user_overlap": _theta_user_overlap,
+        "fd_embeddings_cov": _fd_embeddings_cov,
         "funnel_depth_events": _funnel_depth_events,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "repetition_features_docs": _repetition_features_docs,
@@ -992,6 +1012,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_inter, TRUE AS ok FROM "
             "(SELECT user_id FROM events WHERE event_type = 'click' "
             "INTERSECT SELECT user_id FROM events WHERE event_type = 'view')"),
+        "fd_embeddings_cov": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_vecs, "
+            "CAST(max(len(embedding)) AS INT) AS dim, TRUE AS ok "
+            "FROM embeddings WHERE embedding IS NOT NULL"),
         "top_terms_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

@@ -190,6 +190,9 @@ def main() -> int:
     bench("cosine_topk", lambda: cosine_topk(emb, "embedding", "vec_id", qv, k=10))
     from sparksketch.similarity import knn_join
     bench("knn_join_emb", lambda: knn_join(emb, "embedding", "vec_id", k=10).count())
+    from sparksketch.fd import fd_build
+    bench("fd_embeddings", lambda: float(
+        fd_build(emb, "embedding", ell=32).singular_values()[0]))
 
     # --- relational surface ---
     bench("q1_pricing", lambda: lineitem
