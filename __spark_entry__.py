@@ -581,6 +581,14 @@ def _quota_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                         n_buckets=4).select("doc_id", "source")
 
 
+def _uniform_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # global fixed-k eval-set pull: the 25 docs with the smallest salted
+    # md5 rank — exact, engine-invariant, TakeOrdered plan (never a sort)
+    from sparksketch.decontam import uniform_sample_k
+    docs = _T(spark, sf, "documents")
+    return uniform_sample_k(docs, "doc_id", 25).select("doc_id", "source")
+
+
 def _top_terms_docs(spark: SparkSession, sf: str) -> DataFrame:
     # per-doc top-3 distinguishing terms; idf='ratio' so the rank key uses
     # only IEEE-exact ops (*, /) and cross-engine ranking cannot flip
@@ -821,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _stratified_sample_docs,
         "top_terms_docs": _top_terms_docs,
         "quota_sample_docs": _quota_sample_docs,
+        "uniform_sample_docs": _uniform_sample_docs,
         "kll_bucketize_events": _kll_bucketize_events,
         "theta_user_overlap": _theta_user_overlap,
         "fd_embeddings_cov": _fd_embeddings_cov,
@@ -992,6 +1001,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
         "stratified_sample_docs": _stratified_sample_sql_query(),
         "quota_sample_docs": _quota_sample_sql_query(),
+        "uniform_sample_docs": (
+            "SELECT doc_id, source FROM documents "
+            "ORDER BY md5('unif|' || coalesce(CAST(doc_id AS VARCHAR), '')), "
+            "doc_id LIMIT 25"),
         "kll_bucketize_events": (
             "SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bucket, "
             "TRUE AS ok"),

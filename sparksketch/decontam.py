@@ -290,6 +290,38 @@ def quota_sample(df: DataFrame, strata_col: str, key_col: str,
             .filter(quota.isNull() | (F.col("_rn") <= quota)).drop("_rn", "_rk"))
 
 
+def uniform_sample_k(df: DataFrame, key_col: str, k: int,
+                     salt: str = "unif") -> DataFrame:
+    """Deterministic **global** fixed-size-``k`` uniform sample: the ``k``
+    rows whose ``md5(salt|key)`` ranks smallest — uniform without
+    replacement, reshuffle/engine invariant, no RNG state (the complement to
+    :func:`quota_sample`'s per-stratum quotas; "pull 10k docs for a manual
+    eval set" is this operator).
+
+    Plan shape: ``orderBy(rank).limit(k)`` is planned as
+    ``TakeOrderedAndProject`` — every partition keeps only its own top-``k``
+    and the driver merges ``partitions × k`` candidates; there is never a
+    global sort or a rangepartitioning Exchange, so the cost at 100 TB is
+    one scan + ``P·k`` tiny rows (proven in-plan by the pytest)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if "_rk" in df.columns:
+        raise ValueError("uniform_sample_k: input column clashes with "
+                         "reserved working name '_rk'")
+    kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    rk = F.md5(F.encode(F.concat(F.lit(f"{salt}|"), kc), "UTF-8"))
+    return (df.withColumn("_rk", rk)
+            .orderBy("_rk", key_col).limit(int(k)).drop("_rk"))
+
+
+def uniform_sample_sql(table: str, cols: str, key_col: str, k: int,
+                       salt: str = "unif") -> str:
+    """ANSI-SQL mirror of :func:`uniform_sample_k` for oracles."""
+    kc = f"coalesce(CAST({key_col} AS VARCHAR), '')"
+    return (f"SELECT {cols} FROM {table} "
+            f"ORDER BY md5('{salt}|' || {kc}), {key_col} LIMIT {int(k)}")
+
+
 def quota_sql_pred(strata_col: str, key_col: str, n: int,
                    salt: str = "quota") -> str:
     """QUALIFY-style oracle fragment for :func:`quota_sample` with a scalar

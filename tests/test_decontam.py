@@ -201,3 +201,44 @@ def test_stratified_sample_plan_is_scan_side(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "FileScan" in plan
+
+
+def test_uniform_sample_k(spark):
+    import duckdb
+    import pytest
+    from sparksketch.decontam import uniform_sample_k, uniform_sample_sql
+    df = spark.range(3000).select(
+        F.col("id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"))
+    kept = uniform_sample_k(df, "id", 40)
+    assert kept.columns == ["id", "src"]
+    got = sorted(r.id for r in kept.collect())
+    assert len(got) == 40
+    # DuckDB picks the identical row set over the identical rank key
+    pdf = df.toPandas()
+    want = sorted(w[0] for w in duckdb.sql(
+        uniform_sample_sql("pdf", "id", "id", 40)).fetchall())
+    assert got == want
+    # reshuffle-invariant
+    again = sorted(r.id for r in uniform_sample_k(df.repartition(13), "id", 40).collect())
+    assert again == got
+    # k >= n keeps everything
+    assert uniform_sample_k(df, "id", 5000).count() == 3000
+    with pytest.raises(ValueError, match="k must"):
+        uniform_sample_k(df, "id", 0)
+    with pytest.raises(ValueError, match="reserved"):
+        uniform_sample_k(df.withColumn("_rk", F.lit(1)), "id", 5)
+
+
+def test_uniform_sample_k_plan_is_take_ordered(spark, tmp_path):
+    """The global fixed-k sample must plan as TakeOrderedAndProject
+    (partition-local top-k + driver merge) — never a global sort with a
+    rangepartitioning Exchange."""
+    from sparksketch.decontam import uniform_sample_k
+    p = str(tmp_path / "u.parquet")
+    spark.range(100_000).selectExpr("id", "'x' AS src").write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    out = uniform_sample_k(df, "id", 100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
