@@ -210,6 +210,90 @@ def fd_build(df: DataFrame, vec_col: str, ell: int = 64,
     return make(0) if merged == b"" else FrequentDirections.from_bytes(merged)
 
 
+def fd_by_group(df: DataFrame, group_col: str, vec_col: str, ell: int = 64,
+                dim: int | None = None) -> DataFrame:
+    """Per-group FD sketches → ``(group string, state binary)`` — the
+    second-moment structure of each source/language/shard's embeddings
+    ("is source X's embedding distribution drifting?").
+
+    Same skew-robust shape as ``sketch.sketch_by_group``: phase 1 builds one
+    sketch per (scan-partition × group) so a hot group combines locally
+    everywhere (at most ``partitions`` 2ℓ·d-float blobs per group reach the
+    phase-2 shuffle no matter the skew); phase 2 merges blobs per group.
+    """
+    import pyarrow.compute as pc
+    d = dim if dim is not None else infer_dim(df, vec_col)
+    proj = (df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == d)
+                      & F.col(group_col).isNotNull())
+              .select(F.col(group_col).cast("string").alias("_g"),
+                      F.col(vec_col).alias("_v")))
+
+    def partial(batches):
+        local: dict[str, FrequentDirections] = {}
+        for batch in batches:
+            mat = _mat_of(batch.column("_v"), d).astype(np.float64)
+            enc = pc.dictionary_encode(batch.column("_g"))
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            groups = enc.dictionary.to_pylist()
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(sc)) + 1, [len(sc)]))
+            for si in range(len(starts) - 1):
+                rows = order[starts[si] : starts[si + 1]]
+                g = groups[sc[starts[si]]]
+                fd = local.get(g)
+                if fd is None:
+                    fd = FrequentDirections(ell, d)
+                    local[g] = fd
+                fd.update_vectors(mat[rows])
+        if local:
+            yield pa.RecordBatch.from_pydict({
+                "group": pa.array(list(local.keys()), pa.string()),
+                "state": pa.array([fd.to_bytes() for fd in local.values()],
+                                  pa.binary())})
+
+    partials = proj.mapInArrow(partial, "group string, state binary")
+
+    def merge_group(pdf):
+        import pandas as pd
+        acc = None
+        for blob in pdf["state"]:
+            nxt = FrequentDirections.from_bytes(bytes(blob))
+            acc = nxt if acc is None else acc.merge(nxt)
+        return pd.DataFrame({"group": [pdf["group"].iloc[0]],
+                             "state": [acc.to_bytes()]})
+
+    return partials.groupBy("group").applyInPandas(
+        merge_group, "group string, state binary")
+
+
+def fd_project(df: DataFrame, vec_col: str, fd: FrequentDirections, k: int,
+               out_col: str = "projection") -> DataFrame:
+    """Append the k-dim PCA projection ``x · Vₖᵀ`` of each vector onto the
+    sketch's top-k directions (dimensionality reduction before ANN /
+    clustering / drift scoring).  ``Vₖ`` is k·d floats — driver-computed
+    once, closure-shipped; the per-row work is one GEMM per Arrow batch."""
+    if out_col in df.columns:
+        raise ValueError(f"fd_project: output column {out_col!r} already exists")
+    vk = fd.top_directions(k)          # (k, d), tiny
+    d = fd.d
+    passthrough = df.columns
+
+    def fn(batches):
+        for batch in batches:
+            mat = _mat_of(batch.column(vec_col), d).astype(np.float64)
+            proj = mat @ vk.T          # (n, k)
+            out = pa.FixedSizeListArray.from_arrays(
+                pa.array(proj.ravel(), pa.float64()), k)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in passthrough] + [out.cast(pa.list_(pa.float64()))],
+                passthrough + [out_col])
+
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + f", {out_col} array<double>"
+    ok = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == d))
+    return ok.mapInArrow(fn, schema)
+
+
 def exact_gram(df: DataFrame, vec_col: str, dim: int | None = None) -> np.ndarray:
     """Exact AᵀA via per-partition XᵀX partials (d×d each) + driver sum —
     the ground truth for FD certificates; one pass, zero shuffles."""

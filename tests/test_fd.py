@@ -118,3 +118,40 @@ def test_fd_build_spark_vs_exact_gram(spark):
     assert fd.cov_error_bound() <= fd.worst_case_bound() + tol
     # fro2 matches the exact trace (both are plain sums of squares)
     assert np.isclose(fd.fro2, np.trace(G), rtol=1e-9)
+
+
+def test_fd_by_group_per_group_guarantee(spark):
+    import pandas as pd
+    from sparksketch.fd import fd_by_group
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    states = {r.group: FrequentDirections.from_bytes(bytes(r.state))
+              for r in fd_by_group(emb, "label", "embedding", ell=12).collect()}
+    pdf = emb.filter("embedding IS NOT NULL AND label IS NOT NULL").toPandas()
+    by_label = pdf.groupby(pdf["label"].astype(str))
+    assert set(states) == set(by_label.groups)
+    for g, rows in by_label:
+        A = np.array([np.asarray(v, dtype=np.float64) for v in rows["embedding"]])
+        fd = states[g]
+        assert fd.n == len(A)
+        ev = np.linalg.eigvalsh(A.T @ A - fd.cov())
+        tol = 1e-6 * max(fd.fro2, 1.0)
+        assert ev[0] >= -tol
+        assert ev[-1] <= fd.cov_error_bound() + tol
+
+
+def test_fd_project(spark):
+    import pytest
+    from sparksketch.fd import fd_build, fd_project
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    fd = fd_build(emb, "embedding", ell=16)
+    out = fd_project(emb, "embedding", fd, k=4)
+    assert out.columns == ["vec_id", "embedding", "label", "projection"]
+    rows = out.orderBy("vec_id").limit(50).collect()
+    assert all(len(r.projection) == 4 for r in rows)
+    # the projection is exactly x . Vk' for each row
+    vk = fd.top_directions(4)
+    for r in rows:
+        want = np.asarray(r.embedding, dtype=np.float64) @ vk.T
+        assert np.allclose(np.array(r.projection), want, atol=1e-9)
+    with pytest.raises(ValueError, match="already exists"):
+        fd_project(out, "embedding", fd, k=2, out_col="projection")
