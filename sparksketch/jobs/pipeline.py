@@ -204,6 +204,14 @@ def main(argv=None) -> int:
                        f"{args.decontam_max_heldout}; pass an external "
                        "benchmark table for at-scale decontamination"}
 
+    # 9. fixed-k eval pull: a deterministic uniform sample of the val split
+    # for human review (TakeOrdered plan — never a global sort)
+    from sparksketch.decontam import uniform_sample_k
+    n_eval = min(100, max(1, n_held))
+    metrics["eval_pull"] = {
+        "k": uniform_sample_k(splits.filter(F.col("split") == "val"),
+                              "url", n_eval).count()}
+
     elapsed = time.perf_counter() - t0
     metrics["elapsed_sec"] = round(elapsed, 2)
     metrics["docs_per_sec"] = round(n0 / elapsed, 1)
