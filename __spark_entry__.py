@@ -545,8 +545,11 @@ def _fd_embeddings_cov(spark: SparkSession, sf: str) -> DataFrame:
     # n_vecs/dim are the hard data-derived columns the oracle recomputes.
     from sparksketch.fd import exact_gram, fd_build
     emb = _T(spark, sf, "embeddings")
-    fd = fd_build(emb, "embedding", ell=16)
-    G = exact_gram(emb, "embedding", dim=fd.d)
+    # dim = max vector length, mirrored in the oracle's len() filter so
+    # both sides count exactly the same rows even on a ragged table
+    d = int(emb.agg(F.max(F.size("embedding"))).first()[0])
+    fd = fd_build(emb, "embedding", ell=16, dim=d)
+    G = exact_gram(emb, "embedding", dim=d)
     ev = np.linalg.eigvalsh(G - fd.cov())
     tol = 1e-6 * fd.fro2
     ok = (ev[0] >= -tol and ev[-1] <= fd.cov_error_bound() + tol
@@ -961,6 +964,7 @@ def _hash_split_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparksketch.decontam import uniform_sample_sql
     qrows = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q, TRUE AS ok" for q in _QS
     )
@@ -1001,10 +1005,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
         "stratified_sample_docs": _stratified_sample_sql_query(),
         "quota_sample_docs": _quota_sample_sql_query(),
-        "uniform_sample_docs": (
-            "SELECT doc_id, source FROM documents "
-            "ORDER BY md5('unif|' || coalesce(CAST(doc_id AS VARCHAR), '')), "
-            "doc_id LIMIT 25"),
+        "uniform_sample_docs": uniform_sample_sql(
+            "documents", "doc_id, source", "doc_id", 25),
         "kll_bucketize_events": (
             "SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bucket, "
             "TRUE AS ok"),
@@ -1028,7 +1030,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_embeddings_cov": (
             "SELECT CAST(count(*) AS BIGINT) AS n_vecs, "
             "CAST(max(len(embedding)) AS INT) AS dim, TRUE AS ok "
-            "FROM embeddings WHERE embedding IS NOT NULL"),
+            "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = "
+            "(SELECT max(len(embedding)) FROM embeddings)"),
         "top_terms_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

@@ -298,6 +298,11 @@ def uniform_sample_k(df: DataFrame, key_col: str, k: int,
     :func:`quota_sample`'s per-stratum quotas; "pull 10k docs for a manual
     eval set" is this operator).
 
+    Determinism requires ``key_col`` to be unique and non-null per row
+    (the tie-break is the key itself): rows sharing a key — including
+    multiple NULLs, which all rank as ``''`` — tie exactly, and which of
+    them survives a boundary at rank k is engine/run dependent.
+
     Plan shape: ``orderBy(rank).limit(k)`` is planned as
     ``TakeOrderedAndProject`` — every partition keeps only its own top-``k``
     and the driver merges ``partitions × k`` candidates; there is never a

@@ -86,7 +86,12 @@ class FrequentDirections:
                 self._shrink()
 
     def _shrink(self) -> None:
-        """SVD the buffer, subtract δ = σ²_{ℓ+1} from every σ², keep top ℓ."""
+        """SVD the buffer, subtract δ = σ²_{ℓ+1} from every σ², keep top ℓ.
+
+        When ``d < ℓ`` the SVD yields only ``min(n_buf, d)`` singular
+        values, so δ = 0 and the compaction is lossless (rank ≤ d ≤ ℓ) —
+        the kept row count is ``min(ℓ, #singular values)``, never more.
+        """
         if self.n_buf <= self.ell:
             return
         # right singular vectors of the filled rows; σ sorted descending
@@ -94,9 +99,10 @@ class FrequentDirections:
         s2 = s * s
         dlt = float(s2[self.ell]) if s2.size > self.ell else 0.0
         keep = np.sqrt(np.maximum(s2[: self.ell] - dlt, 0.0))
+        r = keep.shape[0]              # = min(ell, s2.size) <= ell
         self.buf[:] = 0.0
-        self.buf[: self.ell] = keep[:, None] * vt[: self.ell]
-        self.n_buf = self.ell
+        self.buf[:r] = keep[:, None] * vt[:r]
+        self.n_buf = r
         self.delta += dlt
 
     # ---- merge / serde ----
@@ -157,11 +163,17 @@ class FrequentDirections:
         return np.linalg.svd(self.buf[: self.n_buf], compute_uv=False)
 
     def top_directions(self, k: int) -> np.ndarray:
-        """Top-k right singular vectors (k×d) — the PCA basis estimate."""
+        """Top-k right singular vectors, always (k×d) — the PCA basis
+        estimate.  Directions beyond the sketch's rank (a sketch built over
+        fewer than k vectors) are zero rows, so downstream fixed-width
+        consumers (``fd_project``) stay well-defined."""
         if not 1 <= k <= min(self.ell, self.d):
             raise ValueError("k must be in [1, min(ell, d)]")
         _, _, vt = np.linalg.svd(self.buf[: self.n_buf], full_matrices=False)
-        return vt[:k]
+        out = np.zeros((k, self.d), dtype=np.float64)
+        r = min(k, vt.shape[0])
+        out[:r] = vt[:r]
+        return out
 
 
 def fd_build(df: DataFrame, vec_col: str, ell: int = 64,
@@ -185,29 +197,8 @@ def fd_build(df: DataFrame, vec_col: str, ell: int = 64,
             {"state": pa.array([fd.to_bytes()], pa.binary())})
 
     states = proj.mapInArrow(fn, "state binary")
-    n_parts = states.rdd.getNumPartitions()
-    if n_parts <= 256:
-        blobs = [bytes(r[0]) for r in states.collect()]
-        if not blobs:
-            return make(0)
-        acc = FrequentDirections.from_bytes(blobs[0])
-        for b in blobs[1:]:
-            acc = acc.merge(FrequentDirections.from_bytes(b))
-        return acc
-
-    def merge_blob(a: bytes, b: bytes) -> bytes:
-        if a == b"":
-            return b
-        if b == b"":
-            return a
-        return (FrequentDirections.from_bytes(a)
-                .merge(FrequentDirections.from_bytes(b)).to_bytes())
-
-    import math
-    depth = tree_depth or max(2, min(5, int(math.ceil(math.log2(max(n_parts, 2))))))
-    merged = states.rdd.map(lambda r: bytes(r[0])).treeAggregate(
-        b"", merge_blob, merge_blob, depth=depth)
-    return make(0) if merged == b"" else FrequentDirections.from_bytes(merged)
+    from sparksketch.sketch import fold_states
+    return fold_states(states, FrequentDirections, make, tree_depth)
 
 
 def fd_by_group(df: DataFrame, group_col: str, vec_col: str, ell: int = 64,
@@ -272,7 +263,11 @@ def fd_project(df: DataFrame, vec_col: str, fd: FrequentDirections, k: int,
     """Append the k-dim PCA projection ``x · Vₖᵀ`` of each vector onto the
     sketch's top-k directions (dimensionality reduction before ANN /
     clustering / drift scoring).  ``Vₖ`` is k·d floats — driver-computed
-    once, closure-shipped; the per-row work is one GEMM per Arrow batch."""
+    once, closure-shipped; the per-row work is one GEMM per Arrow batch.
+
+    Rows with a NULL or wrong-length vector are DROPPED from the output
+    (same row contract as the build ops) — keep the id column and join
+    back if the full table is needed."""
     if out_col in df.columns:
         raise ValueError(f"fd_project: output column {out_col!r} already exists")
     vk = fd.top_directions(k)          # (k, d), tiny

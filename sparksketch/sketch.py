@@ -79,25 +79,14 @@ def _update_from_batch(sk, batch: pa.RecordBatch, rows: np.ndarray | None,
         sk.update_values(v if rows is None else v[rows])
 
 
-def build_sketch(df: DataFrame, col: str, factory: Callable, *,
-                 seeds: tuple[int, ...] | None = None, numeric: bool = False,
-                 keyed: bool = False, tree_depth: int | None = None):
-    """Global sketch over a column. Zero shuffles: partials per scan
-    partition, blobs treeReduce-merged."""
-    proj = _drop_nulls(df, col).select(*_proj_cols(col, seeds, numeric, keyed))
-
-    def fn(batches):
-        ctx = TaskContext.get()
-        sk = factory(ctx.partitionId() if ctx else 0)
-        for batch in batches:
-            _update_from_batch(sk, batch, None, seeds, numeric, keyed)
-        yield pa.RecordBatch.from_pydict({"state": pa.array([sk.to_bytes()], pa.binary())})
-
-    states = proj.mapInArrow(fn, _STATE_SCHEMA)
-    cls = type(factory(0))
+def fold_states(states: DataFrame, cls, factory: Callable,
+                tree_depth: int | None = None):
+    """Fold a one-binary-column partial-state DataFrame into one sketch:
+    collect + driver fold for ≤ 256 partitions (partial states are
+    blob-sized, so one job beats a treeReduce's lineage re-runs), else
+    ``treeAggregate`` in log depth with an empty-blob zero."""
     n_parts = states.rdd.getNumPartitions()
     if n_parts <= 256:
-        # partial states are blob-sized; one collect + driver fold is one job
         blobs = [bytes(r[0]) for r in states.collect()]
         if not blobs:
             return factory(0)
@@ -116,6 +105,24 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
     depth = tree_depth or max(2, min(5, int(math.ceil(math.log2(max(n_parts, 2))))))
     merged = states.rdd.map(lambda r: bytes(r[0])).treeAggregate(b"", merge_blob, merge_blob, depth=depth)
     return factory(0) if merged == b"" else cls.from_bytes(merged)
+
+
+def build_sketch(df: DataFrame, col: str, factory: Callable, *,
+                 seeds: tuple[int, ...] | None = None, numeric: bool = False,
+                 keyed: bool = False, tree_depth: int | None = None):
+    """Global sketch over a column. Zero shuffles: partials per scan
+    partition, blobs treeReduce-merged."""
+    proj = _drop_nulls(df, col).select(*_proj_cols(col, seeds, numeric, keyed))
+
+    def fn(batches):
+        ctx = TaskContext.get()
+        sk = factory(ctx.partitionId() if ctx else 0)
+        for batch in batches:
+            _update_from_batch(sk, batch, None, seeds, numeric, keyed)
+        yield pa.RecordBatch.from_pydict({"state": pa.array([sk.to_bytes()], pa.binary())})
+
+    states = proj.mapInArrow(fn, _STATE_SCHEMA)
+    return fold_states(states, type(factory(0)), factory, tree_depth)
 
 
 def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, *,

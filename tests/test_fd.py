@@ -155,3 +155,27 @@ def test_fd_project(spark):
         assert np.allclose(np.array(r.projection), want, atol=1e-9)
     with pytest.raises(ValueError, match="already exists"):
         fd_project(out, "embedding", fd, k=2, out_col="projection")
+
+
+def test_d_smaller_than_ell():
+    # d < ell: shrink keeps min(ell, #singular values) rows, delta stays 0
+    # (rank <= d <= ell makes every compaction lossless)
+    rng = np.random.default_rng(23)
+    A = rng.normal(size=(300, 4))
+    fd = FrequentDirections(ell=8, d=4)
+    fd.update_vectors(A)
+    assert fd.cov_error_bound() <= 1e-12 * fd.fro2
+    assert np.allclose(fd.cov(), A.T @ A, atol=1e-8 * fd.fro2)
+    blob = fd.to_bytes()
+    assert FrequentDirections.from_bytes(blob).to_bytes() == blob
+
+
+def test_top_directions_pads_below_rank():
+    # a 2-vector sketch still returns a full (k, d) basis: rank rows from
+    # the SVD, zero rows beyond — fixed-width consumers stay well-defined
+    fd = FrequentDirections(ell=6, d=16)
+    fd.update_vectors(np.eye(16)[:2] * 3.0)
+    V = fd.top_directions(3)
+    assert V.shape == (3, 16)
+    assert np.allclose(np.abs(V[:2]), np.eye(16)[:2])
+    assert np.allclose(V[2], 0.0)
