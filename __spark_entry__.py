@@ -537,6 +537,38 @@ def _theta_user_overlap(spark: SparkSession, sf: str) -> DataFrame:
         "n_exact_inter long, ok boolean")
 
 
+def _ams_f2_users(spark: SparkSession, sf: str) -> DataFrame:
+    # second-moment certificate: the AMS/Count-Sketch F2 estimate (the
+    # self-join size / skew statistic) within the 4/sqrt(w) median band of
+    # the exact sum of squared counts (fixed seed -> stable boolean)
+    from sparksketch.ams import ams_build
+    ev = _T(spark, sf, "events")
+    sk = ams_build(ev, "user_id", d=5, w=8192)
+    exact = (ev.filter("user_id IS NOT NULL").groupBy("user_id").count()
+             .agg(F.sum(F.col("count") * F.col("count"))).first()[0])
+    ok = abs(sk.f2_estimate() - exact) <= sk.rel_error() * exact
+    return spark.createDataFrame(
+        [Row(f2_exact=int(exact), ok=bool(ok))], "f2_exact long, ok boolean")
+
+
+def _ams_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    # join-size certificate: the inner product of two independently-built
+    # AMS sketches (clicks x views on user_id) within the
+    # 4*sqrt(F2_c*F2_v)/sqrt(w) band of the exact join cardinality
+    from sparksketch.ams import ams_build
+    ev = _T(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click' AND user_id IS NOT NULL").select("user_id")
+    views = ev.filter("event_type = 'view' AND user_id IS NOT NULL").select("user_id")
+    sc = ams_build(clicks, "user_id", w=8192)
+    sv = ams_build(views, "user_id", w=8192)
+    exact = clicks.join(views, "user_id").count()
+    margin = 4.0 * math.sqrt(sc.f2_estimate() * sv.f2_estimate()) / math.sqrt(8192)
+    ok = abs(sc.inner_product(sv) - exact) <= margin
+    return spark.createDataFrame(
+        [Row(n_join_exact=int(exact), ok=bool(ok))],
+        "n_join_exact long, ok boolean")
+
+
 def _fd_embeddings_cov(spark: SparkSession, sf: str) -> DataFrame:
     # matrix-sketch certificate: Frequent Directions over the embedding
     # column must satisfy its deterministic spectral guarantee against the
@@ -836,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_bucketize_events": _kll_bucketize_events,
         "theta_user_overlap": _theta_user_overlap,
         "fd_embeddings_cov": _fd_embeddings_cov,
+        "ams_f2_users": _ams_f2_users,
+        "ams_join_size": _ams_join_size,
         "funnel_depth_events": _funnel_depth_events,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "repetition_features_docs": _repetition_features_docs,
@@ -1027,6 +1061,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_inter, TRUE AS ok FROM "
             "(SELECT user_id FROM events WHERE event_type = 'click' "
             "INTERSECT SELECT user_id FROM events WHERE event_type = 'view')"),
+        "ams_f2_users": (
+            "SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact, TRUE AS ok FROM "
+            "(SELECT CAST(count(*) AS BIGINT) AS c FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id)"),
+        "ams_join_size": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_join_exact, TRUE AS ok FROM "
+            "(SELECT user_id FROM events WHERE event_type = 'click' "
+            "AND user_id IS NOT NULL) c JOIN "
+            "(SELECT user_id FROM events WHERE event_type = 'view' "
+            "AND user_id IS NOT NULL) v USING (user_id)"),
         "fd_embeddings_cov": (
             "SELECT CAST(count(*) AS BIGINT) AS n_vecs, "
             "CAST(max(len(embedding)) AS INT) AS dim, TRUE AS ok "

@@ -116,6 +116,12 @@ def main() -> int:
         return intersection_estimate(theta_build(clicks, "user_id"),
                                      theta_build(views, "user_id"))
     bench("theta_user_overlap", theta_overlap)
+    from sparksketch.ams import ams_build
+    def ams_join():
+        clicks = events.filter("event_type = 'click' AND user_id IS NOT NULL").select("user_id")
+        views = events.filter("event_type = 'view' AND user_id IS NOT NULL").select("user_id")
+        return ams_build(clicks, "user_id").inner_product(ams_build(views, "user_id"))
+    bench("ams_join_size", ams_join)
     from sparksketch.kll import bucketize
     bench("kll_bucketize_events", lambda: bucketize(
         events.select(F.col("value").cast("double").alias("v")), "v", n_buckets=8
