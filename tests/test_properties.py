@@ -324,3 +324,29 @@ def test_theta_merge_order_invariance(vals, n_parts, rnd):
     distinct = len(set(vals))
     if distinct < 64:
         assert merged.estimate() == float(distinct)
+
+
+@given(st.integers(min_value=0, max_value=60),
+       st.integers(min_value=1, max_value=8),
+       st.integers(min_value=2, max_value=6),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_fd_spectral_guarantee_property(n, d, ell, seed):
+    # any shape, any (ell, d) relation (including d < ell), any data scale:
+    # 0 <= x'(A'A - B'B)x <= delta, delta <= ||A||_F^2/ell
+    import numpy as np
+
+    from sparksketch.fd import FrequentDirections
+    rng = np.random.default_rng(seed)
+    A = rng.normal(scale=rng.choice([1e-3, 1.0, 1e3]), size=(n, d))
+    fd = FrequentDirections(ell=ell, d=d)
+    step = int(rng.integers(1, 17))
+    for i in range(0, n, step):
+        fd.update_vectors(A[i : i + step])
+    G = A.T @ A
+    ev = np.linalg.eigvalsh(G - fd.cov())
+    tol = 1e-9 * max(fd.fro2, 1e-30)
+    assert fd.n == n
+    assert ev.size == 0 or ev[0] >= -tol
+    assert ev.size == 0 or ev[-1] <= fd.delta + tol
+    assert fd.delta <= fd.fro2 / ell + tol

@@ -291,3 +291,34 @@ def test_stream_dedup_null_columns_are_distinct(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(sink).count() == 4   # all four keys distinct
+
+
+def test_stream_ams_and_theta_byte_identical_to_batch(spark, tmp_path):
+    """AMS and Theta stream through the generic fold with NO new code, and
+    their order-invariant merges make the streamed state byte-identical to
+    a one-shot batch build over the same rows — the strongest exactly-once
+    statement the fold can make."""
+    from sparksketch.ams import AMS, AMS_SEED, ams_build
+    from sparksketch.theta import THETA_SEED, Theta, theta_build
+
+    out, src = _stream_dir(spark, tmp_path)
+    schema = src.schema
+    keyed = src.select(F.col("user_id").cast("string").alias("key"))
+
+    for name, factory, seed, batch_fn in [
+        ("ams", lambda pid: AMS(d=5, w=1024), AMS_SEED,
+         lambda df: ams_build(df, "key", d=5, w=1024)),
+        ("theta", lambda pid: Theta(k=512), THETA_SEED,
+         lambda df: theta_build(df, "key", k=512)),
+    ]:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(out)
+                  .select(F.col("user_id").cast("string").alias("key")))
+        state_dir = str(tmp_path / f"{name}_state")
+        q = stream_sketch(stream, "key", factory, seeds=(seed,),
+                          state_dir=state_dir,
+                          checkpoint_dir=str(tmp_path / f"chk_{name}")).start()
+        q.processAllAvailable()
+        q.stop()
+        blob = SketchStateStore(state_dir).read_blob()
+        assert blob == batch_fn(keyed).to_bytes(), name
