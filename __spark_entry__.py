@@ -616,6 +616,18 @@ def _quota_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                         n_buckets=4).select("doc_id", "source")
 
 
+def _pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # concat-and-cut training-chunk layout over documents (token proxy =
+    # n_chars), 4 portable sub-streams; every (seq, offset, straddles) is
+    # integer-exact so the oracle reproduces the layout bit-for-bit
+    from sparksketch.packing import pack_sequences
+    docs = _T(spark, sf, "documents")
+    return pack_sequences(docs, "n_chars", "doc_id", capacity=4096,
+                          n_buckets=4,
+                          bucket_expr=F.pmod("doc_id", F.lit(4))).select(
+        "doc_id", "bucket", "seq", "offset", "straddles")
+
+
 def _uniform_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     # global fixed-k eval-set pull: the 25 docs with the smallest salted
     # md5 rank — exact, engine-invariant, TakeOrdered plan (never a sort)
@@ -865,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_docs": _top_terms_docs,
         "quota_sample_docs": _quota_sample_docs,
         "uniform_sample_docs": _uniform_sample_docs,
+        "pack_sequences_docs": _pack_sequences_docs,
         "kll_bucketize_events": _kll_bucketize_events,
         "theta_user_overlap": _theta_user_overlap,
         "fd_embeddings_cov": _fd_embeddings_cov,
@@ -999,6 +1012,7 @@ def _hash_split_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sparksketch.decontam import uniform_sample_sql
+    from sparksketch.packing import pack_sequences_sql
     qrows = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q, TRUE AS ok" for q in _QS
     )
@@ -1041,6 +1055,8 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample_docs": _quota_sample_sql_query(),
         "uniform_sample_docs": uniform_sample_sql(
             "documents", "doc_id, source", "doc_id", 25),
+        "pack_sequences_docs": pack_sequences_sql(
+            "documents", "doc_id", "n_chars", "doc_id", 4096, "doc_id % 4"),
         "kll_bucketize_events": (
             "SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bucket, "
             "TRUE AS ok"),
