@@ -562,7 +562,7 @@ def _ams_join_size(spark: SparkSession, sf: str) -> DataFrame:
     sc = ams_build(clicks, "user_id", w=8192)
     sv = ams_build(views, "user_id", w=8192)
     exact = clicks.join(views, "user_id").count()
-    margin = 4.0 * math.sqrt(sc.f2_estimate() * sv.f2_estimate()) / math.sqrt(8192)
+    margin = sc.rel_error() * math.sqrt(sc.f2_estimate() * sv.f2_estimate())
     ok = abs(sc.inner_product(sv) - exact) <= margin
     return spark.createDataFrame(
         [Row(n_join_exact=int(exact), ok=bool(ok))],

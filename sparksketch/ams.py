@@ -101,15 +101,24 @@ class AMS:
     # ---- estimates ----
 
     def f2_estimate(self) -> float:
-        """Self-join size Σₖ fₖ² — median of the per-row unbiased estimates."""
-        return float(np.median(np.einsum("ij,ij->i", self.table, self.table)))
+        """Self-join size Σₖ fₖ² — median of the per-row unbiased estimates.
+
+        Accumulated in float64: squared counters pass 2⁶³ once a stream
+        exceeds ~3·10⁹ occurrences of one key, where int64 einsum would
+        silently wrap; float64 keeps the estimate sane at any scale (its
+        2⁻⁵³ rounding is negligible against the 4/√w sketch band)."""
+        t = self.table.astype(np.float64)
+        return float(np.median(np.einsum("ij,ij->i", t, t)))
 
     def inner_product(self, other: "AMS") -> float:
         """Join size Σₖ fₖ·gₖ against a sketch built with the same (d, w)
-        and seed over another table's key column."""
+        and seed over another table's key column (float64 accumulation —
+        see :meth:`f2_estimate`)."""
         if (other.d, other.w) != (self.d, self.w):
             raise ValueError("sketches must share (d, w)")
-        return float(np.median(np.einsum("ij,ij->i", self.table, other.table)))
+        return float(np.median(np.einsum(
+            "ij,ij->i", self.table.astype(np.float64),
+            other.table.astype(np.float64))))
 
     def rel_error(self) -> float:
         """The certificate margin: |est − F₂| ≤ rel_error()·F₂ w.h.p.

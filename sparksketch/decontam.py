@@ -313,18 +313,17 @@ def uniform_sample_k(df: DataFrame, key_col: str, k: int,
     if "_rk" in df.columns:
         raise ValueError("uniform_sample_k: input column clashes with "
                          "reserved working name '_rk'")
-    kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
-    rk = F.md5(F.encode(F.concat(F.lit(f"{salt}|"), kc), "UTF-8"))
-    return (df.withColumn("_rk", rk)
+    from sparksketch.hashing import rank_key_col
+    return (df.withColumn("_rk", rank_key_col(key_col, salt))
             .orderBy("_rk", key_col).limit(int(k)).drop("_rk"))
 
 
 def uniform_sample_sql(table: str, cols: str, key_col: str, k: int,
                        salt: str = "unif") -> str:
     """ANSI-SQL mirror of :func:`uniform_sample_k` for oracles."""
-    kc = f"coalesce(CAST({key_col} AS VARCHAR), '')"
+    from sparksketch.hashing import rank_key_sql
     return (f"SELECT {cols} FROM {table} "
-            f"ORDER BY md5('{salt}|' || {kc}), {key_col} LIMIT {int(k)}")
+            f"ORDER BY {rank_key_sql(key_col, salt)}, {key_col} LIMIT {int(k)}")
 
 
 def quota_sql_pred(strata_col: str, key_col: str, n: int,

@@ -115,6 +115,21 @@ def hash_col(col: str | Column, seed: int) -> Column:
     return F.xxhash64(col, F.lit(seed).cast("long"))
 
 
+def rank_key_col(key_col: str, salt: str) -> Column:
+    """The engine-portable deterministic rank key ``md5(salt|key)`` used by
+    the sampling/packing operators (uniform_sample_k, pack_sequences):
+    UTF-8-encoded concat so Spark and DuckDB hash identical bytes, NULL
+    keys coalesced to ``''``.  Keep :func:`rank_key_sql` in sync."""
+    kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    return F.md5(F.encode(F.concat(F.lit(f"{salt}|"), kc), "UTF-8"))
+
+
+def rank_key_sql(key_col: str, salt: str) -> str:
+    """DuckDB/ANSI mirror of :func:`rank_key_col` (string ``||`` concat
+    hashes the same UTF-8 bytes as Spark's encode)."""
+    return f"md5('{salt}|' || coalesce(CAST({key_col} AS VARCHAR), ''))"
+
+
 def tier_hash_cols(col: str | Column, tiers: int) -> list[Column]:
     """The (h1, h2) Kirsch–Mitzenmacher base-hash columns for each tier,
     aliased ``_skh_{t}a`` / ``_skh_{t}b``.  Computed pre-shuffle in the JVM

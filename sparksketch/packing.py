@@ -53,12 +53,13 @@ def pack_sequences(df: DataFrame, token_col: str, key_col: str,
         raise ValueError("capacity must be >= 1")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    reserved = {"bucket", "seq", "offset", "straddles", "_rk"} & set(df.columns)
+    reserved = ({"bucket", "seq", "offset", "straddles", "_rk", "_first"}
+                & set(df.columns))
     if reserved:
         raise ValueError(f"pack_sequences: input columns clash with "
                          f"{sorted(reserved)}")
-    kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
-    rk = F.md5(F.encode(F.concat(F.lit(f"{salt}|"), kc), "UTF-8"))
+    from sparksketch.hashing import rank_key_col
+    rk = rank_key_col(key_col, salt)
     if bucket_expr is None:
         bucket_expr = F.pmod(F.xxhash64(F.col(key_col).cast("string")),
                              F.lit(n_buckets))
@@ -85,8 +86,8 @@ def pack_sequences_sql(table: str, cols: str, token_col: str, key_col: str,
     bucket hash is Spark's ``xxhash64`` — not portable — so cross-engine
     comparisons pass the SAME portable ``bucket_expr`` to both sides (e.g.
     ``pmod(doc_id, 4)`` / ``doc_id % 4``)."""
-    kc = f"coalesce(CAST({key_col} AS VARCHAR), '')"
-    rk = f"md5('{salt}|' || {kc})"
+    from sparksketch.hashing import rank_key_sql
+    rk = rank_key_sql(key_col, salt)
     first = (f"sum({token_col}) OVER (PARTITION BY {bucket_expr} "
              f"ORDER BY {rk}, {key_col}) - {token_col}")
     return (

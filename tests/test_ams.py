@@ -6,7 +6,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from sparksketch.ams import AMS, ams_build, ams_by_group
-from sparksketch.hashing import hash_col, to_u64
 
 SF = "/root/testdata/sf0.01"
 
@@ -135,3 +134,11 @@ def test_ams_by_group(spark):
     assert set(got) == set(exact)
     for g, e in exact.items():
         assert abs(got[g] - e) <= (4.0 / np.sqrt(4096)) * e
+
+
+def test_f2_float64_no_int64_wrap():
+    # a 4e9-update hot key squares past 2^63; float64 accumulation must not wrap
+    sk = AMS(d=3, w=16)
+    sk.table[:, 0] = 4_000_000_000
+    assert sk.f2_estimate() == pytest.approx(1.6e19, rel=1e-12)
+    assert sk.inner_product(sk) == pytest.approx(1.6e19, rel=1e-12)

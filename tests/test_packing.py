@@ -71,8 +71,10 @@ def test_pack_edges(spark):
     out = pack_sequences(df, "n_tokens", "doc_id", capacity=64, n_buckets=1)
     got = {r.doc_id: (r.seq, r.offset, r.straddles) for r in out.collect()}
     assert set(got) == {1, 4}                 # NULL/zero-token/NULL-key drop
-    # doc of exactly capacity tokens starting at 0 does NOT straddle
+    # the doc of exactly capacity tokens starting at (seq 0, offset 0)
+    # does NOT straddle — the boundary is cum+tok-1, not cum+tok
     exact = [v for v in got.values() if v[1] == 0 and v[0] == 0]
+    assert exact == [(0, 0, False)]
     with pytest.raises(ValueError):
         pack_sequences(df, "n_tokens", "doc_id", capacity=0)
     with pytest.raises(ValueError, match="clash"):
