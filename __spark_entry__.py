@@ -503,6 +503,20 @@ def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                              default=0.8).select("doc_id", "source")
 
 
+def _range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    # band join: purchases within 10 minutes of a click by the same user —
+    # integer epoch-micros band, so the boundary is bit-exact cross-engine
+    from sparksketch.events import range_join
+    ev = _T(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    purch = ev.filter("event_type = 'purchase'").select("user_id", "ts")
+    out = range_join(clicks, purch, "user_id", "ts", 600)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("purchase_us"))
+
+
 def _funnel_depth_events(spark: SparkSession, sf: str) -> DataFrame:
     # view -> click -> purchase funnel per user, strictly-increasing ts;
     # the oracle reproduces greedy-earliest matching as a min() cascade
@@ -896,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-stream surface
         "sessions_per_user": _sessions_per_user,
         "asof_last_click_value": _asof_last_click_value,
+        "range_join_events": _range_join_events,
         # relational / semi-structured surface
         "props_k_stats_by_event_type": _props_k_stats_by_event_type,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1233,6 +1248,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click' GROUP BY user_id, ts) "
             "SELECT l.event_id, r.click_value FROM events l "
             "ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+        "range_join_events": (
+            "SELECT c.user_id, epoch_us(c.ts) AS click_us, "
+            "epoch_us(p.ts) AS purchase_us FROM "
+            "(SELECT user_id, ts FROM events WHERE event_type = 'click') c JOIN "
+            "(SELECT user_id, ts FROM events WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id "
+            "AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000"),
         "props_k_stats_by_event_type": (
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "

@@ -186,6 +186,12 @@ def main() -> int:
                   .groupBy("user_id", "ts").agg(F.max("value").alias("cv")))
         return asof_join(events, clicks, "user_id", "ts", ["cv"]).count()
     bench("asof_join_events", asof)
+    from sparksketch.events import range_join
+    def rjoin():
+        clicks = events.filter("event_type = 'click'").select("user_id", "ts")
+        purch = events.filter("event_type = 'purchase'").select("user_id", "ts")
+        return range_join(clicks, purch, "user_id", "ts", 600).count()
+    bench("range_join_events", rjoin)
     from sparksketch.events import funnel_depth
     bench("funnel_depth_events", lambda: funnel_depth(
         events, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -1,7 +1,7 @@
-"""Event-stream dataflow operators: sessionization and as-of joins.
+"""Event-stream dataflow operators: sessionization, as-of and range joins.
 
-Both are single-shuffle window formulations — the Spark-first shape for
-operators Spark lacks as built-ins:
+All are single-shuffle formulations — the Spark-first shape for operators
+Spark lacks as built-ins:
 
 - **sessionize** — gap-based session ids per user: one shuffle on the user
   key, one ordered window pass (lag → new-session flag → running sum).
@@ -142,3 +142,51 @@ def funnel_depth(df: DataFrame, user_col: str, ts_col: str, type_col: str,
         ).otherwise(acc),
     )
     return evs.select(user_col, fold["d"].cast("int").alias(out))
+
+
+_CELL_SHIFT = 1 << 62  # keeps epoch micros positive so `div` == floor
+
+
+def range_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+               delta_seconds: float, right_ts: str | None = None,
+               rsuffix: str = "_r") -> DataFrame:
+    """Band join: every (left, right) pair with the same ``on`` key and
+    ``|left.ts − right.ts| ≤ delta_seconds`` ("clicks within an hour of a
+    purchase").  The naive theta-join is a per-key cross product Spark
+    plans as BroadcastNestedLoopJoin — O(n·m) comparisons per key; this
+    formulation buckets time into Δ-wide cells: each left row lands in its
+    cell, each right row is emitted to its cell and both neighbours, and
+    an **equi-join on (key, cell)** meets every qualifying pair exactly
+    once (in the left row's cell, since ``|lt−rt| ≤ Δ ⟹ |cell_l − cell_r|
+    ≤ 1``).  Plan: explode(3) → SortMergeJoin → integer filter; candidate
+    volume is the true band density, never the cross product.
+
+    Timestamps compare as integer epoch **microseconds** on both sides, so
+    the boundary is exact and engine-portable (DuckDB mirror:
+    ``abs(epoch_us(l.ts) − epoch_us(r.ts)) <= Δ·10⁶``).  Right-side
+    columns whose names clash with the left's are suffixed ``rsuffix``;
+    NULL keys/timestamps drop (SQL join semantics).
+    """
+    delta_us = int(round(delta_seconds * 1_000_000))
+    if delta_us <= 0:
+        raise ValueError("delta_seconds must be positive")
+    rt = right_ts or ts
+    ren = {c: (c + rsuffix if c in left.columns else c) for c in right.columns}
+    if len(set(ren.values())) != len(ren):
+        raise ValueError("rsuffix produces clashing right-side column names")
+    r = right.select(*[F.col(c).alias(n) for c, n in ren.items()])
+    r_on, r_ts = ren[on], ren[rt]
+
+    l_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(r_ts).cast("timestamp"))
+    lcell = F.expr(f"(_lus + {_CELL_SHIFT}L) div {delta_us}")
+    rcell = F.expr(f"(_rus + {_CELL_SHIFT}L) div {delta_us}")
+
+    lf = (left.filter(F.col(on).isNotNull() & F.col(ts).isNotNull())
+          .withColumn("_lus", l_us).withColumn("_cell", lcell))
+    rf = (r.filter(F.col(r_on).isNotNull() & F.col(r_ts).isNotNull())
+          .withColumn("_rus", r_us)
+          .withColumn("_cell", F.explode(F.array(rcell - 1, rcell, rcell + 1))))
+    joined = lf.join(rf, (lf[on] == rf[r_on]) & (lf["_cell"] == rf["_cell"]))
+    return (joined.filter(F.abs(F.col("_lus") - F.col("_rus")) <= delta_us)
+            .drop("_lus", "_rus", "_cell", r_on))
