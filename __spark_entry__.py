@@ -630,6 +630,25 @@ def _quota_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
                         n_buckets=4).select("doc_id", "source")
 
 
+def _profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    # one-pass profiler certificate: exact null counts are reproduced
+    # verbatim; the HLL++ ndv estimate must sit within 4·rsd of the exact
+    # distinct count per column (deterministic — Spark's HLL++ is seedless)
+    from sparksketch.profile import profile_table
+    docs = _T(spark, sf, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    prof = {r.column: r for r in profile_table(docs, cols, rsd=0.015).collect()}
+    out = []
+    for c in cols:
+        exact = docs.filter(F.col(c).isNotNull()).select(c).distinct().count()
+        r = prof[c]
+        ok = abs(r.ndv_est - exact) <= max(4 * 0.015 * exact, 1.0)
+        out.append(Row(column=c, n_nulls=int(r.n_nulls),
+                       ndv_exact=int(exact), ok=bool(ok)))
+    return spark.createDataFrame(
+        out, "column string, n_nulls long, ndv_exact long, ok boolean")
+
+
 def _pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
     # concat-and-cut training-chunk layout over documents (token proxy =
     # n_chars), 4 portable sub-streams; every (seq, offset, straddles) is
@@ -892,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample_docs": _quota_sample_docs,
         "uniform_sample_docs": _uniform_sample_docs,
         "pack_sequences_docs": _pack_sequences_docs,
+        "profile_documents": _profile_documents,
         "kll_bucketize_events": _kll_bucketize_events,
         "theta_user_overlap": _theta_user_overlap,
         "fd_embeddings_cov": _fd_embeddings_cov,
@@ -1072,6 +1092,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id, source", "doc_id", 25),
         "pack_sequences_docs": pack_sequences_sql(
             "documents", "doc_id", "n_chars", "doc_id", 4096, "doc_id % 4"),
+        "profile_documents": " UNION ALL ".join(
+            f"SELECT '{c}' AS column, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_exact, TRUE AS ok "
+            f"FROM documents"
+            for c in ["doc_id", "lang", "source", "n_chars"]),
         "kll_bucketize_events": (
             "SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bucket, "
             "TRUE AS ok"),
