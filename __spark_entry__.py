@@ -637,12 +637,13 @@ def _profile_documents(spark: SparkSession, sf: str) -> DataFrame:
     from sparksketch.profile import profile_table
     docs = _T(spark, sf, "documents")
     cols = ["doc_id", "lang", "source", "n_chars"]
-    prof = {r.column: r for r in profile_table(docs, cols, rsd=0.015).collect()}
+    rsd = 0.015
+    prof = {r.column: r for r in profile_table(docs, cols, rsd=rsd).collect()}
     out = []
     for c in cols:
         exact = docs.filter(F.col(c).isNotNull()).select(c).distinct().count()
         r = prof[c]
-        ok = abs(r.ndv_est - exact) <= max(4 * 0.015 * exact, 1.0)
+        ok = abs(r.ndv_est - exact) <= max(4 * rsd * exact, 1.0)
         out.append(Row(column=c, n_nulls=int(r.n_nulls),
                        ndv_exact=int(exact), ok=bool(ok)))
     return spark.createDataFrame(

@@ -171,9 +171,20 @@ def range_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     if delta_us <= 0:
         raise ValueError("delta_seconds must be positive")
     rt = right_ts or ts
+    if on not in right.columns:
+        raise ValueError(f"range_join: right side has no key column {on!r}")
+    if rt not in right.columns:
+        raise ValueError(f"range_join: right side has no ts column {rt!r}")
+    reserved = {"_lus", "_rus", "_cell"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"range_join: input columns clash with reserved "
+                         f"working names {sorted(reserved)}")
     ren = {c: (c + rsuffix if c in left.columns else c) for c in right.columns}
-    if len(set(ren.values())) != len(ren):
-        raise ValueError("rsuffix produces clashing right-side column names")
+    clash = (set(ren.values()) & set(left.columns)) | (
+        set() if len(set(ren.values())) == len(ren) else {rsuffix})
+    if clash:
+        raise ValueError(f"range_join: rsuffix {rsuffix!r} produces right-side "
+                         f"names clashing with the left side: {sorted(clash)}")
     r = right.select(*[F.col(c).alias(n) for c, n in ren.items()])
     r_on, r_ts = ren[on], ren[rt]
 

@@ -42,9 +42,20 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         raise ValueError(f"profile_table: no such columns {sorted(missing)}")
     if not cols:
         raise ValueError("profile_table: nothing to profile")
+    from pyspark.sql.types import MapType
     exprs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
         col = F.col(c)
+        if isinstance(df.schema[c].dataType, MapType):
+            # maps are unorderable (no min/max) and unhashable for HLL++ —
+            # profile their counts and NULL the rest instead of aborting
+            null_d = F.lit(None).cast("double")
+            exprs += [F.count(col).alias(f"_nn{i}"),
+                      null_d.alias(f"_ndv{i}"),
+                      F.lit(None).cast("string").alias(f"_min{i}"),
+                      F.lit(None).cast("string").alias(f"_max{i}"),
+                      null_d.alias(f"_len{i}")]
+            continue
         exprs += [
             F.count(col).alias(f"_nn{i}"),           # non-null count
             F.approx_count_distinct(c, rsd=rsd).alias(f"_ndv{i}"),
@@ -58,7 +69,8 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
                 n_rows=int(n),
                 n_nulls=int(n - r[f"_nn{i}"]),
                 null_frac=float((n - r[f"_nn{i}"]) / n) if n else 0.0,
-                ndv_est=float(r[f"_ndv{i}"]),
+                ndv_est=(float(r[f"_ndv{i}"])
+                         if r[f"_ndv{i}"] is not None else None),
                 min=r[f"_min{i}"], max=r[f"_max{i}"],
                 avg_len=float(r[f"_len{i}"]) if r[f"_len{i}"] is not None else None)
             for i, c in enumerate(cols)]

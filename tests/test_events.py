@@ -178,3 +178,18 @@ def test_range_join_plan_no_cross_product(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="positive"):
         range_join(df, df, "k", "ts", 0)
+
+
+def test_range_join_input_validation(spark):
+    import pytest
+    from sparksketch.events import range_join
+    df = spark.createDataFrame([(1, None, 2)], "k long, ts timestamp_ntz, ts_r long")
+    with pytest.raises(ValueError, match="no key column"):
+        range_join(df, df.select("ts"), "k", "ts", 60)
+    with pytest.raises(ValueError, match="no ts column"):
+        range_join(df, df.select("k"), "k", "ts", 60)
+    with pytest.raises(ValueError, match="clashing"):
+        # left already owns ts_r, which the right ts would be renamed to
+        range_join(df, df.select("k", "ts"), "k", "ts", 60)
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(df.withColumn("_cell", F.lit(1)), df, "k", "ts", 60)

@@ -37,3 +37,12 @@ def test_profile_nulls_and_validation(spark):
         profile_table(df, ["nope"])
     with pytest.raises(ValueError, match="nothing"):
         profile_table(df, [])
+
+
+def test_profile_map_column_does_not_abort(spark):
+    df = spark.createDataFrame([(1, {"a": "b"}), (2, {"c": "d"})],
+                               "id long, m map<string,string>")
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["id"].ndv_est == 2.0
+    assert prof["m"].n_nulls == 0
+    assert prof["m"].ndv_est is None and prof["m"].min is None
