@@ -517,6 +517,23 @@ def _range_join_events(spark: SparkSession, sf: str) -> DataFrame:
         F.unix_micros(F.col("ts_r").cast("timestamp")).alias("purchase_us"))
 
 
+def _interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    # point-in-interval: purchases inside click-anchored [ts, ts+10min]
+    # windows for the same user; inclusive integer-micros boundaries
+    from sparksketch.events import interval_join
+    ev = _T(spark, sf, "events")
+    purch = ev.filter("event_type = 'purchase'").select("user_id", "ts")
+    wins = (ev.filter("event_type = 'click'")
+            .select("user_id", F.col("ts").alias("w_start"),
+                    (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("w_end")))
+    out = interval_join(purch, wins, "user_id", "ts", "w_start", "w_end",
+                        max_len_seconds=600)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.unix_micros(F.col("w_start").cast("timestamp")).alias("click_us"))
+
+
 def _funnel_depth_events(spark: SparkSession, sf: str) -> DataFrame:
     # view -> click -> purchase funnel per user, strictly-increasing ts;
     # the oracle reproduces greedy-earliest matching as a min() cascade
@@ -932,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_per_user": _sessions_per_user,
         "asof_last_click_value": _asof_last_click_value,
         "range_join_events": _range_join_events,
+        "interval_join_events": _interval_join_events,
         # relational / semi-structured surface
         "props_k_stats_by_event_type": _props_k_stats_by_event_type,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1282,6 +1300,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT user_id, ts FROM events WHERE event_type = 'purchase') p "
             "ON c.user_id = p.user_id "
             "AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000"),
+        "interval_join_events": (
+            "SELECT p.user_id, epoch_us(p.ts) AS purchase_us, "
+            "epoch_us(c.ts) AS click_us FROM "
+            "(SELECT user_id, ts FROM events WHERE event_type = 'purchase') p JOIN "
+            "(SELECT user_id, ts FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id "
+            "AND epoch_us(p.ts) >= epoch_us(c.ts) "
+            "AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000"),
         "props_k_stats_by_event_type": (
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "

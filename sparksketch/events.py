@@ -201,3 +201,61 @@ def range_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     joined = lf.join(rf, (lf[on] == rf[r_on]) & (lf["_cell"] == rf["_cell"]))
     return (joined.filter(F.abs(F.col("_lus") - F.col("_rus")) <= delta_us)
             .drop("_lus", "_rus", "_cell", r_on))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, on: str, ts: str,
+                  start: str, end: str, max_len_seconds: float,
+                  rsuffix: str = "_r") -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with the same
+    ``on`` key and ``start ≤ point.ts ≤ end`` (inclusive) — "which session
+    window does this purchase fall in".  Same Δ-cell trick as
+    :func:`range_join` with Δ = ``max_len_seconds``: an interval no longer
+    than Δ spans at most two cells, so each interval is emitted to (at
+    most) those two distinct cells, each point lands in exactly its own
+    cell, and the (key, cell) equi-join meets every qualifying pair
+    exactly once.  Boundaries compare as integer epoch microseconds.
+
+    ``max_len_seconds`` is a correctness contract: intervals longer than
+    it are DROPPED with their pairs (they would span more cells than they
+    are emitted to) — size it to the true maximum (a session cap, an SLA
+    window) and enforce upstream.  Degenerate intervals (``end < start``)
+    match nothing, like SQL BETWEEN.
+    """
+    delta_us = int(round(max_len_seconds * 1_000_000))
+    if delta_us <= 0:
+        raise ValueError("max_len_seconds must be positive")
+    for c, side in ((on, intervals), (start, intervals), (end, intervals)):
+        if c not in side.columns:
+            raise ValueError(f"interval_join: intervals side has no column {c!r}")
+    reserved = ({"_pus", "_sus", "_eus", "_cell"}
+                & (set(points.columns) | set(intervals.columns)))
+    if reserved:
+        raise ValueError(f"interval_join: input columns clash with reserved "
+                         f"working names {sorted(reserved)}")
+    ren = {c: (c + rsuffix if c in points.columns else c) for c in intervals.columns}
+    clash = (set(ren.values()) & set(points.columns)) | (
+        set() if len(set(ren.values())) == len(ren) else {rsuffix})
+    if clash:
+        raise ValueError(f"interval_join: rsuffix {rsuffix!r} produces names "
+                         f"clashing with the points side: {sorted(clash)}")
+    iv = intervals.select(*[F.col(c).alias(n) for c, n in ren.items()])
+    i_on, i_s, i_e = ren[on], ren[start], ren[end]
+
+    p_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(i_s).cast("timestamp"))
+    e_us = F.unix_micros(F.col(i_e).cast("timestamp"))
+    pcell = F.expr(f"(_pus + {_CELL_SHIFT}L) div {delta_us}")
+    scell = F.expr(f"(_sus + {_CELL_SHIFT}L) div {delta_us}")
+    ecell = F.expr(f"(_eus + {_CELL_SHIFT}L) div {delta_us}")
+
+    pf = (points.filter(F.col(on).isNotNull() & F.col(ts).isNotNull())
+          .withColumn("_pus", p_us).withColumn("_cell", pcell))
+    ivf = (iv.filter(F.col(i_on).isNotNull() & F.col(i_s).isNotNull()
+                     & F.col(i_e).isNotNull())
+           .withColumn("_sus", s_us).withColumn("_eus", e_us)
+           .filter(F.col("_eus") - F.col("_sus") <= delta_us)  # the contract
+           .withColumn("_cell", F.explode(F.array_distinct(F.array(scell, ecell)))))
+    joined = pf.join(ivf, (pf[on] == ivf[i_on]) & (pf["_cell"] == ivf["_cell"]))
+    return (joined.filter((F.col("_pus") >= F.col("_sus"))
+                          & (F.col("_pus") <= F.col("_eus")))
+            .drop("_pus", "_sus", "_eus", "_cell", i_on))

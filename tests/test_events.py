@@ -193,3 +193,53 @@ def test_range_join_input_validation(spark):
         range_join(df, df.select("k", "ts"), "k", "ts", 60)
     with pytest.raises(ValueError, match="reserved"):
         range_join(df.withColumn("_cell", F.lit(1)), df, "k", "ts", 60)
+
+
+def test_interval_join_matches_naive(spark):
+    import datetime as dt
+    from sparksketch.events import interval_join
+    base = dt.datetime(2024, 3, 1)
+    pts = [(i % 5, base + dt.timedelta(seconds=(i * 61) % 8000,
+                                       microseconds=(i * 17) % 1000000), i)
+           for i in range(300)]
+    ivs = []
+    for j in range(80):
+        s = base + dt.timedelta(seconds=(j * 97) % 8000)
+        ivs.append((j % 5, s, s + dt.timedelta(seconds=(j * 31) % 600), j))
+    points = spark.createDataFrame(pts, "k long, ts timestamp_ntz, pid long")
+    intervals = spark.createDataFrame(
+        ivs, "k long, s timestamp_ntz, e timestamp_ntz, iid long")
+    out = interval_join(points, intervals, "k", "ts", "s", "e",
+                        max_len_seconds=600)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    naive = points.alias("p").join(
+        intervals.alias("i"),
+        (F.col("p.k") == F.col("i.k"))
+        & (F.col("p.ts") >= F.col("i.s")) & (F.col("p.ts") <= F.col("i.e")))
+    want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_edges(spark):
+    import datetime as dt
+    import pytest
+    from sparksketch.events import interval_join
+    t0 = dt.datetime(2024, 6, 1, microsecond=500000)
+    points = spark.createDataFrame(
+        [(1, t0, "at-start"), (1, t0 + dt.timedelta(seconds=30), "inside"),
+         (1, t0 + dt.timedelta(seconds=60), "at-end"),
+         (1, t0 + dt.timedelta(seconds=60, microseconds=1), "past"),
+         (1, t0 - dt.timedelta(microseconds=1), "before")],
+        "k long, ts timestamp_ntz, tag string")
+    intervals = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(seconds=60), "ok"),
+         (1, t0, t0 - dt.timedelta(seconds=1), "degenerate"),     # end < start
+         (1, t0, t0 + dt.timedelta(seconds=3600), "too-long")],   # > max_len
+        "k long, s timestamp_ntz, e timestamp_ntz, name string")
+    out = interval_join(points, intervals, "k", "ts", "s", "e", 120)
+    got = sorted((r.tag, r.name) for r in out.collect())
+    assert got == [("at-end", "ok"), ("at-start", "ok"), ("inside", "ok")]
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(points, intervals, "k", "ts", "s", "e", 0)
+    with pytest.raises(ValueError, match="no column"):
+        interval_join(points, intervals.drop("e"), "k", "ts", "s", "e", 120)
