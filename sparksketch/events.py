@@ -147,6 +147,31 @@ def funnel_depth(df: DataFrame, user_col: str, ts_col: str, type_col: str,
 _CELL_SHIFT = 1 << 62  # keeps epoch micros positive so `div` == floor
 
 
+def _checked_suffix_rename(op: str, this: DataFrame, other: DataFrame,
+                           need_this: list[str], need_other: list[str],
+                           reserved: set[str], rsuffix: str) -> dict[str, str]:
+    """Shared validation + rename map for the Δ-cell joins: required
+    columns present on both sides, no reserved working names anywhere,
+    and the suffixed other-side names collide with nothing."""
+    for c in need_this:
+        if c not in this.columns:
+            raise ValueError(f"{op}: points/left side has no column {c!r}")
+    for c in need_other:
+        if c not in other.columns:
+            raise ValueError(f"{op}: intervals/right side has no column {c!r}")
+    bad = reserved & (set(this.columns) | set(other.columns))
+    if bad:
+        raise ValueError(f"{op}: input columns clash with reserved working "
+                         f"names {sorted(bad)}")
+    ren = {c: (c + rsuffix if c in this.columns else c) for c in other.columns}
+    clash = (set(ren.values()) & set(this.columns)) | (
+        set() if len(set(ren.values())) == len(ren) else {rsuffix})
+    if clash:
+        raise ValueError(f"{op}: rsuffix {rsuffix!r} produces right-side "
+                         f"names clashing with the left side: {sorted(clash)}")
+    return ren
+
+
 def range_join(left: DataFrame, right: DataFrame, on: str, ts: str,
                delta_seconds: float, right_ts: str | None = None,
                rsuffix: str = "_r") -> DataFrame:
@@ -171,20 +196,9 @@ def range_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     if delta_us <= 0:
         raise ValueError("delta_seconds must be positive")
     rt = right_ts or ts
-    if on not in right.columns:
-        raise ValueError(f"range_join: right side has no key column {on!r}")
-    if rt not in right.columns:
-        raise ValueError(f"range_join: right side has no ts column {rt!r}")
-    reserved = {"_lus", "_rus", "_cell"} & (set(left.columns) | set(right.columns))
-    if reserved:
-        raise ValueError(f"range_join: input columns clash with reserved "
-                         f"working names {sorted(reserved)}")
-    ren = {c: (c + rsuffix if c in left.columns else c) for c in right.columns}
-    clash = (set(ren.values()) & set(left.columns)) | (
-        set() if len(set(ren.values())) == len(ren) else {rsuffix})
-    if clash:
-        raise ValueError(f"range_join: rsuffix {rsuffix!r} produces right-side "
-                         f"names clashing with the left side: {sorted(clash)}")
+    ren = _checked_suffix_rename(
+        "range_join", left, right, [on, ts], [on, rt],
+        {"_lus", "_rus", "_cell"}, rsuffix)
     r = right.select(*[F.col(c).alias(n) for c, n in ren.items()])
     r_on, r_ts = ren[on], ren[rt]
 
@@ -224,20 +238,9 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str, ts: str,
     delta_us = int(round(max_len_seconds * 1_000_000))
     if delta_us <= 0:
         raise ValueError("max_len_seconds must be positive")
-    for c, side in ((on, intervals), (start, intervals), (end, intervals)):
-        if c not in side.columns:
-            raise ValueError(f"interval_join: intervals side has no column {c!r}")
-    reserved = ({"_pus", "_sus", "_eus", "_cell"}
-                & (set(points.columns) | set(intervals.columns)))
-    if reserved:
-        raise ValueError(f"interval_join: input columns clash with reserved "
-                         f"working names {sorted(reserved)}")
-    ren = {c: (c + rsuffix if c in points.columns else c) for c in intervals.columns}
-    clash = (set(ren.values()) & set(points.columns)) | (
-        set() if len(set(ren.values())) == len(ren) else {rsuffix})
-    if clash:
-        raise ValueError(f"interval_join: rsuffix {rsuffix!r} produces names "
-                         f"clashing with the points side: {sorted(clash)}")
+    ren = _checked_suffix_rename(
+        "interval_join", points, intervals, [on, ts], [on, start, end],
+        {"_pus", "_sus", "_eus", "_cell"}, rsuffix)
     iv = intervals.select(*[F.col(c).alias(n) for c, n in ren.items()])
     i_on, i_s, i_e = ren[on], ren[start], ren[end]
 
@@ -253,7 +256,10 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str, ts: str,
     ivf = (iv.filter(F.col(i_on).isNotNull() & F.col(i_s).isNotNull()
                      & F.col(i_e).isNotNull())
            .withColumn("_sus", s_us).withColumn("_eus", e_us)
-           .filter(F.col("_eus") - F.col("_sus") <= delta_us)  # the contract
+           # the length contract; degenerate (end<start) intervals match
+           # nothing anyway — drop them BEFORE the explode and shuffle
+           .filter((F.col("_sus") <= F.col("_eus"))
+                   & (F.col("_eus") - F.col("_sus") <= delta_us))
            .withColumn("_cell", F.explode(F.array_distinct(F.array(scell, ecell)))))
     joined = pf.join(ivf, (pf[on] == ivf[i_on]) & (pf["_cell"] == ivf["_cell"]))
     return (joined.filter((F.col("_pus") >= F.col("_sus"))

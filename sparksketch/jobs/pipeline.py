@@ -168,10 +168,12 @@ def main(argv=None) -> int:
     final = final.drop("_host")
     hh = heavy_hitters(hosts, "h", k=16)
     kll = kll_build(final.select(F.length("text").alias("len")), "len")
+    # lang only: the url ndv is already the library-HLL metric below —
+    # profiling it again would repeat the same estimate via a second scan
     from sparksketch.profile import profile_table
     metrics["profile"] = {
         r.column: {"n_nulls": r.n_nulls, "ndv_est": r.ndv_est}
-        for r in profile_table(final, ["url", "lang"]).collect()}
+        for r in profile_table(final, ["lang"]).collect()}
     metrics["sketches"] = {
         "distinct_urls_hll": round(hll_distinct(final, "url", p=14), 1),
         "n_chars_p50": kll.quantile(0.5),

@@ -184,10 +184,12 @@ def test_range_join_input_validation(spark):
     import pytest
     from sparksketch.events import range_join
     df = spark.createDataFrame([(1, None, 2)], "k long, ts timestamp_ntz, ts_r long")
-    with pytest.raises(ValueError, match="no key column"):
+    with pytest.raises(ValueError, match="no column 'k'"):
         range_join(df, df.select("ts"), "k", "ts", 60)
-    with pytest.raises(ValueError, match="no ts column"):
+    with pytest.raises(ValueError, match="no column 'ts'"):
         range_join(df, df.select("k"), "k", "ts", 60)
+    with pytest.raises(ValueError, match="left side has no column 'ts'"):
+        range_join(df.select("k"), df, "k", "ts", 60)
     with pytest.raises(ValueError, match="clashing"):
         # left already owns ts_r, which the right ts would be renamed to
         range_join(df, df.select("k", "ts"), "k", "ts", 60)
