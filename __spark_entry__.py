@@ -802,6 +802,43 @@ def _q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.desc("revenue_e4"), "n_name"))
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q6 shape: pure scan-side predicate aggregation — every filter
+    # pushes to the parquet scan, revenue in exact integer 10^-4 units
+    li = _T(spark, sf, "lineitem")
+    d_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    p_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & d_e2.between(5, 7) & (F.col("l_quantity") < 24))
+        .agg(F.coalesce(F.sum(p_e2 * d_e2), F.lit(0)).cast("long").alias("revenue_e4"),
+             F.count("*").alias("n_items")))
+
+
+def _q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q10 shape: one-quarter orders ⋈ returned lineitems ⋈ customer
+    # ⋈ nation (dims broadcast), top-20 by exact integer revenue with a
+    # deterministic custkey tie-break; acctbal emitted in exact cents
+    cust = _T(spark, sf, "customer")
+    nation = _T(spark, sf, "nation")
+    orders = _T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    li = _T(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    return (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(rev).alias("revenue_e4"))
+            .orderBy(F.desc("revenue_e4"), "c_custkey").limit(20)
+            .select("c_custkey", "c_name", "revenue_e4",
+                    F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_e2"),
+                    "n_name"))
+
+
 def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # Full TPC-H q1 aggregate set in integer-exact money math: prices carry 2
     # decimals, discount/tax 2 each, so *100 / *10^4 / *10^6 factors are
@@ -954,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_k_stats_by_event_type": _props_k_stats_by_event_type,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q10_returned_items": _q10_returned_items,
         "q5_local_supplier_volume": _q5_local_supplier_volume,
         "top3_orders_per_customer": _top3_orders_per_customer,
         "distinct_parts_per_returnflag": _distinct_parts_per_returnflag,
@@ -1329,6 +1368,26 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-06-15' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
+        "q6_forecast_revenue": (
+            "SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4, "
+            "count(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2, n_name "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
         "q5_local_supplier_volume": (
             "SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
             "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4 "

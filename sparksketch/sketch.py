@@ -196,6 +196,62 @@ def estimate_col(cls, method: str = "estimate", args: tuple = (), dtype: str = "
     return est
 
 
+def register_sql_functions(spark, prefix: str = "sk_") -> list[str]:
+    """Expose blob→estimate decoders to plain SQL, so persisted sketch-state
+    tables ("the filter is a table") are queryable without Python::
+
+        register_sql_functions(spark)
+        spark.sql("SELECT group, sk_hll_est(state) FROM lang_sketches")
+        spark.sql("SELECT sk_tdigest_quantile(state, 0.99) FROM latency_sk")
+
+    Registers (``prefix`` default ``sk_``): ``hll_est``, ``theta_est``,
+    ``ams_f2``, ``cms_total``, ``fd_error_bound`` (blob → double) and
+    ``tdigest_quantile``, ``kll_quantile`` (blob, q → double).  Returns the
+    registered names.  All are Arrow-batched pandas UDFs over the byte
+    blobs — the states stay tiny, so decode cost is per-group, not per-row.
+    """
+    import pandas as pd
+
+    from sparksketch.ams import AMS
+    from sparksketch.cms import CMS
+    from sparksketch.fd import FrequentDirections
+    from sparksketch.hll import HLL
+    from sparksketch.kll import KLL
+    from sparksketch.tdigest import TDigest
+    from sparksketch.theta import Theta
+
+    def _dec(cls, fn):
+        def f(blobs):
+            return pd.Series([float(fn(cls.from_bytes(bytes(b))))
+                              if b is not None else None for b in blobs])
+        f.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+        return F.pandas_udf(f, "double")
+
+    def _dec_q(cls):
+        def f(blobs, qs):
+            return pd.Series([float(cls.from_bytes(bytes(b)).quantile(float(q)))
+                              if b is not None and q is not None else None
+                              for b, q in zip(blobs, qs)])
+        f.__annotations__ = {"blobs": pd.Series, "qs": pd.Series,
+                             "return": pd.Series}
+        return F.pandas_udf(f, "double")
+
+    fns = {
+        "hll_est": _dec(HLL, lambda s: s.estimate()),
+        "theta_est": _dec(Theta, lambda s: s.estimate()),
+        "ams_f2": _dec(AMS, lambda s: s.f2_estimate()),
+        "cms_total": _dec(CMS, lambda s: s.total),
+        "fd_error_bound": _dec(FrequentDirections, lambda s: s.cov_error_bound()),
+        "tdigest_quantile": _dec_q(TDigest),
+        "kll_quantile": _dec_q(KLL),
+    }
+    names = []
+    for name, udf in fns.items():
+        spark.udf.register(prefix + name, udf)
+        names.append(prefix + name)
+    return names
+
+
 def sketch_agg_udf(factory: Callable, *, seeds: tuple[int, ...] | None = None,
                    numeric: bool = False, method: str = "estimate", args: tuple = ()):
     """GROUPED_AGG pandas UDAF convenience: use directly in ``groupBy().agg()``.

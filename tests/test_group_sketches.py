@@ -245,3 +245,28 @@ def test_theta_by_group(spark):
     # 9000 ≡ 0 (mod 3) ⇒ k = id mod 9000 ≡ g (mod 3): 3000 distinct k/group
     for g in ("0", "1", "2"):
         assert abs(est[g] - 3000) < 0.12 * 3000, (g, est[g])
+
+
+def test_register_sql_functions(spark):
+    """Persisted sketch states are queryable from plain SQL."""
+    from sparksketch.hll import HLL, HLL_SEED, hll_by_group
+    from sparksketch.sketch import register_sql_functions
+    from sparksketch.tdigest import tdigest_by_group
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    names = register_sql_functions(spark)
+    assert "sk_hll_est" in names and "sk_tdigest_quantile" in names
+
+    hll_by_group(ev, "event_type", "user_id", p=12).createOrReplaceTempView("hsk")
+    got = {r.group: r.est for r in
+           spark.sql("SELECT group, sk_hll_est(state) AS est FROM hsk").collect()}
+    exact = {r.event_type: r.n for r in
+             ev.filter("user_id IS NOT NULL").groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e <= 3 * HLL(12).rel_error()
+
+    tdigest_by_group(ev, "event_type", "value").createOrReplaceTempView("tsk")
+    meds = {r.group: r.q for r in spark.sql(
+        "SELECT group, sk_tdigest_quantile(state, 0.5) AS q FROM tsk").collect()}
+    assert set(meds) == set(exact) and all(v is not None for v in meds.values())
