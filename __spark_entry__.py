@@ -839,6 +839,22 @@ def _q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
                     "n_name"))
 
 
+def _q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q4 shape: EXISTS semi-join + aggregate — orders in one quarter
+    # with at least one returned lineitem, counted per priority (the
+    # reference schema has no commit/receipt dates, so the EXISTS predicate
+    # is l_returnflag = 'R'; the shape — left-semi then group — is q4's)
+    orders = _T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    returned = (_T(spark, sf, "lineitem")
+                .filter(F.col("l_returnflag") == "R").select("l_orderkey"))
+    return (orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
 def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # Full TPC-H q1 aggregate set in integer-exact money math: prices carry 2
     # decimals, discount/tax 2 each, so *100 / *10^4 / *10^6 factors are
@@ -991,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_k_stats_by_event_type": _props_k_stats_by_event_type,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
+        "q4_order_priority": _q4_order_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
         "q5_local_supplier_volume": _q5_local_supplier_volume,
@@ -1368,6 +1385,13 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-06-15' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY o_orderpriority"),
         "q6_forecast_revenue": (
             "SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
             "* CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4, "
