@@ -220,28 +220,30 @@ def register_sql_functions(spark, prefix: str = "sk_") -> list[str]:
     from sparksketch.tdigest import TDigest
     from sparksketch.theta import Theta
 
-    def _dec(cls, fn):
-        def f(blobs):
-            return pd.Series([float(fn(cls.from_bytes(bytes(b))))
-                              if b is not None else None for b in blobs])
-        f.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
-        return F.pandas_udf(f, "double")
+    def _cms_total_fn(blobs):
+        # attribute, not a method — the one decoder estimate_col can't build
+        return pd.Series([float(CMS.from_bytes(bytes(b)).total)
+                          if b is not None else None for b in blobs])
+    _cms_total_fn.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+    _cms_total = F.pandas_udf(_cms_total_fn, "double")
 
     def _dec_q(cls):
         def f(blobs, qs):
+            # a SQL NULL double arrives as NaN in the float64 Series —
+            # `q == q` rejects it (NaN != NaN), returning NULL like SQL
             return pd.Series([float(cls.from_bytes(bytes(b)).quantile(float(q)))
-                              if b is not None and q is not None else None
-                              for b, q in zip(blobs, qs)])
+                              if b is not None and q is not None and q == q
+                              else None for b, q in zip(blobs, qs)])
         f.__annotations__ = {"blobs": pd.Series, "qs": pd.Series,
                              "return": pd.Series}
         return F.pandas_udf(f, "double")
 
     fns = {
-        "hll_est": _dec(HLL, lambda s: s.estimate()),
-        "theta_est": _dec(Theta, lambda s: s.estimate()),
-        "ams_f2": _dec(AMS, lambda s: s.f2_estimate()),
-        "cms_total": _dec(CMS, lambda s: s.total),
-        "fd_error_bound": _dec(FrequentDirections, lambda s: s.cov_error_bound()),
+        "hll_est": estimate_col(HLL),
+        "theta_est": estimate_col(Theta),
+        "ams_f2": estimate_col(AMS, "f2_estimate"),
+        "cms_total": _cms_total,
+        "fd_error_bound": estimate_col(FrequentDirections, "cov_error_bound"),
         "tdigest_quantile": _dec_q(TDigest),
         "kll_quantile": _dec_q(KLL),
     }

@@ -270,3 +270,30 @@ def test_register_sql_functions(spark):
     meds = {r.group: r.q for r in spark.sql(
         "SELECT group, sk_tdigest_quantile(state, 0.5) AS q FROM tsk").collect()}
     assert set(meds) == set(exact) and all(v is not None for v in meds.values())
+    # a SQL NULL quantile argument yields NULL, never a crash or the max
+    nulls = spark.sql("SELECT sk_tdigest_quantile(state, CAST(NULL AS DOUBLE)) AS q, "
+                      "sk_kll_quantile(state, CAST(NULL AS DOUBLE)) AS k FROM tsk").collect()
+    assert all(r.q is None and r.k is None for r in nulls)
+
+    # every registered decoder executes against a real state blob
+    from sparksketch.ams import ams_by_group
+    from sparksketch.cms import cms_by_group
+    from sparksketch.fd import fd_by_group
+    from sparksketch.kll import kll_by_group
+    from sparksketch.theta import theta_by_group
+    theta_by_group(ev, "event_type", "user_id", k=512).createOrReplaceTempView("thsk")
+    ams_by_group(ev, "event_type", "user_id", w=1024).createOrReplaceTempView("amsk")
+    cms_by_group(ev, "event_type", "user_id").createOrReplaceTempView("cmsk")
+    kll_by_group(ev, "event_type", "value").createOrReplaceTempView("klsk")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fd_by_group(emb, "label", "embedding", ell=8).createOrReplaceTempView("fdsk")
+    n_ev = ev.filter("user_id IS NOT NULL").count()
+    for sql, lo, hi in [
+        ("SELECT sk_theta_est(state) AS v FROM thsk", 1, n_ev),
+        ("SELECT sk_ams_f2(state) AS v FROM amsk", 1, float("inf")),
+        ("SELECT sk_cms_total(state) AS v FROM cmsk", 1, n_ev),
+        ("SELECT sk_kll_quantile(state, 0.5) AS v FROM klsk", -1e12, 1e12),
+        ("SELECT sk_fd_error_bound(state) AS v FROM fdsk", 0, float("inf")),
+    ]:
+        vals = [r.v for r in spark.sql(sql).collect()]
+        assert vals and all(v is not None and lo <= v <= hi for v in vals), sql
