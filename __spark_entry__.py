@@ -855,6 +855,43 @@ def _q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("order_count")))
 
 
+def _q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q14 shape: one-month lineitem ⋈ part (broadcast) with a CASE
+    # conditional aggregate; numerator and denominator emitted as exact
+    # integers (the promo ratio is a driver-side division away — floats
+    # never cross the oracle hash)
+    part = _T(spark, sf, "part")
+    li = _T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz")))
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("p_type") == "PROMO", rev)), F.lit(0))
+        .cast("long").alias("promo_e4"),
+        F.coalesce(F.sum(rev), F.lit(0)).cast("long").alias("total_e4"))
+
+
+def _q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q19 shape: OR-of-ANDs predicate across the fact and the
+    # broadcast dim — Catalyst pushes the common conjuncts and evaluates
+    # the disjunction post-join; revenue in exact integer 10^-4 units
+    part = _T(spark, sf, "part")
+    li = _T(spark, sf, "lineitem")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(5, 30)))
+    return (j.filter(cond)
+            .agg(F.coalesce(F.sum(rev), F.lit(0)).cast("long").alias("revenue_e4"),
+                 F.count("*").alias("n_items")))
+
+
 def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # Full TPC-H q1 aggregate set in integer-exact money math: prices carry 2
     # decimals, discount/tax 2 each, so *100 / *10^4 / *10^6 factors are
@@ -1010,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4_order_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q19_discounted_revenue": _q19_discounted_revenue,
         "q5_local_supplier_volume": _q5_local_supplier_volume,
         "top3_orders_per_customer": _top3_orders_per_customer,
         "distinct_parts_per_returnflag": _distinct_parts_per_returnflag,
@@ -1412,6 +1451,26 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1996-04-01' "
             "GROUP BY c_custkey, c_name, c_acctbal, n_name "
             "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
+        "q14_promo_revenue": (
+            "SELECT CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) END), 0) AS BIGINT) "
+            "AS promo_e4, "
+            "CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT) "
+            "AS total_e4 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l_shipdate < TIMESTAMP '1996-10-01'"),
+        "q19_discounted_revenue": (
+            "SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT) "
+            "AS revenue_e4, count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+            "AND l_quantity BETWEEN 5 AND 30)"),
         "q5_local_supplier_volume": (
             "SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
             "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4 "
