@@ -1,0 +1,93 @@
+"""Plan auditing — the 100-TB design rules as executable assertions.
+
+Every scale claim in this library reduces to a property of the physical
+plan: the filter reached the scan, the join is broadcast not nested-loop,
+the sample never global-sorts, the sketch build never shuffles rows.
+The test suite asserts those properties ad hoc by grepping
+``executedPlan().toString()``; ``plan_digest`` makes the same audit a
+public, structured API so pipelines can install **plan regression guards**
+in their own CI::
+
+    d = plan_digest(df)
+    assert d.n_exchanges <= 1 and not d.has_cross_product
+    assert "IsNotNull" in str(d.pushed_filters)
+
+The digest is parsed from the formatted physical plan (stringly, like
+Spark's own ``explain``); it is a diagnostic surface, not a stable
+compiler API — pin assertions to properties (counts, operator presence),
+not to exact strings.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+_JOIN_OPS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+             "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+@dataclass
+class PlanDigest:
+    n_exchanges: int = 0
+    n_scans: int = 0
+    joins: list[str] = field(default_factory=list)
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    has_take_ordered: bool = False
+    has_global_sort: bool = False          # rangepartitioning Exchange
+    n_wholestage_spans: int = 0
+    n_python_evals: int = 0                # Arrow/pandas UDF stages
+    plan: str = ""                          # the raw text, for escalation
+
+    @property
+    def has_cross_product(self) -> bool:
+        return any(j in ("BroadcastNestedLoopJoin", "CartesianProduct")
+                   for j in self.joins)
+
+
+def plan_digest(df: DataFrame) -> PlanDigest:
+    """Digest the executed physical plan of ``df`` (final AQE plan when
+    available) into the properties the scale rules care about."""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    d = PlanDigest(plan=plan)
+    d.n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    d.n_scans = len(re.findall(r"\bFileScan\b|\bBatchScan\b", plan))
+    for op in _JOIN_OPS:
+        d.joins += [op] * len(re.findall(rf"\b{op}\b", plan))
+    d.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    d.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    d.has_take_ordered = "TakeOrderedAndProject" in plan
+    d.has_global_sort = "rangepartitioning" in plan
+    d.n_wholestage_spans = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    d.n_python_evals = len(re.findall(
+        r"ArrowEvalPython|MapInArrow|FlatMapGroupsInPandas|AggregateInPandas", plan))
+    return d
+
+
+def assert_scale_safe(df: DataFrame, *, max_exchanges: int | None = None,
+                      allow_cross_product: bool = False,
+                      allow_global_sort: bool = False,
+                      require_pushed: str | None = None) -> PlanDigest:
+    """One-call plan regression guard: raises ``AssertionError`` naming the
+    violated rule (with the offending plan attached) — drop it after any
+    query you intend to run at scale."""
+    d = plan_digest(df)
+    problems = []
+    if max_exchanges is not None and d.n_exchanges > max_exchanges:
+        problems.append(f"{d.n_exchanges} Exchanges (allowed {max_exchanges})")
+    if not allow_cross_product and d.has_cross_product:
+        problems.append(f"cross-product join: {d.joins}")
+    if not allow_global_sort and d.has_global_sort:
+        problems.append("global sort (rangepartitioning Exchange)")
+    if require_pushed is not None and not any(
+            require_pushed in p for p in d.pushed_filters):
+        problems.append(f"no pushed filter matching {require_pushed!r} "
+                        f"(pushed: {d.pushed_filters})")
+    if problems:
+        raise AssertionError("plan not scale-safe: " + "; ".join(problems)
+                             + "\n" + d.plan)
+    return d

@@ -1,0 +1,67 @@
+"""plan_digest / assert_scale_safe: the plan-regression-guard API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.plans import assert_scale_safe, plan_digest
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(10_000).selectExpr("id", "id % 50 AS k", "'x' AS s") \
+        .write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_digest_scan_side_filter(tables):
+    d = plan_digest(tables.filter("id > 100").select("id"))
+    assert d.n_scans == 1 and d.n_exchanges == 0
+    assert any("GreaterThan" in p or "IsNotNull" in p for p in d.pushed_filters)
+    assert d.read_schemas and "id" in d.read_schemas[0]
+    assert not d.has_cross_product and d.n_python_evals == 0
+
+
+def test_digest_counts_exchanges_and_joins(spark, tables):
+    agg = tables.groupBy("k").count()
+    assert plan_digest(agg).n_exchanges == 1
+    dim = spark.range(10).selectExpr("id AS k", "'d' AS name")
+    j = plan_digest(tables.join(F.broadcast(dim), "k"))
+    assert j.joins == ["BroadcastHashJoin"]
+    cross = plan_digest(tables.limit(5).crossJoin(dim))
+    assert cross.has_cross_product
+
+
+def test_digest_sort_shapes(tables):
+    assert plan_digest(tables.orderBy("id").limit(3)).has_take_ordered
+    d = plan_digest(tables.orderBy("id"))
+    assert d.has_global_sort and not d.has_take_ordered
+
+
+def test_assert_scale_safe(spark, tables):
+    # a scale-safe query passes and returns its digest
+    d = assert_scale_safe(tables.filter("id > 100").groupBy("k").count(),
+                          max_exchanges=1, require_pushed="IsNotNull")
+    assert d.n_exchanges == 1
+    # each rule raises with the violated property named
+    dim = spark.range(4).selectExpr("id AS j")
+    with pytest.raises(AssertionError, match="cross-product"):
+        assert_scale_safe(tables.crossJoin(dim))
+    with pytest.raises(AssertionError, match="global sort"):
+        assert_scale_safe(tables.orderBy("id"))
+    with pytest.raises(AssertionError, match="Exchanges"):
+        assert_scale_safe(tables.groupBy("k").count(), max_exchanges=0)
+    with pytest.raises(AssertionError, match="no pushed filter"):
+        assert_scale_safe(tables.select("id"), require_pushed="GreaterThan")
+
+
+def test_digest_library_plans(spark):
+    """The library's own headline plans satisfy their documented shapes."""
+    from sparksketch.decontam import stratified_sample, uniform_sample_k
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # stratified sample: a pushed predicate, zero Exchange
+    assert_scale_safe(stratified_sample(docs, "source", "doc_id", {"src0": 0.5}),
+                      max_exchanges=0)
+    # fixed-k sample: TakeOrdered, never a global sort
+    d = plan_digest(uniform_sample_k(docs, "doc_id", 10))
+    assert d.has_take_ordered and not d.has_global_sort
