@@ -892,6 +892,29 @@ def _q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
                  F.count("*").alias("n_items")))
 
 
+def _q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q18 shape: HAVING-subquery (orders whose lineitems sum past a
+    # quantity threshold) semi-joined back, then customer ⋈ orders ⋈
+    # lineitem re-aggregated, top-10 by exact integer totalprice
+    li = _T(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_s")).filter(F.col("_s") > 300)
+           .select("l_orderkey"))
+    orders = _T(spark, sf, "orders")
+    cust = _T(spark, sf, "customer")
+    j = (li.join(big, "l_orderkey", "left_semi")
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                      "o_totalprice")
+            .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_e2"),
+                    "sum_qty")
+            .orderBy(F.desc("totalprice_e2"), "o_orderkey").limit(10))
+
+
 def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # Full TPC-H q1 aggregate set in integer-exact money math: prices carry 2
     # decimals, discount/tax 2 each, so *100 / *10^4 / *10^6 factors are
@@ -1048,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
         "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_orders": _q18_large_orders,
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q5_local_supplier_volume": _q5_local_supplier_volume,
         "top3_orders_per_customer": _top3_orders_per_customer,
@@ -1462,6 +1486,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
             "AND l_shipdate < TIMESTAMP '1996-10-01'"),
+        "q18_large_orders": (
+            "SELECT c_name, c_custkey, o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_e2, "
+            "CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem "
+            "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) "
+            "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+            "ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 10"),
         "q19_discounted_revenue": (
             "SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
             "* (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT) "
