@@ -49,22 +49,45 @@ class PlanDigest:
 
 
 def plan_digest(df: DataFrame) -> PlanDigest:
-    """Digest the executed physical plan of ``df`` (final AQE plan when
-    available) into the properties the scale rules care about."""
-    qe = df._jdf.queryExecution()
+    """Digest the physical plan of ``df`` into the properties the scale
+    rules care about.
+
+    Before the DataFrame executes this is the **static** plan (AQE may
+    still re-plan joins at runtime); after an action, the digest covers
+    only the ``== Final Plan ==`` section — the initial-plan echo Spark
+    appends post-execution is stripped so operators are never
+    double-counted.  Classic (non-Connect) Spark only: the parser reads
+    the JVM ``queryExecution`` seam."""
+    try:
+        qe = df._jdf.queryExecution()
+    except AttributeError as e:  # Spark Connect DataFrames have no _jdf
+        raise NotImplementedError(
+            "plan_digest needs a classic-mode DataFrame (Spark Connect "
+            "exposes no queryExecution seam)") from e
     plan = qe.executedPlan().toString()
+    # post-execution, AdaptiveSparkPlan prints '== Final Plan ==' followed
+    # by '== Initial Plan ==' — digest only what actually executed
+    plan_final = plan.split("== Initial Plan ==")[0]
     d = PlanDigest(plan=plan)
-    d.n_exchanges = len(re.findall(r"\bExchange\b", plan))
-    d.n_scans = len(re.findall(r"\bFileScan\b|\bBatchScan\b", plan))
+    d.n_exchanges = len(re.findall(r"\bExchange\b", plan_final))
+    d.n_scans = len(re.findall(r"\bFileScan\b|\bBatchScan\b", plan_final))
     for op in _JOIN_OPS:
-        d.joins += [op] * len(re.findall(rf"\b{op}\b", plan))
-    d.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    d.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
-    d.has_take_ordered = "TakeOrderedAndProject" in plan
-    d.has_global_sort = "rangepartitioning" in plan
-    d.n_wholestage_spans = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+        d.joins += [op] * len(re.findall(rf"\b{op}\b", plan_final))
+    # Spark truncates long metadata at spark.sql.maxMetadataStringLength
+    # (no closing bracket) — capture to the bracket OR the end of line
+    d.pushed_filters = [m.rstrip() for m in re.findall(
+        r"PushedFilters: \[([^\]\n]*)", plan_final)]
+    d.read_schemas = re.findall(r"ReadSchema: (\S+)", plan_final)
+    d.has_take_ordered = "TakeOrderedAndProject" in plan_final
+    d.has_global_sort = "rangepartitioning" in plan_final
+    # treeString renders codegen stages as '*(N) ' operator prefixes —
+    # only AFTER execution (the static pre-run plan carries no codegen
+    # annotation, so this field is 0 until an action has run)
+    d.n_wholestage_spans = len(set(re.findall(r"\*\((\d+)\)", plan_final)))
     d.n_python_evals = len(re.findall(
-        r"ArrowEvalPython|MapInArrow|FlatMapGroupsInPandas|AggregateInPandas", plan))
+        r"ArrowEvalPython|BatchEvalPython|MapInArrow|MapInPandas"
+        r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+        r"|AggregateInPandas|WindowInPandas", plan_final))
     return d
 
 

@@ -55,10 +55,11 @@ def estimated_row_count(df) -> int | None:
 
     Free when catalog/CBO stats exist (ANALYZE TABLE at scale) — callers
     use it to avoid an extra count() job where only the magnitude matters.
-    This is the ONE sanctioned use of the private `_jdf` seam in the
-    library: classic-mode PySpark only (Spark Connect DataFrames have no
-    `_jdf`), version-fragile by nature, so it is wrapped here with a broad
-    fallback to None and must never gate correctness.
+    The private `_jdf` seam is classic-mode PySpark only (Spark Connect
+    DataFrames have no `_jdf`) and version-fragile by nature; its sanctioned
+    uses in the library are this function (broad fallback to None — must
+    never gate correctness) and the diagnostics in `plans.plan_digest`
+    (guarded, raises NotImplementedError off classic mode).
     """
     try:
         rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()

@@ -65,3 +65,42 @@ def test_digest_library_plans(spark):
     # fixed-k sample: TakeOrdered, never a global sort
     d = plan_digest(uniform_sample_k(docs, "doc_id", 10))
     assert d.has_take_ordered and not d.has_global_sort
+
+
+def test_digest_post_execution_no_double_count(tables):
+    """After collect(), the plan string gains an '== Initial Plan ==' echo;
+    the digest must count only the final section."""
+    agg = tables.groupBy("k").count()
+    agg.collect()
+    d = plan_digest(agg)
+    assert d.n_exchanges == 1 and d.n_scans == 1
+
+
+def test_digest_truncated_pushed_filters(tables):
+    """4+ pushed predicates exceed maxMetadataStringLength (no closing
+    bracket) — the capture must still surface the leading predicates."""
+    q = tables.filter("id > 100 AND id < 9000 AND k > 2 AND k < 40 AND s = 'x'")
+    d = plan_digest(q)
+    assert d.pushed_filters and "IsNotNull" in d.pushed_filters[0]
+    assert all("\n" not in p for p in d.pushed_filters)
+    assert_scale_safe(q, require_pushed="IsNotNull")
+
+
+def test_digest_codegen_spans(tables):
+    # treeString renders codegen as '*(N)' prefixes — visible only in the
+    # executed final plan, so the span count turns nonzero after an action
+    q = tables.filter("id > 5").groupBy("k").count()
+    assert plan_digest(q).n_wholestage_spans == 0   # static plan: unannotated
+    q.collect()
+    assert plan_digest(q).n_wholestage_spans >= 2   # map + reduce stages
+
+
+def test_digest_python_eval_stages(spark, tables):
+    from pyspark.sql.types import LongType
+    slow = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+    assert plan_digest(tables.select(slow("id"))).n_python_evals >= 1
+    def arrow_fn(it):
+        for b in it:
+            yield b
+    assert plan_digest(tables.select("id").mapInArrow(arrow_fn, "id long")
+                       ).n_python_evals >= 1
