@@ -892,6 +892,34 @@ def _q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
                  F.count("*").alias("n_items")))
 
 
+def _rolling_user_spend(spark: SparkSession, sf: str) -> DataFrame:
+    # time-RANGE window frame: each event's trailing-1-hour spend for the
+    # same user, in exact integer cents (RANGE peers at equal ts behave
+    # identically in Spark and DuckDB; ts emitted as integer micros)
+    _T(spark, sf, "events").createOrReplaceTempView("_ev_roll")
+    return spark.sql(
+        "SELECT user_id, unix_micros(CAST(ts AS timestamp)) AS ts_us, "
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS spend_1h_e2, COUNT(value) OVER w AS n_1h "
+        "FROM _ev_roll WHERE value IS NOT NULL "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")
+
+
+def _rollup_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    # grouping sets: ROLLUP over (returnflag, linestatus) with GROUPING()
+    # flags disambiguating subtotal rows from genuine NULLs; exact sums
+    _T(spark, sf, "lineitem").createOrReplaceTempView("_li_roll")
+    return spark.sql(
+        "SELECT COALESCE(l_returnflag, 'ALL') AS flag, "
+        "COALESCE(l_linestatus, 'ALL') AS status, "
+        "CAST(GROUPING(l_returnflag) AS INT) AS grp_f, "
+        "CAST(GROUPING(l_linestatus) AS INT) AS grp_s, "
+        "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "COUNT(*) AS n FROM _li_roll "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+
+
 def _q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H q18 shape: HAVING-subquery (orders whose lineitems sum past a
     # quantity threshold) semi-joined back, then customer ⋈ orders ⋈
@@ -1072,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q14_promo_revenue": _q14_promo_revenue,
         "q18_large_orders": _q18_large_orders,
+        "rolling_user_spend": _rolling_user_spend,
+        "rollup_pricing": _rollup_pricing,
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q5_local_supplier_volume": _q5_local_supplier_volume,
         "top3_orders_per_customer": _top3_orders_per_customer,
@@ -1486,6 +1516,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
             "AND l_shipdate < TIMESTAMP '1996-10-01'"),
+        "rolling_user_spend": (
+            "SELECT user_id, epoch_us(ts) AS ts_us, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS spend_1h_e2, COUNT(value) OVER w AS n_1h "
+            "FROM events WHERE value IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"),
+        "rollup_pricing": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS flag, "
+            "COALESCE(l_linestatus, 'ALL') AS status, "
+            "CAST(GROUPING(l_returnflag) AS INT) AS grp_f, "
+            "CAST(GROUPING(l_linestatus) AS INT) AS grp_s, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "count(*) AS n FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
         "q18_large_orders": (
             "SELECT c_name, c_custkey, o_orderkey, "
             "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
