@@ -65,9 +65,12 @@ def plan_digest(df: DataFrame) -> PlanDigest:
             "plan_digest needs a classic-mode DataFrame (Spark Connect "
             "exposes no queryExecution seam)") from e
     plan = qe.executedPlan().toString()
-    # post-execution, AdaptiveSparkPlan prints '== Final Plan ==' followed
-    # by '== Initial Plan ==' — digest only what actually executed
-    plan_final = plan.split("== Initial Plan ==")[0]
+    # post-execution, the TOP-LEVEL AdaptiveSparkPlan prints '== Final
+    # Plan ==' followed by an unindented '+- == Initial Plan ==' echo —
+    # strip only that (line-anchored, no leading spaces): nested AQE
+    # subqueries print their own indented marker pairs INSIDE the final
+    # section, and a flat split would truncate the plan at the first one
+    plan_final = re.split(r"\n\+- == Initial Plan ==", plan)[0]
     d = PlanDigest(plan=plan)
     d.n_exchanges = len(re.findall(r"\bExchange\b", plan_final))
     d.n_scans = len(re.findall(r"\bFileScan\b|\bBatchScan\b", plan_final))
@@ -80,10 +83,15 @@ def plan_digest(df: DataFrame) -> PlanDigest:
     d.read_schemas = re.findall(r"ReadSchema: (\S+)", plan_final)
     d.has_take_ordered = "TakeOrderedAndProject" in plan_final
     d.has_global_sort = "rangepartitioning" in plan_final
-    # treeString renders codegen stages as '*(N) ' operator prefixes —
-    # only AFTER execution (the static pre-run plan carries no codegen
-    # annotation, so this field is 0 until an action has run)
-    d.n_wholestage_spans = len(set(re.findall(r"\*\((\d+)\)", plan_final)))
+    # treeString renders codegen stages as '*(N) ' operator prefixes.
+    # With AQE enabled (this library's default) they appear only AFTER
+    # execution — the static pre-run plan is unannotated, so the field is
+    # 0 until an action has run; with AQE disabled the static plan is
+    # already annotated.  Stage ids restart per AdaptiveSparkPlan scope
+    # (nested subqueries), so distinct ids are counted per scope.
+    d.n_wholestage_spans = sum(
+        len(set(re.findall(r"\*\((\d+)\)", seg)))
+        for seg in plan_final.split("AdaptiveSparkPlan"))
     d.n_python_evals = len(re.findall(
         r"ArrowEvalPython|BatchEvalPython|MapInArrow|MapInPandas"
         r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"

@@ -104,3 +104,21 @@ def test_digest_python_eval_stages(spark, tables):
             yield b
     assert plan_digest(tables.select("id").mapInArrow(arrow_fn, "id long")
                        ).n_python_evals >= 1
+
+
+def test_digest_nested_aqe_subquery(spark, tmp_path):
+    """A scalar subquery embeds its own '== Final/Initial Plan ==' marker
+    pair INSIDE the main final section; only the top-level unindented echo
+    may be stripped — the scan below the subquery must stay visible."""
+    p = str(tmp_path / "sq.parquet")
+    spark.range(10_000).selectExpr("id", "id % 20 AS k").write.mode("overwrite").parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("_sqt")
+    q = spark.sql("SELECT k, count(*) AS n FROM _sqt "
+                  "WHERE id > (SELECT avg(id) FROM _sqt) GROUP BY k")
+    q.collect()
+    d = plan_digest(q)
+    assert d.n_scans >= 1                    # the scan survives the strip
+    assert d.pushed_filters                  # the pushed dynamic filter too
+    assert d.n_exchanges >= 1
+    # codegen stages counted per AQE scope, not collapsed across scopes
+    assert d.n_wholestage_spans >= 2
