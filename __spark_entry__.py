@@ -559,10 +559,15 @@ def _theta_user_overlap(spark: SparkSession, sf: str) -> DataFrame:
     exact_i = clicks.intersect(views).count()
     exact_u = clicks.union(views).distinct().count()
     exact_d = clicks.distinct().exceptAll(views.distinct()).count()
+    # KMV intersection/difference error scales with the UNION-sized sample
+    # (the retained hashes cover the union), so every margin is relative to
+    # exact_u — a small intersection can legitimately miss a band scaled to
+    # its own size, and that near-miss would be corpus-dependent.
     m = 4.0 / math.sqrt(4096)
-    ok = (abs(intersection_estimate(tc, tv) - exact_i) <= m * max(exact_i, 1)
-          and abs(union_estimate(tc, tv) - exact_u) <= m * max(exact_u, 1)
-          and abs(difference_estimate(tc, tv) - exact_d) <= m * max(exact_d, 1))
+    band = m * max(exact_u, 1)
+    ok = (abs(intersection_estimate(tc, tv) - exact_i) <= band
+          and abs(union_estimate(tc, tv) - exact_u) <= band
+          and abs(difference_estimate(tc, tv) - exact_d) <= band)
     return spark.createDataFrame(
         [Row(n_exact_inter=int(exact_i), ok=bool(ok))],
         "n_exact_inter long, ok boolean")
@@ -1027,13 +1032,40 @@ def _distinct_parts_per_returnflag(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # anti-join against a FILTERED orders subset (1999+): by TPC-H
+    # construction every customer has *some* order, so the unfiltered
+    # anti-join is empty at every SF — a vacuous 0==0 certificate that even
+    # an inverted join would pass.  Restricting to recent orders makes the
+    # expected result non-empty at sf0.001/0.01/0.1 (6/29/305 rows).
     c = _T(spark, sf, "customer")
-    o = _T(spark, sf, "orders")
+    o = _T(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate checks the first 50
+    # entries only.  Queries with no driver row yet (new this round, or
+    # never reached under the old ordering) go FIRST; the long-green ones
+    # (3 rounds of driver evidence by r3) rotate to the tail.
     return {
+        # --- rotated head: the 16 queries the r1-r3 gates never reached ---
+        "interval_join_events": _interval_join_events,
+        "props_k_stats_by_event_type": _props_k_stats_by_event_type,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q4_order_priority": _q4_order_priority,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q19_discounted_revenue": _q19_discounted_revenue,
+        "rolling_user_spend": _rolling_user_spend,
+        "rollup_pricing": _rollup_pricing,
+        "top3_orders_per_customer": _top3_orders_per_customer,
+        "distinct_parts_per_returnflag": _distinct_parts_per_returnflag,
+        "customers_without_orders": _customers_without_orders,
         # bloom (the centerpiece)
         "bloom_zero_fn": _bloom_zero_fn,
         "bloom_partkey_screen": _bloom_partkey_screen,
@@ -1090,23 +1122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_per_user": _sessions_per_user,
         "asof_last_click_value": _asof_last_click_value,
         "range_join_events": _range_join_events,
-        "interval_join_events": _interval_join_events,
-        # relational / semi-structured surface
-        "props_k_stats_by_event_type": _props_k_stats_by_event_type,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q4_order_priority": _q4_order_priority,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q10_returned_items": _q10_returned_items,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q18_large_orders": _q18_large_orders,
-        "rolling_user_spend": _rolling_user_spend,
-        "rollup_pricing": _rollup_pricing,
-        "q19_discounted_revenue": _q19_discounted_revenue,
-        "q5_local_supplier_volume": _q5_local_supplier_volume,
-        "top3_orders_per_customer": _top3_orders_per_customer,
-        "distinct_parts_per_returnflag": _distinct_parts_per_returnflag,
-        "customers_without_orders": _customers_without_orders,
     }
 
 
@@ -1586,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts "
             "FROM lineitem GROUP BY l_returnflag"),
         "customers_without_orders": (
-            "SELECT c_custkey FROM customer "
-            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+            "SELECT c_custkey FROM customer WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '1999-01-01')"),
     }

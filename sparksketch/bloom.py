@@ -867,7 +867,8 @@ def _membership_probe_udf(spark, state: BloomFilterState):
 
 
 def with_group_membership(df: DataFrame, group_col: str, col: str, states,
-                          out: str = "is_member") -> DataFrame:
+                          out: str = "is_member",
+                          max_groups: int = 100_000) -> DataFrame:
     """Append per-group membership: each row is probed against ITS group's
     filter (the output of :func:`bloom_by_group`).  Broadcast of the
     (group → blob) map — group filters are blob-sized, so the map is
@@ -875,11 +876,27 @@ def with_group_membership(df: DataFrame, group_col: str, col: str, states,
     hashes stay distributed (no driver loop over data rows).
 
     ``states`` is the (group, state) DataFrame from :func:`bloom_by_group`
-    or an equivalent ``{group: blob}`` dict."""
+    or an equivalent ``{group: blob}`` dict.  The blob map is collected to
+    the driver, so the group cardinality is gated at ``max_groups``
+    (mirroring :func:`~sparksketch.similarity.knn_join`'s ``max_queries``):
+    a million-group build would OOM the driver/broadcast — beyond the gate
+    the distributed :func:`membership_join` path is the answer."""
     spark = df.sparkSession
     if isinstance(states, DataFrame):
-        blobs = {r.group: bytes(r.state) for r in states.collect()}
+        rows = states.select("group", "state").limit(max_groups + 1).collect()
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"with_group_membership broadcasts the (group -> blob) map; "
+                f"got >{max_groups} groups - use the distributed "
+                f"membership_join path for group cardinalities this large, "
+                f"or raise max_groups explicitly if the blobs are known-small")
+        blobs = {r.group: bytes(r.state) for r in rows}
     else:
+        if len(states) > max_groups:
+            raise ValueError(
+                f"with_group_membership broadcasts the (group -> blob) map; "
+                f"got {len(states)} groups > max_groups={max_groups} - use "
+                f"membership_join for group cardinalities this large")
         blobs = {g: bytes(b) for g, b in states.items()}
     bc = spark.sparkContext.broadcast(blobs)
     _BC_SEQ[0] += 1

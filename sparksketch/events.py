@@ -123,7 +123,12 @@ def funnel_depth(df: DataFrame, user_col: str, ts_col: str, type_col: str,
         raise ValueError("funnel_depth needs at least one step")
     n = len(steps)
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    evs = (df.filter(F.col(type_col).isin(list(steps)))
+    # NULL-ts events are dropped up front (mirroring asof_join): a NULL
+    # first-step ts would match stage 1 via the d==0 bypass and then
+    # permanently block later stages, diverging from a min(ts)-cascade
+    # oracle that ignores NULLs
+    evs = (df.filter(F.col(type_col).isin(list(steps))
+                     & F.col(ts_col).isNotNull())
            .groupBy(F.col(user_col))
            .agg(F.sort_array(F.collect_list(F.struct(
                F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))).alias("_evs")))

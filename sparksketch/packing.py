@@ -69,11 +69,15 @@ def pack_sequences(df: DataFrame, token_col: str, key_col: str,
              .withColumn("bucket", bucket_expr.cast("int")))
     w = W.partitionBy("bucket").orderBy("_rk", key_col)
     cum = F.sum(F.col(token_col)).over(w)          # inclusive running tokens
+    # `div` (exact integer division) not `/`+floor: long/long `/` is DOUBLE
+    # in Spark and loses exactness past 2^53 cumulative tokens.  Operands
+    # are non-negative here (tokens > 0, cumsum of positives), so truncating
+    # div == floor and the layout stays bit-exact at any scale.
     out = (out.withColumn("_first", cum - F.col(token_col))
-           .withColumn("seq", F.floor(F.col("_first") / capacity).cast("long"))
+           .withColumn("seq", F.expr(f"_first div {int(capacity)}").cast("long"))
            .withColumn("offset", F.pmod(F.col("_first"), F.lit(capacity)).cast("long"))
            .withColumn("straddles",
-                       F.floor((F.col("_first") + F.col(token_col) - 1) / capacity)
+                       F.expr(f"(_first + `{token_col}` - 1) div {int(capacity)}")
                        != F.col("seq"))
            .drop("_rk", "_first"))
     return out
@@ -90,11 +94,13 @@ def pack_sequences_sql(table: str, cols: str, token_col: str, key_col: str,
     rk = rank_key_sql(key_col, salt)
     first = (f"sum({token_col}) OVER (PARTITION BY {bucket_expr} "
              f"ORDER BY {rk}, {key_col}) - {token_col}")
+    # `//` mirrors Spark's `div` exactly on the non-negative BIGINT operands
+    # here (both truncate==floor for x>=0) and stays integer-exact past 2^53
     return (
         f"SELECT {cols}, CAST({bucket_expr} AS INT) AS bucket, "
-        f"CAST(floor(({first}) / {capacity}) AS BIGINT) AS seq, "
+        f"CAST(({first}) // {capacity} AS BIGINT) AS seq, "
         f"CAST(({first}) % {capacity} AS BIGINT) AS offset, "
-        f"floor(({first} + {token_col} - 1) / {capacity}) != "
-        f"floor(({first}) / {capacity}) AS straddles "
+        f"(({first} + {token_col} - 1) // {capacity}) != "
+        f"(({first}) // {capacity}) AS straddles "
         f"FROM {table} WHERE {token_col} IS NOT NULL AND {token_col} > 0 "
         f"AND {key_col} IS NOT NULL")

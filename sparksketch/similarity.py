@@ -439,7 +439,8 @@ def knn_join(corpus: DataFrame, vec_col: str, id_col: str,
     dim = dim or infer_dim(corpus, vec_col)
     qsrc = queries if queries is not None else corpus
     qrows = (qsrc.select(F.col(id_col).cast("long"), F.col(vec_col))
-             .filter(F.col(vec_col).isNotNull()).limit(max_queries + 1).collect())
+             .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+             .limit(max_queries + 1).collect())
     if len(qrows) > max_queries:
         raise ValueError(
             f"knn_join broadcasts the query set; got >{max_queries} queries — "
@@ -515,8 +516,10 @@ def knn_join(corpus: DataFrame, vec_col: str, id_col: str,
             names=["q_id", "nb_id", "sim"],
         )
 
+    # size filter matches fd_build/fd_project: a ragged row would otherwise
+    # silently misalign _mat_of's flat reshape against the id pairing
     proj = (corpus.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
-            .filter(F.col("_v").isNotNull()))
+            .filter(F.col("_v").isNotNull() & (F.size("_v") == dim)))
     local = proj.mapInArrow(fn, "q_id long, nb_id long, sim double")
     if queries is None and not include_self:
         local = local.filter(F.col("q_id") != F.col("nb_id"))

@@ -51,6 +51,28 @@ def test_with_group_membership_distributed(spark):
     assert fp.filter(F.col("is_member")).count() <= docs.count() * 0.01
 
 
+def test_with_group_membership_group_cardinality_gate(spark):
+    """The broadcast path is gated: above ``max_groups`` the call must fail
+    fast with a pointer at membership_join, for both DataFrame and dict
+    state inputs — a million-group build would OOM the driver silently."""
+    from sparksketch.bloom import with_group_membership
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    states = bloom_by_group(docs, "source", "text", BloomConfig(),
+                            expected_keys_per_group=200)
+    n_groups = states.count()
+    with pytest.raises(ValueError, match="membership_join"):
+        with_group_membership(docs.select("source", "text"), "source", "text",
+                              states, max_groups=n_groups - 1)
+    blob_map = {r.group: bytes(r.state) for r in states.collect()}
+    with pytest.raises(ValueError, match="membership_join"):
+        with_group_membership(docs.select("source", "text"), "source", "text",
+                              blob_map, max_groups=n_groups - 1)
+    # at the gate boundary the call still works
+    ok = with_group_membership(docs.select("source", "text"), "source", "text",
+                               states, max_groups=n_groups)
+    assert ok.filter(~F.col("is_member")).count() == 0
+
+
 def test_cms_by_group_exact_small_groups(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     states = cms_by_group(ev, "event_type", "user_id", d=5, w=4096)
