@@ -1043,6 +1043,23 @@ def _customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+def _decode_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    # rows-only by nature (binary decode is not SQL-expressible): the driver
+    # executes the full multimodal path — synth blobs → mapInPandas decode →
+    # feature vectors — and checks rows + schema.  The aggregate is still
+    # deterministic (pure function of media_id, seed 42) so the row content
+    # is stable across runs even without an oracle.
+    from sparksketch.multimodal import decode_features, synth_media
+    media = synth_media(spark, 2_000, seed=42, partitions=8)
+    feats = decode_features(media, decoder="fake", n_features=16)
+    joined = feats.join(media.select("media_id", "mime"), "media_id")
+    return (joined.groupBy("mime")
+            .agg(F.count("*").alias("n_media"),
+                 F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_mean_pixel"),
+                 F.round(F.sum(F.element_at("features", 2)), 1).alias("total_frames"))
+            .orderBy("mime"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries only.  Queries with no driver row yet (new this round, or
@@ -1066,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": _top3_orders_per_customer,
         "distinct_parts_per_returnflag": _distinct_parts_per_returnflag,
         "customers_without_orders": _customers_without_orders,
+        # multimodal decode path (rows-only: no oracle_sql entry by nature)
+        "decode_media_features": _decode_media_features,
         # bloom (the centerpiece)
         "bloom_zero_fn": _bloom_zero_fn,
         "bloom_partkey_screen": _bloom_partkey_screen,

@@ -78,10 +78,20 @@ def main() -> int:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def bench(name, fn):
-        t0 = time.perf_counter()
-        result = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def bench(name, fn, repeats=1):
+        # this box swings ±2x with page cache: queries flagged noisy run
+        # repeats=3 and record the MEDIAN (first run doubles as the warm-up
+        # — a one-off cold number lands above the median and is discarded);
+        # the per-run samples go to extras so drift stays attributable
+        runs = []
+        result = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            result = fn()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = sorted(runs)[len(runs) // 2]
+        if repeats > 1:
+            extras[f"{name}_runs"] = runs
         return result
 
     # --- the headline: bloom build over the web corpus ---
@@ -106,7 +116,8 @@ def main() -> int:
     bench("hll_by_lang", lambda: hll_by_group(wp, "lang", "url", p=12)
           .withColumn("est", estimate_col(HLL)("state")).collect())
     bench("cms_hosts", lambda: cms_build(
-        wp.select(F.parse_url("url", F.lit("HOST")).alias("host")), "host", d=5, w=65536))
+        wp.select(F.parse_url("url", F.lit("HOST")).alias("host")), "host", d=5, w=65536),
+        repeats=3)
     bench("tdigest_events_value", lambda: tdigest_build(events, "value").quantile(0.5))
     bench("kll_docs_nchars", lambda: kll_build(docs, "n_chars").quantile(0.99))
     from sparksketch.theta import intersection_estimate, theta_build
@@ -130,8 +141,28 @@ def main() -> int:
     # --- webtext ops ---
     bench("extract_text", lambda: extract_text(wp, passthrough=["text"])
           .filter(F.col("extracted_text") != F.col("text")).count())
-    bench("quality_lang", lambda: lang_id(quality_features(wp))
-          .agg(F.avg("quality_score"), F.count("lang_pred")).collect())
+    # quality_lang has drifted upward two rounds running under a "host
+    # noise" explanation — median-of-3 plus a plan guard makes a REAL
+    # regression (Python eval sneaking in, an extra shuffle) fail loudly
+    # and distinguishable from page cache
+    def _ql_df():
+        # rebuilt per run: re-collecting the SAME DataFrame object lets
+        # Spark reuse its registered shuffle output and skip every stage
+        # (measured 0.04 s "runs"), which would make the median meaningless
+        return (lang_id(quality_features(wp))
+                .agg(F.avg("quality_score").alias("avg_q"),
+                     F.count("lang_pred").alias("n_lang")))
+    bench("quality_lang", lambda: _ql_df().collect(), repeats=3)
+    from sparksketch.plans import plan_digest
+    ql_plan = plan_digest(_ql_df())
+    if ql_plan.n_python_evals != 0 or ql_plan.n_exchanges > 1:
+        raise AssertionError(
+            f"quality_lang plan regressed: {ql_plan.n_python_evals} Python "
+            f"evals, {ql_plan.n_exchanges} exchanges (expected 0 / <=1)\n"
+            + ql_plan.plan)
+    extras["quality_lang_plan"] = {"exchanges": ql_plan.n_exchanges,
+                                   "python_evals": ql_plan.n_python_evals,
+                                   "codegen_spans": ql_plan.n_wholestage_spans}
 
     # --- crawl hygiene: URL canonicalization + PII scrub + repetition ---
     from sparksketch.textstats import repetition_features, scrub_pii
