@@ -984,6 +984,242 @@ def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _rev_e4():
+    """Exact integer revenue in 10^-4 currency units (the repo's money
+    convention: prices carry 2 decimals, discounts 2 — both factors are
+    integral in the data, so the product is an exact int64)."""
+    return (F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+
+
+_REV_E4_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
+               "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+
+
+def _q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q7 shape: shipping volume between two nations by year — the
+    # double-nation-join pattern (lineitem ⋈ supplier ⋈ n1, ⋈ orders ⋈
+    # customer ⋈ n2) with a symmetric nation-pair predicate; dims broadcast
+    li = _T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    sup = _T(spark, sf, "supplier")
+    orders = _T(spark, sf, "orders")
+    cust = _T(spark, sf, "customer")
+    nation = _T(spark, sf, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("_n1k"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("_n2k"),
+                       F.col("n_name").alias("cust_nation"))
+    j = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k")))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (j.filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.sum(_rev_e4()).alias("revenue_e4")))
+
+
+def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q8 shape: one nation's market share inside one region for one
+    # part type, per order-year — numerator and denominator emitted as
+    # exact integers (the share is a driver-side division away)
+    part = _T(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _T(spark, sf, "lineitem")
+    sup = _T(spark, sf, "supplier")
+    orders = _T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    cust = _T(spark, sf, "customer")
+    nation = _T(spark, sf, "nation")
+    region = _T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("_n1k"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("_n2k"),
+                       F.col("n_regionkey").alias("_n2r"))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+         .join(F.broadcast(region), F.col("_n2r") == region.r_regionkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k")))
+    return (j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.coalesce(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                         _rev_e4())), F.lit(0))
+                 .cast("long").alias("nation_rev_e4"),
+                 F.sum(_rev_e4()).alias("total_rev_e4")))
+
+
+def _q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q9 shape: profit by supplier nation and order-year over parts
+    # matching a name pattern.  The testdata has no partsupp/ps_supplycost
+    # (documented adaptation): cost := p_retailprice · quantity, so
+    # amount_e4 = rev_e4 − retail_c2·qty·100 stays an exact (possibly
+    # negative) int64
+    part = _T(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    li = _T(spark, sf, "lineitem")
+    sup = _T(spark, sf, "supplier")
+    orders = _T(spark, sf, "orders")
+    nation = _T(spark, sf, "nation")
+    cost_e4 = (F.round(F.col("p_retailprice") * 100).cast("long")
+               * F.round(F.col("l_quantity")).cast("long") * 100)
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.sum(_rev_e4() - cost_e4).alias("amount_e4")))
+
+
+def _q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q11 shape: per-key value HAVING a threshold against the GLOBAL
+    # total (scalar subquery).  No partsupp in the testdata (documented
+    # adaptation): value := lineitem revenue of one nation's suppliers.
+    # The 0.1% threshold compares integers via `value > total div 1000`
+    # (provably ⟺ value·1000 > total, but overflow-safe at any SF).
+    li = _T(spark, sf, "lineitem")
+    sup = _T(spark, sf, "supplier")
+    nation = _T(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    scoped = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+              .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+              .select("l_partkey", _rev_e4().alias("_rev")))
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("_rev").alias("value_e4"))
+    total = scoped.agg(F.sum("_rev").alias("_total"))
+    return (per_part.join(F.broadcast(total))
+            .filter(F.col("value_e4") > F.expr("_total div 1000"))
+            .select("l_partkey", "value_e4"))
+
+
+def _q12_ship_delay_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q12 shape: CASE-counts of high/low-priority orders per shipping
+    # category.  No l_shipmode/commitdate/receiptdate in the testdata
+    # (documented adaptation): the category is the ship delay vs the order
+    # date, compared in raw integer micros (no division — the synthetic
+    # data ships some lineitems BEFORE the order date, so signs vary)
+    li = _T(spark, sf, "lineitem")
+    orders = _T(spark, sf, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    diff_us = (F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+               - F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+    late_us = 90 * 86_400_000_000
+    cat = (F.when(diff_us > F.lit(late_us), "late")
+           .when(diff_us >= 0, "on_time").otherwise("pre_order"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.select(cat.alias("ship_cat"), high.alias("_h"))
+            .groupBy("ship_cat")
+            .agg(F.sum(F.when(F.col("_h"), 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(F.col("_h"), 0).otherwise(1)).cast("long")
+                 .alias("low_line_count")))
+
+
+def _q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q13 shape: distribution of per-customer order counts via a
+    # LEFT join with an extra join-side predicate (customers with zero
+    # qualifying orders land in the c_count=0 bucket)
+    cust = _T(spark, sf, "customer")
+    orders = _T(spark, sf, "orders")
+    j = cust.join(orders, (cust.c_custkey == orders.o_custkey)
+                  & (orders.o_orderpriority != "5-LOW"), "left")
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def _q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q15 shape: revenue view over one quarter, then suppliers whose
+    # revenue EQUALS the scalar max (ties all surface; exact ints make the
+    # equality trustworthy cross-engine)
+    li = _T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    sup = _T(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_e4()).alias("total_revenue_e4"))
+    mx = rev.agg(F.max("total_revenue_e4").alias("_mx"))
+    return (rev.join(F.broadcast(mx))
+            .filter(F.col("total_revenue_e4") == F.col("_mx"))
+            .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue_e4"))
+
+
+def _q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q17 shape: revenue from small-quantity lineitems of one brand,
+    # where "small" is a correlated per-part average (qty < 0.2·avg(qty)
+    # over ALL lineitems of that part).  The threshold compares exactly via
+    # cross-multiplication: 5·qty·n_part < sum_qty_part (all int64) — no
+    # float average crosses the engines.  p_container doesn't exist in the
+    # testdata (documented adaptation): the part filter is brand + size.
+    li = _T(spark, sf, "lineitem")
+    part = _T(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") == 5))
+    qint = F.round(F.col("l_quantity")).cast("long")
+    stats = (li.groupBy(F.col("l_partkey").alias("_pk"))
+             .agg(F.sum(qint).alias("_sum_q"), F.count("*").alias("_n")))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(stats, li.l_partkey == F.col("_pk")))
+    return (j.filter(qint * 5 * F.col("_n") < F.col("_sum_q"))
+            .agg(F.coalesce(F.sum(F.round(F.col("l_extendedprice") * 100)
+                                  .cast("long")), F.lit(0))
+                 .cast("long").alias("total_e2"),
+                 F.count("*").alias("n_items")))
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q21 shape: EXISTS + NOT-EXISTS self-joins on the fact — the
+    # supplier who alone "failed" a multi-supplier order.  No receipt/commit
+    # dates in the testdata (documented adaptation): "failed" :=
+    # l_returnflag = 'R', as in the q4 adaptation.  Top-20 with
+    # deterministic (count desc, name) ordering.
+    orders = _T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _T(spark, sf, "supplier")
+    li = (_T(spark, sf, "lineitem")
+          .join(orders.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"))
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"))
+          .distinct())
+    l2 = li.select(F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2"))
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")))
+    cand = l1.join(l2, (F.col("_ok") == F.col("_ok2"))
+                   & (F.col("_sk") != F.col("_sk2")), "left_semi")
+    alone = cand.join(l3, (F.col("_ok") == F.col("_ok3"))
+                      & (F.col("_sk") != F.col("_sk3")), "left_anti")
+    return (alone.join(F.broadcast(sup), F.col("_sk") == sup.s_suppkey)
+            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name").limit(20))
+
+
+def _q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q22 shape: rich-but-inactive customers — acctbal above the
+    # positive-balance average of a nation subset, with NO orders (anti-
+    # join + scalar subquery).  No c_phone in the testdata (documented
+    # adaptation): the "country code" is c_nationkey.  The average
+    # threshold compares exactly via cross-multiplication in cents:
+    # bal_c2 · n_pos > sum_pos_c2 — no float average crosses the engines.
+    # "No orders" is scoped to 2000+ (every customer has SOME order by
+    # TPC-H construction — unscoped, the certificate would be a vacuous
+    # 0 == 0; scoped it returns 2/16/181 rows at sf0.001/0.01/0.1).
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = _T(spark, sf, "customer").filter(F.col("c_nationkey").isin(nations))
+    orders = _T(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    bal_c2 = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = (cust.filter(F.col("c_acctbal") > 0)
+           .agg(F.sum(bal_c2).alias("_sum_pos"), F.count("*").alias("_n_pos")))
+    rich = (cust.join(F.broadcast(pos))
+            .filter(bal_c2 * F.col("_n_pos") > F.col("_sum_pos")))
+    inactive = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (inactive.groupBy(F.col("c_nationkey").cast("int").alias("cntrycode"))
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(bal_c2).alias("totacctbal_c2")))
+
+
 def _sessions_per_user(spark: SparkSession, sf: str) -> DataFrame:
     # gap-based sessionization (7-day gap): one shuffle + one window pass;
     # the oracle runs the identical window logic
@@ -1043,6 +1279,33 @@ def _customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+def _cbf_delete_membership(spark: SparkSession, sf: str) -> DataFrame:
+    # counting-bloom certificate: insert the click multiset, DELETE the
+    # sub-multiset of clicks with value < 95, then (a) zero FN over users
+    # with a remaining click (a guarantee, not luck) and (b) fully-removed
+    # users survive only as bounded FPs.  The two user counts are hard
+    # data-derived columns the oracle recomputes; both sets are non-empty
+    # at sf0.001/0.01/0.1 (removed: 1/16/196).
+    from sparksketch.cbf import cbf_build, cbf_delete, with_cbf_membership
+    ev = _T(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click' AND user_id IS NOT NULL")
+    st = cbf_build(clicks, "user_id", k=8, m=1 << 18)
+    st = cbf_delete(st, clicks.filter("value IS NOT NULL AND value < 95"),
+                    "user_id")
+    rem_users = (clicks.filter("value IS NULL OR value >= 95")
+                 .select("user_id").distinct())
+    gone_users = (clicks.select("user_id").distinct()
+                  .join(rem_users, "user_id", "left_anti"))
+    fn = with_cbf_membership(rem_users, "user_id", st).filter("NOT is_member").count()
+    n_gone = gone_users.count()
+    fp = with_cbf_membership(gone_users, "user_id", st).filter("is_member").count()
+    ok = fn == 0 and fp <= max(2, 0.05 * n_gone)
+    return spark.createDataFrame(
+        [Row(n_remaining_users=int(rem_users.count()),
+             n_removed_users=int(n_gone), ok=bool(ok))],
+        "n_remaining_users long, n_removed_users long, ok boolean")
+
+
 def _decode_media_features(spark: SparkSession, sf: str) -> DataFrame:
     # rows-only by nature (binary decode is not SQL-expressible): the driver
     # executes the full multimodal path — synth blobs → mapInPandas decode →
@@ -1085,6 +1348,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _customers_without_orders,
         # multimodal decode path (rows-only: no oracle_sql entry by nature)
         "decode_media_features": _decode_media_features,
+        # --- new in round 4: the remaining TPC-H query shapes (q2/q16/q20
+        # need partsupp, absent from the testdata; adapted shapes noted in
+        # each docstring) ---
+        "q7_nation_volume": _q7_nation_volume,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q12_ship_delay_priority": _q12_ship_delay_priority,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        # counting bloom (deletable membership, new in round 4)
+        "cbf_delete_membership": _cbf_delete_membership,
         # bloom (the centerpiece)
         "bloom_zero_fn": _bloom_zero_fn,
         "bloom_partkey_screen": _bloom_partkey_screen,
@@ -1623,4 +1901,124 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer WHERE NOT EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderdate >= TIMESTAMP '1999-01-01')"),
+        "cbf_delete_membership": (
+            "WITH clicks AS (SELECT user_id, value FROM events "
+            "WHERE event_type = 'click' AND user_id IS NOT NULL), "
+            "rem AS (SELECT DISTINCT user_id FROM clicks "
+            "WHERE value IS NULL OR value >= 95) "
+            "SELECT (SELECT count(*) FROM rem) AS n_remaining_users, "
+            "(SELECT count(DISTINCT user_id) FROM clicks WHERE user_id NOT IN "
+            "(SELECT user_id FROM rem)) AS n_removed_users, TRUE AS ok"),
+        "q7_nation_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INT) AS l_year, "
+            f"CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3"),
+        "q8_market_share": (
+            "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+            "CAST(COALESCE(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN "
+            f"{_REV_E4_SQL} END), 0) AS BIGINT) AS nation_rev_e4, "
+            f"CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON n2.n_regionkey = r_regionkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1"),
+        "q9_product_profit": (
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+            f"CAST(SUM({_REV_E4_SQL} "
+            "- CAST(round(p_retailprice * 100) AS BIGINT) "
+            "* CAST(round(l_quantity) AS BIGINT) * 100) AS BIGINT) AS amount_e4 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%red%' "
+            "GROUP BY 1, 2"),
+        "q11_important_parts": (
+            "WITH scoped AS (SELECT l_partkey, "
+            f"{_REV_E4_SQL} AS rev FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_5') "
+            "SELECT l_partkey, CAST(SUM(rev) AS BIGINT) AS value_e4 "
+            "FROM scoped GROUP BY l_partkey "
+            "HAVING CAST(SUM(rev) AS BIGINT) > "
+            "(SELECT CAST(SUM(rev) AS BIGINT) // 1000 FROM scoped)"),
+        "q12_ship_delay_priority": (
+            "SELECT CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) "
+            "> 7776000000000 THEN 'late' "
+            "WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) >= 0 "
+            "THEN 'on_time' ELSE 'pre_order' END AS ship_cat, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1"),
+        "q13_customer_distribution": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '5-LOW' "
+            "GROUP BY c_custkey) GROUP BY c_count"),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            f"CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS total_revenue_e4 "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue_e4 "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)"),
+        "q17_small_qty_revenue": (
+            "WITH stats AS (SELECT l_partkey AS pk, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q, "
+            "count(*) AS n FROM lineitem GROUP BY l_partkey) "
+            "SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS "
+            "BIGINT)), 0) AS BIGINT) AS total_e2, count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN stats ON l_partkey = pk "
+            "WHERE p_brand = 'Brand#3' AND p_size = 5 "
+            "AND CAST(round(l_quantity) AS BIGINT) * 5 * n < sum_q"),
+        "q21_waiting_suppliers": (
+            "WITH li AS (SELECT l_orderkey, l_suppkey, l_returnflag "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "l1 AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk "
+            "FROM li WHERE l_returnflag = 'R') "
+            "SELECT s_name, count(*) AS numwait FROM l1 "
+            "JOIN supplier ON sk = s_suppkey "
+            "WHERE EXISTS (SELECT 1 FROM li l2 WHERE l2.l_orderkey = ok "
+            "AND l2.l_suppkey <> sk) "
+            "AND NOT EXISTS (SELECT 1 FROM li l3 WHERE l3.l_orderkey = ok "
+            "AND l3.l_suppkey <> sk AND l3.l_returnflag = 'R') "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+        "q22_sales_opportunity": (
+            "WITH cust AS (SELECT c_custkey, c_nationkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c2, c_acctbal "
+            "FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)), "
+            "pos AS (SELECT CAST(SUM(bal_c2) AS BIGINT) AS sum_pos, "
+            "count(*) AS n_pos FROM cust WHERE c_acctbal > 0) "
+            "SELECT CAST(c_nationkey AS INT) AS cntrycode, "
+            "count(*) AS numcust, CAST(SUM(bal_c2) AS BIGINT) AS totacctbal_c2 "
+            "FROM cust, pos "
+            "WHERE bal_c2 * n_pos > sum_pos "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1"),
     }

@@ -1,0 +1,166 @@
+"""Counting Bloom filter — a deletable membership sketch.
+
+Extends the library's Bloom centerpiece (which mirrors the reference's
+insert-only filter, /root/reference/src/filter.rs:316-333) with DELETION:
+each of the k Kirsch–Mitzenmacher positions holds a counter instead of a
+bit, inserts increment, deletes decrement, membership is "all k counters
+positive".  Merge is element-wise addition, so partial states built per
+partition combine associatively/commutatively like every sketch here, and a
+"deletions" filter built independently can be subtracted from a "build"
+filter (multiset difference).
+
+Guarantees (Fan, Cao, Almeida & Broder 2000, the summary-cache counting
+bloom): after deleting a sub-multiset D of what was inserted S,
+- zero false negatives for every key with a remaining occurrence in S−D;
+- false-positive probability for fully-removed / never-inserted keys is the
+  standard Bloom bound (1 − e^(−k·n/m))^k with n = distinct remaining keys.
+Deleting keys that were never inserted voids both (counters can underflow
+other keys' positions) — callers must delete subsets of insertions, which
+the DataFrame API makes natural (filter the same source).
+
+Same kernel conventions as bloom.py/cms.py: two JVM ``xxhash64`` base
+hashes per row, vectorized numpy ``bincount`` adds over Arrow batches,
+never per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksketch import sketch as _sk
+from sparksketch.hashing import hash_col, km_indices, to_u64
+
+CBF_SEEDS = (0xCBF00001, 0xCBF00002)
+
+_MAGIC = b"CBF1"
+
+
+class CountingBloom:
+    """m int64 counters, k KM positions per key.  m must be a power of two
+    (the index mask mirrors the reference's power-of-two geometry,
+    /root/reference/src/filter.rs:305-308)."""
+
+    def __init__(self, k: int = 8, m: int = 1 << 18):
+        if m & (m - 1):
+            raise ValueError("m must be a power of two")
+        self.k = k
+        self.m = m
+        self.counts = np.zeros(m, dtype=np.int64)
+        self.inserts = 0
+        self.deletes = 0
+
+    # -- kernel updates (sketch.build_sketch protocol) --
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        # bincount rejects uint64 ("safe" cast rule); indices are < m
+        idx = km_indices(h1, h2, self.k, self.m).ravel().astype(np.int64)
+        self.counts += np.bincount(idx, minlength=self.m)
+        self.inserts += int(h1.shape[0])
+
+    def delete_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        idx = km_indices(h1, h2, self.k, self.m).ravel().astype(np.int64)
+        self.counts -= np.bincount(idx, minlength=self.m)
+        self.deletes += int(h1.shape[0])
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        idx = km_indices(h1, h2, self.k, self.m)
+        return (self.counts[idx] > 0).all(axis=1)
+
+    # -- algebra --
+    def merge(self, other: "CountingBloom") -> "CountingBloom":
+        if (self.k, self.m) != (other.k, other.m):
+            raise ValueError("cannot merge CountingBloom with different geometry")
+        self.counts += other.counts
+        self.inserts += other.inserts
+        self.deletes += other.deletes
+        return self
+
+    def subtract(self, other: "CountingBloom") -> "CountingBloom":
+        """Multiset difference: ``other`` must be a filter of a sub-multiset
+        of this filter's insertions (same k/m/seeds)."""
+        if (self.k, self.m) != (other.k, other.m):
+            raise ValueError("cannot subtract CountingBloom with different geometry")
+        self.counts -= other.counts
+        self.deletes += other.inserts
+        if (self.counts < 0).any():
+            raise ValueError(
+                "counting-bloom subtract went negative: the deletions were "
+                "not a sub-multiset of the insertions (deleting keys never "
+                "inserted voids the zero-FN guarantee)")
+        return self
+
+    # -- driver-side probe --
+    def contains(self, key: str | bytes) -> bool:
+        from sparksketch.hashing import spark_xxhash64
+        data = key.encode() if isinstance(key, str) else key
+        hs = [np.array([spark_xxhash64(data, s)], dtype=np.uint64) for s in CBF_SEEDS]
+        return bool(self.contains_hashes(hs[0], hs[1])[0])
+
+    def fpr_bound(self, n_distinct: int | None = None) -> float:
+        """(1 − e^(−k·n/m))^k for n distinct remaining keys; defaults to the
+        (pessimistic) net occurrence count inserts − deletes."""
+        n = n_distinct if n_distinct is not None else max(self.inserts - self.deletes, 0)
+        return (1.0 - math.exp(-self.k * n / self.m)) ** self.k
+
+    # -- serialization --
+    def to_bytes(self) -> bytes:
+        return (_MAGIC + struct.pack("<HIqq", self.k, self.m, self.inserts, self.deletes)
+                + self.counts.tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountingBloom":
+        assert data[:4] == _MAGIC
+        k, m, ins, dels = struct.unpack_from("<HIqq", data, 4)
+        c = cls(k, m)
+        off = 4 + struct.calcsize("<HIqq")
+        c.counts = np.frombuffer(data, dtype=np.int64, offset=off, count=m).copy()
+        c.inserts = ins
+        c.deletes = dels
+        return c
+
+
+def cbf_build(df: DataFrame, col: str, k: int = 8, m: int = 1 << 18) -> CountingBloom:
+    """Distributed build: per-partition counting filters, tree-merged —
+    zero shuffles, the same plan shape as :func:`~sparksketch.bloom.build_bloom`."""
+    return _sk.build_sketch(df, col, lambda pid: CountingBloom(k, m), seeds=CBF_SEEDS)
+
+
+def cbf_delete(state: CountingBloom, df: DataFrame, col: str) -> CountingBloom:
+    """Delete every row of ``df[col]`` from ``state`` (must be a sub-multiset
+    of what was inserted — filter the same source).  Builds the deletions as
+    an independent distributed filter and subtracts: one extra scan, no
+    shuffle, and the deletion set can itself be persisted/merged first."""
+    dels = _sk.build_sketch(df, col, lambda pid: CountingBloom(state.k, state.m),
+                            seeds=CBF_SEEDS)
+    return state.subtract(dels)
+
+
+def with_cbf_membership(df: DataFrame, col: str, state: CountingBloom,
+                        out: str = "is_member") -> DataFrame:
+    """Distributed probe: JVM base hashes + a broadcast Arrow-batched UDF,
+    mirroring :func:`~sparksketch.bloom.with_membership`."""
+    spark = df.sparkSession
+    from sparksketch.bloom import _BC_CACHE, _BC_SEQ
+    bc = spark.sparkContext.broadcast(state.to_bytes())
+    _BC_SEQ[0] += 1
+    bc_key = _BC_SEQ[0]
+
+    @F.pandas_udf("boolean")
+    def probe(ha, hb):
+        import pandas as pd
+        if _BC_CACHE[0] == bc_key:
+            cached = _BC_CACHE[1]
+        else:
+            cached = CountingBloom.from_bytes(bc.value)
+            _BC_CACHE[0] = bc_key
+            _BC_CACHE[1] = cached
+        return pd.Series(cached.contains_hashes(
+            to_u64(ha.to_numpy(dtype=np.int64, na_value=0)),
+            to_u64(hb.to_numpy(dtype=np.int64, na_value=0))))
+
+    key = F.col(col).cast("string")
+    return df.withColumn(out, probe(*[hash_col(key, s) for s in CBF_SEEDS]))
