@@ -1279,6 +1279,36 @@ def _customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+def _bloom_distinct_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    # cardinality-from-fill certificate (Swamidass & Baldi 2007): the
+    # filter built over the raw event stream doubles as a distinct-user
+    # sketch — no extra pass, no extra state.  expected_keys is sized to
+    # 2x INSERTIONS (cascade growth is insertion-counted; a second level
+    # would re-count re-inserted keys — documented in estimate_distinct,
+    # and headroom keeps the build single-level).  Band: 15% + 20 absolute
+    # covers the small-n fill noise; fixed seeds pin the boolean.
+    ev = _T(spark, sf, "events").filter("user_id IS NOT NULL")
+    exact = ev.select("user_id").distinct().count()
+    st = build_bloom(ev, "user_id", BloomConfig(), n_shards=32, partitions=8,
+                     expected_keys=2 * ev.count())
+    est = st.estimate_distinct()
+    ok = abs(est - exact) <= 0.15 * exact + 20
+    return spark.createDataFrame(
+        [Row(n_distinct_exact=int(exact), ok=bool(ok))],
+        "n_distinct_exact long, ok boolean")
+
+
+def _pps_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # probability-proportional-to-size sampling: p_i = min(1, 0.002·n_chars)
+    # (~0.6 mean, so both the proportional branch and the p≥1 cap carry
+    # rows), with the Horvitz–Thompson 1/p weight — every arithmetic step a
+    # single IEEE double op, so the weights hash-match the oracle exactly
+    from sparksketch.decontam import pps_sample
+    docs = _T(spark, sf, "documents")
+    return (pps_sample(docs, "n_chars", "doc_id", rate=0.002, ht_weight="ht_w")
+            .select("doc_id", "n_chars", "ht_w"))
+
+
 def _cbf_delete_membership(spark: SparkSession, sf: str) -> DataFrame:
     # counting-bloom certificate: insert the click multiset, DELETE the
     # sub-multiset of clicks with value < 95, then (a) zero FN over users
@@ -1363,6 +1393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_sales_opportunity": _q22_sales_opportunity,
         # counting bloom (deletable membership, new in round 4)
         "cbf_delete_membership": _cbf_delete_membership,
+        # weighted sampling (new in round 4)
+        "pps_sample_docs": _pps_sample_docs,
+        # cardinality-from-fill (new in round 4)
+        "bloom_distinct_estimate": _bloom_distinct_estimate,
         # bloom (the centerpiece)
         "bloom_zero_fn": _bloom_zero_fn,
         "bloom_partkey_screen": _bloom_partkey_screen,
@@ -1517,6 +1551,14 @@ def _quota_sample_sql_query() -> str:
     from sparksketch.decontam import quota_sql_pred
     pred = quota_sql_pred("source", "doc_id", 12)
     return f"SELECT doc_id, source FROM documents QUALIFY {pred}"
+
+
+def _pps_sample_sql_query() -> str:
+    from sparksketch.decontam import pps_sql_pred
+    pred = pps_sql_pred("n_chars", "doc_id", 0.002)
+    return ("SELECT doc_id, n_chars, "
+            "1.0 / least(CAST(n_chars AS DOUBLE) * 0.002, 1.0) AS ht_w "
+            f"FROM documents WHERE {pred}")
 
 
 def _hash_split_sql() -> str:
@@ -1901,6 +1943,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer WHERE NOT EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderdate >= TIMESTAMP '1999-01-01')"),
+        "pps_sample_docs": _pps_sample_sql_query(),
+        "bloom_distinct_estimate": (
+            "SELECT count(DISTINCT user_id) AS n_distinct_exact, TRUE AS ok "
+            "FROM events WHERE user_id IS NOT NULL"),
         "cbf_delete_membership": (
             "WITH clicks AS (SELECT user_id, value FROM events "
             "WHERE event_type = 'click' AND user_id IS NOT NULL), "

@@ -436,6 +436,36 @@ class BloomFilterState:
             p *= worst_tier[t] ** checks
         return p if self.shards else 0.0
 
+    def estimate_distinct(self) -> float:
+        """Distinct-key estimate from the observed bit fill (Swamidass &
+        Baldi 2007): n̂ = Σ_levels −(m/k)·ln(1 − X/m) over TIER 0 (each key
+        lives in every tier, so one tier carries the full population; a key
+        lands in exactly one level of its shard's cascade).  This is what
+        ``key_count`` (exact insertion counter) cannot give: the number of
+        DISTINCT keys, with no extra pass and no extra state — the filter
+        itself is the cardinality sketch.
+
+        Caveats: a key re-inserted AFTER its level froze (cascade growth)
+        counts once per level it landed in — size ``expected_keys`` so the
+        build stays single-level for an exact-distinct reading; a saturated
+        level (X == m) contributes its capacity bound instead of ∞.
+        """
+        est = 0.0
+        # sorted shard order: the float sum is then byte-identical between a
+        # direct build and any merge order of partials with the same bits
+        for sid in sorted(self.shards):
+            for lv in self.shards[sid][0]:
+                x = int(np.unpackbits(lv.bits.view(np.uint8)).sum())
+                if x == 0:
+                    continue
+                if x >= lv.m:
+                    # saturated: the formula diverges; report the estimate
+                    # at one unset bit (its maximum resolvable value)
+                    est += (lv.m / lv.k) * math.log(lv.m)
+                else:
+                    est += -(lv.m / lv.k) * math.log1p(-x / lv.m)
+        return est
+
     def configured_fpr_bound(self) -> float:
         """The configured per-probe bound: each tier contributes at most
         (levels)·0.6185^threshold per checked shard; tiers (and, in strict

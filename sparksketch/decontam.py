@@ -335,3 +335,65 @@ def quota_sql_pred(strata_col: str, key_col: str, n: int,
     rk = f"md5({sc} || '|{salt}|' || {kc})"
     return (f"row_number() OVER (PARTITION BY {strata_col} "
             f"ORDER BY {rk}, {key_col}) <= {int(n)}")
+
+
+def pps_flag(weight_col: str, key_col: str, rate: float,
+             salt: str = "pps") -> Column:
+    """Boolean keep-flag for deterministic **probability-proportional-to-
+    size** (Poisson/PPS) sampling: row ``i`` is kept with probability
+    ``p_i = min(1, rate · w_i)`` — the token-weighted sampling a training
+    mix uses ("sample documents proportional to their token count").
+
+    Deterministic and engine-portable like :func:`sample_flag`: the uniform
+    draw is the row's ``md5(salt|key)`` 8-hex prefix; the per-row threshold
+    is ``floor(p_i · 2^32)`` rendered as fixed-width lowercase hex, so the
+    string comparison IS the numeric one.  ``rate · w`` and the ``· 2^32``
+    scaling are single IEEE double operations — bit-identical across
+    engines — and ``w ≥ 1/rate`` rows short-circuit to TRUE (a strict
+    ``< 'ffffffff'`` would drop the 1-in-4.3B max-prefix rows).
+
+    Rows with NULL or non-positive weight are never kept (p = 0).  At
+    100 TB this is a pushed-down predicate: no shuffle, no RNG state, and
+    re-running on a reshuffled table keeps the identical rows.
+    """
+    if rate <= 0:
+        raise ValueError(f"rate must be positive, got {rate}")
+    kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    prefix = F.substring(
+        F.md5(F.encode(F.concat(F.lit(f"{salt}|"), kc), "UTF-8")), 1, 8)
+    w = F.col(weight_col).cast("double")
+    thr_int = F.floor(w * F.lit(float(rate)) * F.lit(4294967296.0)).cast("long")
+    thr_hex = F.lower(F.lpad(F.hex(thr_int), 8, "0"))
+    return (F.when(w.isNull() | (w <= 0), F.lit(False))
+            .when(w * F.lit(float(rate)) >= 1.0, F.lit(True))
+            .otherwise(prefix < thr_hex))
+
+
+def pps_sample(df: DataFrame, weight_col: str, key_col: str, rate: float,
+               salt: str = "pps", ht_weight: str | None = None) -> DataFrame:
+    """Filter to the deterministic PPS sample (see :func:`pps_flag`).
+    ``ht_weight`` optionally appends the Horvitz–Thompson inverse-inclusion
+    weight ``1 / p_i`` so downstream sums over the sample stay unbiased
+    estimates of population totals."""
+    out = df.filter(pps_flag(weight_col, key_col, rate, salt))
+    if ht_weight is not None:
+        w = F.col(weight_col).cast("double")
+        out = out.withColumn(
+            ht_weight, F.lit(1.0) / F.least(w * F.lit(float(rate)), F.lit(1.0)))
+    return out
+
+
+def pps_sql_pred(weight_col: str, key_col: str, rate: float,
+                 salt: str = "pps") -> str:
+    """ANSI-SQL predicate mirroring :func:`pps_flag` term-for-term (DuckDB
+    ``hex`` is uppercase like Spark's — both sides lower-case it)."""
+    if rate <= 0:
+        raise ValueError(f"rate must be positive, got {rate}")
+    kc = f"coalesce(CAST({key_col} AS VARCHAR), '')"
+    prefix = f"substring(md5('{salt}|' || {kc}), 1, 8)"
+    w = f"CAST({weight_col} AS DOUBLE)"
+    thr = (f"lower(lpad(hex(CAST(floor({w} * {rate!r} * 4294967296.0) "
+           f"AS BIGINT)), 8, '0'))")
+    return (f"CASE WHEN {weight_col} IS NULL OR {w} <= 0 THEN FALSE "
+            f"WHEN {w} * {rate!r} >= 1.0 THEN TRUE "
+            f"ELSE {prefix} < {thr} END")

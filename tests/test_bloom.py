@@ -484,3 +484,31 @@ def test_group_bloom_rejects_strict_parity(spark):
     df = _keys_df(spark, 0, 100).withColumn("g", F.lit("a"))
     with pytest.raises(ValueError):
         bloom_by_group(df, "g", "key", BloomConfig(strict_parity=True))
+
+
+def test_estimate_distinct_from_fill(spark):
+    """The filter doubles as a distinct-count sketch: fill-based estimate
+    (Swamidass & Baldi) within a 15% band of exact over a duplicate-heavy
+    stream, and merge-invariant (estimate of merged partials == estimate
+    of a single build, byte-identical states)."""
+    from sparksketch.bloom import BloomConfig, build_bloom
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .filter("user_id IS NOT NULL")
+    exact = ev.select("user_id").distinct().count()
+    # 2x-insertions headroom keeps every cascade single-level: at exactly
+    # ev.count() capacity the full build opens a second level and re-counts
+    # re-inserted duplicate keys (the documented caveat)
+    cap = 2 * ev.count()
+    st = build_bloom(ev, "user_id", BloomConfig(), n_shards=32, partitions=8,
+                     expected_keys=cap)
+    est = st.estimate_distinct()
+    assert abs(est - exact) <= 0.15 * exact + 20
+    # split-and-merge yields the identical bits, hence identical estimate
+    a = build_bloom(ev.filter("event_id % 2 = 0"), "user_id", BloomConfig(),
+                    n_shards=32, partitions=8, expected_keys=cap)
+    b = build_bloom(ev.filter("event_id % 2 = 1"), "user_id", BloomConfig(),
+                    n_shards=32, partitions=8, expected_keys=cap)
+    assert a.merge(b).estimate_distinct() == st.estimate_distinct()
+    # empty filter estimates zero
+    from sparksketch.bloom import BloomFilterState
+    assert BloomFilterState.empty(BloomConfig(), n_shards=4).estimate_distinct() == 0.0

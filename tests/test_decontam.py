@@ -242,3 +242,37 @@ def test_uniform_sample_k_plan_is_take_ordered(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pps_sample(spark):
+    """PPS sampling: inclusion proportional to weight (capped at 1),
+    deterministic, reshuffle-invariant, DuckDB-identical, HT weights
+    unbiased to ~binomial tolerance."""
+    import duckdb
+
+    from sparksketch.decontam import pps_sample, pps_sql_pred
+    df = spark.range(20_000).select(
+        F.col("id"), (F.pmod(F.col("id"), F.lit(100)) + 1).alias("w"))
+    rate = 1.0 / 80.0  # w in 1..100 -> p in 0.0125..1.0, cap exercised
+    kept = pps_sample(df, "w", "id", rate, ht_weight="ht").cache()
+    rows = kept.collect()
+    # every w >= 80 row is kept with certainty (p >= 1)
+    assert kept.filter("w >= 80").count() == df.filter("w >= 80").count()
+    # HT estimate of the population count is within 5 sigma of truth
+    est = sum(r.ht for r in rows)
+    import math
+    var = sum((1 - min(w / 80.0, 1.0)) / min(w / 80.0, 1.0) ** 2
+              for w in range(1, 101)) * 200
+    assert abs(est - 20_000) <= 5 * math.sqrt(var)
+    # reshuffle-invariant, engine-identical
+    again = sorted(r.id for r in pps_sample(df.repartition(17), "w", "id", rate).collect())
+    assert again == sorted(r.id for r in rows)
+    pdf = df.toPandas()
+    want = sorted(x[0] for x in duckdb.sql(
+        f"SELECT id FROM pdf WHERE {pps_sql_pred('w', 'id', rate)}").fetchall())
+    assert again == want
+    # NULL / non-positive weights never kept
+    nulls = spark.createDataFrame([(1, None), (2, 0), (3, -5)], "id long, w int")
+    assert pps_sample(nulls, "w", "id", rate).count() == 0
+    with pytest.raises(ValueError, match="rate"):
+        pps_sample(df, "w", "id", 0.0)
