@@ -1220,6 +1220,79 @@ def _q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(bal_c2).alias("totacctbal_c2")))
 
 
+def _q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q2 shape: the correlated-MIN subquery — for each qualifying
+    # part, the supplier(s) achieving the minimum "cost" in one region.
+    # The testdata has no partsupp (documented adaptation): the part ↔
+    # supplier association is re-bridged through lineitem (who actually
+    # shipped the part), and ps_supplycost := s_acctbal.  Ties on the MIN
+    # all surface, exactly like the original.
+    part = _T(spark, sf, "part").filter(
+        (F.col("p_size") == 10) & (F.col("p_type") == "LARGE"))
+    li = _T(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    sup = _T(spark, sf, "supplier")
+    nation = _T(spark, sf, "nation")
+    region = _T(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    ps = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+          .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+          .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+          .select("p_partkey", "p_brand", "s_suppkey", "s_name", "n_name",
+                  F.round(F.col("s_acctbal") * 100).cast("long").alias("cost_c2")))
+    mn = ps.groupBy(F.col("p_partkey").alias("_pk")).agg(F.min("cost_c2").alias("_mn"))
+    return (ps.join(mn, (ps.p_partkey == F.col("_pk"))
+                    & (ps.cost_c2 == F.col("_mn")))
+            .select("p_partkey", "p_brand", "s_suppkey", "s_name", "n_name",
+                    "cost_c2"))
+
+
+def _q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q16 shape: distinct-supplier counts per part attribute triple,
+    # EXCLUDING a supplier blacklist via NOT IN.  partsupp re-bridged
+    # through lineitem; the blacklist predicate (original: comment LIKE
+    # '%Complaints%') is s_acctbal < 0 (documented adaptation).
+    part = _T(spark, sf, "part").filter(F.col("p_brand") != "Brand#1")
+    li = _T(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = (_T(spark, sf, "supplier").filter(F.col("s_acctbal") < 0)
+           .select("s_suppkey"))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"))
+    return (j.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def _q20_part_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H q20 shape: the nested semi-join chain — suppliers (in one
+    # nation) who shipped MORE than a threshold quantity of name-matched
+    # parts in one year.  partsupp/availqty re-bridged through lineitem
+    # (documented adaptation): threshold = 0.5 · that part-supplier pair's
+    # total shipped quantity over ALL years, compared exactly via
+    # 2·qty_1996 > qty_total (integer cross-multiplication).
+    part = _T(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    li = _T(spark, sf, "lineitem")
+    sup = _T(spark, sf, "supplier")
+    # NATION_3 has qualifying shippers at every SF (NATION_7 was empty
+    # at sf0.001 — a vacuous row would grade nothing there)
+    nation = _T(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    qint = F.round(F.col("l_quantity")).cast("long")
+    pli = li.join(F.broadcast(part.select("p_partkey")),
+                  li.l_partkey == F.col("p_partkey"))
+    year_q = (pli.filter(F.year("l_shipdate") == 1996)
+              .groupBy(F.col("l_partkey").alias("_ypk"),
+                       F.col("l_suppkey").alias("_ysk"))
+              .agg(F.sum(qint).alias("_yq")))
+    total_q = (pli.groupBy(F.col("l_partkey").alias("_tpk"),
+                           F.col("l_suppkey").alias("_tsk"))
+               .agg(F.sum(qint).alias("_tq")))
+    hot = (year_q.join(total_q, (F.col("_ypk") == F.col("_tpk"))
+                       & (F.col("_ysk") == F.col("_tsk")))
+           .filter(F.col("_yq") * 2 > F.col("_tq"))
+           .select(F.col("_ysk").alias("_sk")).distinct())
+    return (sup.join(hot, sup.s_suppkey == F.col("_sk"), "left_semi")
+            .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+            .select("s_suppkey", "s_name"))
+
+
 def _sessions_per_user(spark: SparkSession, sf: str) -> DataFrame:
     # gap-based sessionization (7-day gap): one shuffle + one window pass;
     # the oracle runs the identical window logic
@@ -1391,6 +1464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_sales_opportunity": _q22_sales_opportunity,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q16_supplier_part_counts": _q16_supplier_part_counts,
+        "q20_part_shippers": _q20_part_shippers,
         # counting bloom (deletable membership, new in round 4)
         "cbf_delete_membership": _cbf_delete_membership,
         # weighted sampling (new in round 4)
@@ -1943,6 +2019,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer WHERE NOT EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderdate >= TIMESTAMP '1999-01-01')"),
+        "q2_min_cost_supplier": (
+            "WITH ps AS (SELECT DISTINCT p_partkey, p_brand, s_suppkey, "
+            "s_name, n_name, CAST(round(s_acctbal * 100) AS BIGINT) AS cost_c2 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE p_size = 10 AND p_type = 'LARGE' AND r_name = 'EUROPE') "
+            "SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, cost_c2 "
+            "FROM ps WHERE cost_c2 = (SELECT min(cost_c2) FROM ps p2 "
+            "WHERE p2.p_partkey = ps.p_partkey)"),
+        "q16_supplier_part_counts": (
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+            "WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type, p_size"),
+        "q20_part_shippers": (
+            "WITH pli AS (SELECT l_partkey, l_suppkey, l_shipdate, "
+            "CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey WHERE p_name LIKE '%red%'), "
+            "yq AS (SELECT l_partkey, l_suppkey, CAST(SUM(q) AS BIGINT) AS yq "
+            "FROM pli WHERE year(l_shipdate) = 1996 GROUP BY 1, 2), "
+            "tq AS (SELECT l_partkey, l_suppkey, CAST(SUM(q) AS BIGINT) AS tq "
+            "FROM pli GROUP BY 1, 2) "
+            "SELECT s_suppkey, s_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_3' AND s_suppkey IN ("
+            "SELECT DISTINCT yq.l_suppkey FROM yq JOIN tq "
+            "ON yq.l_partkey = tq.l_partkey AND yq.l_suppkey = tq.l_suppkey "
+            "WHERE yq.yq * 2 > tq.tq)"),
         "pps_sample_docs": _pps_sample_sql_query(),
         "bloom_distinct_estimate": (
             "SELECT count(DISTINCT user_id) AS n_distinct_exact, TRUE AS ok "
