@@ -1105,11 +1105,13 @@ def _q12_ship_delay_priority(spark: SparkSession, sf: str) -> DataFrame:
     li = _T(spark, sf, "lineitem")
     orders = _T(spark, sf, "orders")
     j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    diff_us = (F.unix_micros(F.col("l_shipdate").cast("timestamp"))
-               - F.unix_micros(F.col("o_orderdate").cast("timestamp")))
-    late_us = 90 * 86_400_000_000
-    cat = (F.when(diff_us > F.lit(late_us), "late")
-           .when(diff_us >= 0, "on_time").otherwise("pre_order"))
+    # naive-timestamp comparison with interval arithmetic: the parquet
+    # values are TIMESTAMP_NTZ, and unix_micros only accepts LTZ — an LTZ
+    # cast would shift the 0/90-day category boundaries by the driver
+    # session's timezone vs the oracle's naive TIMESTAMP
+    ship, odate = F.col("l_shipdate"), F.col("o_orderdate")
+    cat = (F.when(ship > odate + F.expr("INTERVAL 90 DAYS"), "late")
+           .when(ship >= odate, "on_time").otherwise("pre_order"))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (j.select(cat.alias("ship_cat"), high.alias("_h"))
             .groupBy("ship_cat")
@@ -1208,7 +1210,7 @@ def _q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     nations = [1, 3, 5, 7, 9, 11, 13]
     cust = _T(spark, sf, "customer").filter(F.col("c_nationkey").isin(nations))
     orders = _T(spark, sf, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
     bal_c2 = F.round(F.col("c_acctbal") * 100).cast("long")
     pos = (cust.filter(F.col("c_acctbal") > 0)
            .agg(F.sum(bal_c2).alias("_sum_pos"), F.count("*").alias("_n_pos")))
@@ -1348,7 +1350,7 @@ def _customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     # expected result non-empty at sf0.001/0.01/0.1 (6/29/305 rows).
     c = _T(spark, sf, "customer")
     o = _T(spark, sf, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -1395,16 +1397,24 @@ def _cbf_delete_membership(spark: SparkSession, sf: str) -> DataFrame:
     st = cbf_build(clicks, "user_id", k=8, m=1 << 18)
     st = cbf_delete(st, clicks.filter("value IS NOT NULL AND value < 95"),
                     "user_id")
+    # cached: each distinct-aggregate feeds two jobs (probe + count) and
+    # gone_users re-reads rem_users — without the cache the clicks scan
+    # and aggregation would run ~5 times in this one certificate
     rem_users = (clicks.filter("value IS NULL OR value >= 95")
-                 .select("user_id").distinct())
+                 .select("user_id").distinct().cache())
     gone_users = (clicks.select("user_id").distinct()
-                  .join(rem_users, "user_id", "left_anti"))
-    fn = with_cbf_membership(rem_users, "user_id", st).filter("NOT is_member").count()
-    n_gone = gone_users.count()
-    fp = with_cbf_membership(gone_users, "user_id", st).filter("is_member").count()
+                  .join(rem_users, "user_id", "left_anti").cache())
+    try:
+        fn = with_cbf_membership(rem_users, "user_id", st).filter("NOT is_member").count()
+        n_rem = rem_users.count()
+        n_gone = gone_users.count()
+        fp = with_cbf_membership(gone_users, "user_id", st).filter("is_member").count()
+    finally:
+        rem_users.unpersist()
+        gone_users.unpersist()
     ok = fn == 0 and fp <= max(2, 0.05 * n_gone)
     return spark.createDataFrame(
-        [Row(n_remaining_users=int(rem_users.count()),
+        [Row(n_remaining_users=int(n_rem),
              n_removed_users=int(n_gone), ok=bool(ok))],
         "n_remaining_users long, n_removed_users long, ok boolean")
 
@@ -2117,9 +2127,8 @@ def oracle_sql() -> dict[str, str]:
             "HAVING CAST(SUM(rev) AS BIGINT) > "
             "(SELECT CAST(SUM(rev) AS BIGINT) // 1000 FROM scoped)"),
         "q12_ship_delay_priority": (
-            "SELECT CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) "
-            "> 7776000000000 THEN 'late' "
-            "WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) >= 0 "
+            "SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY "
+            "THEN 'late' WHEN l_shipdate >= o_orderdate "
             "THEN 'on_time' ELSE 'pre_order' END AS ship_cat, "
             "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
             "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "

@@ -75,6 +75,13 @@ def main() -> int:
                           kill_after=KILL_AFTER_EPOCHS)
         assert not done
         epochs_at_kill = SketchStateStore(os.path.join(tmp, "stateB")).last_epoch()
+        # the certificate is vacuous unless the kill landed MID-RUN: a fast
+        # box could commit all 16 epochs before the 50 ms poll fires.
+        # foreachBatch epoch ids are 0-based, so a COMPLETED run shows
+        # last_epoch == N_FILES - 1.
+        assert epochs_at_kill < N_FILES - 1, (
+            f"kill landed after epoch {epochs_at_kill} = the final batch - "
+            "raise N_FILES or lower KILL_AFTER_EPOCHS")
         run_stream(spark, src_dir, schema,
                    os.path.join(tmp, "stateB"), os.path.join(tmp, "chkB"))
         replay_sec = round(time.perf_counter() - t0, 1)

@@ -449,6 +449,9 @@ class BloomFilterState:
         counts once per level it landed in — size ``expected_keys`` so the
         build stays single-level for an exact-distinct reading; a saturated
         level (X == m) contributes its capacity bound instead of ∞.
+        Strict-parity filters insert every key into TWO tier-0 shards
+        (p1 and the antipodal p2, filter.rs:120-137), so the tier-0
+        aggregate fill reflects 2n placements — divided back out below.
         """
         est = 0.0
         # sorted shard order: the float sum is then byte-identical between a
@@ -464,7 +467,7 @@ class BloomFilterState:
                     est += (lv.m / lv.k) * math.log(lv.m)
                 else:
                     est += -(lv.m / lv.k) * math.log1p(-x / lv.m)
-        return est
+        return est / 2.0 if self.strict else est
 
     def configured_fpr_bound(self) -> float:
         """The configured per-probe bound: each tier contributes at most
@@ -871,12 +874,14 @@ def with_membership(df: DataFrame, col: str, state: BloomFilterState,
     return df.withColumn(out, _membership_probe_udf(df.sparkSession, state)(*hcols))
 
 
-def _membership_probe_udf(spark, state: BloomFilterState):
-    """The broadcast-probe pandas UDF over the two base-hash columns.
-    Membership is a pure function of (h1, h2) — callers that have already
-    computed the hash columns (e.g. to dedup probes) can apply this
-    directly without rehashing."""
-    bc = spark.sparkContext.broadcast(state.to_bytes())
+def broadcast_probe_udf(spark, blob: bytes, deserialize):
+    """Generic broadcast-probe pandas UDF over two base-hash columns: ship
+    ``blob`` once, deserialize once per Python worker (single-slot cache
+    keyed by a driver-side sequence — Broadcast has no ``.id`` in PySpark
+    4), then call ``.contains_hashes(h1_i64, h2_i64)`` per batch.  Shared
+    by the Bloom and counting-Bloom probes so cache/null-handling fixes
+    land in one place."""
+    bc = spark.sparkContext.broadcast(blob)
     _BC_SEQ[0] += 1
     bc_key = _BC_SEQ[0]
 
@@ -885,7 +890,7 @@ def _membership_probe_udf(spark, state: BloomFilterState):
         if _BC_CACHE[0] == bc_key:
             cached = _BC_CACHE[1]
         else:
-            cached = BloomFilterState.from_bytes(bc.value)
+            cached = deserialize(bc.value)
             _BC_CACHE[0] = bc_key
             _BC_CACHE[1] = cached
         import pandas as pd
@@ -894,6 +899,13 @@ def _membership_probe_udf(spark, state: BloomFilterState):
             hb.to_numpy(dtype=np.int64, na_value=0)))
 
     return probe
+
+
+def _membership_probe_udf(spark, state: BloomFilterState):
+    """The Bloom broadcast probe.  Membership is a pure function of
+    (h1, h2) — callers that have already computed the hash columns (e.g.
+    to dedup probes) can apply this directly without rehashing."""
+    return broadcast_probe_udf(spark, state.to_bytes(), BloomFilterState.from_bytes)
 
 
 def with_group_membership(df: DataFrame, group_col: str, col: str, states,

@@ -67,7 +67,9 @@ class CountingBloom:
         self.deletes += int(h1.shape[0])
 
     def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        idx = km_indices(h1, h2, self.k, self.m)
+        # accepts int64 (the shipped Spark hash columns) or uint64 —
+        # to_u64 is a zero-copy view either way
+        idx = km_indices(to_u64(h1), to_u64(h2), self.k, self.m)
         return (self.counts[idx] > 0).all(axis=1)
 
     # -- algebra --
@@ -81,16 +83,18 @@ class CountingBloom:
 
     def subtract(self, other: "CountingBloom") -> "CountingBloom":
         """Multiset difference: ``other`` must be a filter of a sub-multiset
-        of this filter's insertions (same k/m/seeds)."""
+        of this filter's insertions (same k/m/seeds).  The guard runs BEFORE
+        any mutation — a caller that catches the error keeps an intact
+        filter, not one with negative counters."""
         if (self.k, self.m) != (other.k, other.m):
             raise ValueError("cannot subtract CountingBloom with different geometry")
+        if (other.counts > self.counts).any():
+            raise ValueError(
+                "counting-bloom subtract would go negative: the deletions "
+                "were not a sub-multiset of the insertions (deleting keys "
+                "never inserted voids the zero-FN guarantee)")
         self.counts -= other.counts
         self.deletes += other.inserts
-        if (self.counts < 0).any():
-            raise ValueError(
-                "counting-bloom subtract went negative: the deletions were "
-                "not a sub-multiset of the insertions (deleting keys never "
-                "inserted voids the zero-FN guarantee)")
         return self
 
     # -- driver-side probe --
@@ -113,7 +117,10 @@ class CountingBloom:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountingBloom":
-        assert data[:4] == _MAGIC
+        # explicit check (not assert): corrupt/foreign blobs must fail with
+        # a clear error even under `python -O`, matching BloomFilterState
+        if data[:4] != _MAGIC:
+            raise ValueError("not a sparksketch counting-bloom blob")
         k, m, ins, dels = struct.unpack_from("<HIqq", data, 4)
         c = cls(k, m)
         off = 4 + struct.calcsize("<HIqq")
@@ -141,26 +148,11 @@ def cbf_delete(state: CountingBloom, df: DataFrame, col: str) -> CountingBloom:
 
 def with_cbf_membership(df: DataFrame, col: str, state: CountingBloom,
                         out: str = "is_member") -> DataFrame:
-    """Distributed probe: JVM base hashes + a broadcast Arrow-batched UDF,
-    mirroring :func:`~sparksketch.bloom.with_membership`."""
-    spark = df.sparkSession
-    from sparksketch.bloom import _BC_CACHE, _BC_SEQ
-    bc = spark.sparkContext.broadcast(state.to_bytes())
-    _BC_SEQ[0] += 1
-    bc_key = _BC_SEQ[0]
-
-    @F.pandas_udf("boolean")
-    def probe(ha, hb):
-        import pandas as pd
-        if _BC_CACHE[0] == bc_key:
-            cached = _BC_CACHE[1]
-        else:
-            cached = CountingBloom.from_bytes(bc.value)
-            _BC_CACHE[0] = bc_key
-            _BC_CACHE[1] = cached
-        return pd.Series(cached.contains_hashes(
-            to_u64(ha.to_numpy(dtype=np.int64, na_value=0)),
-            to_u64(hb.to_numpy(dtype=np.int64, na_value=0))))
-
+    """Distributed probe: JVM base hashes + the shared broadcast Arrow
+    probe UDF (:func:`~sparksketch.bloom.broadcast_probe_udf`), exactly as
+    :func:`~sparksketch.bloom.with_membership` does."""
+    from sparksketch.bloom import broadcast_probe_udf
+    probe = broadcast_probe_udf(df.sparkSession, state.to_bytes(),
+                                CountingBloom.from_bytes)
     key = F.col(col).cast("string")
     return df.withColumn(out, probe(*[hash_col(key, s) for s in CBF_SEEDS]))

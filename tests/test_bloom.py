@@ -512,3 +512,16 @@ def test_estimate_distinct_from_fill(spark):
     # empty filter estimates zero
     from sparksketch.bloom import BloomFilterState
     assert BloomFilterState.empty(BloomConfig(), n_shards=4).estimate_distinct() == 0.0
+
+
+def test_estimate_distinct_strict_mode(spark):
+    """Strict-parity builds place every key in TWO tier-0 shards; the
+    estimator must divide the aggregate fill back out (a silent 2x
+    overestimate otherwise)."""
+    from sparksketch.bloom import BloomConfig, build_bloom
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = docs.filter("text IS NOT NULL").select("text").distinct().count()
+    st = build_bloom(docs, "text", BloomConfig(strict_parity=True),
+                     n_shards=32, partitions=8, expected_keys=2 * exact)
+    est = st.estimate_distinct()
+    assert abs(est - exact) <= 0.15 * exact + 20, (est, exact)
