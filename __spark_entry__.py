@@ -1373,6 +1373,40 @@ def _bloom_distinct_estimate(spark: SparkSession, sf: str) -> DataFrame:
         "n_distinct_exact long, ok boolean")
 
 
+def _weighted_quantile_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # token-weighted quantile certificate: the t-digest built over
+    # (n_chars, weight = token count) must place its p50 estimate inside
+    # the exact weighted-median mass band [0.45, 0.55] (atoms of discrete
+    # mass make point equality wrong — the band is the honest check).
+    # exact_med and total_w are hard integer columns the oracle recomputes
+    # with the identical min-v-where-2·cumw≥total definition.
+    from sparksketch.tdigest import tdigest_weighted_build
+    docs = _T(spark, sf, "documents")
+    ntok = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    t = docs.select(F.col("n_chars").cast("long").alias("v"),
+                    ntok.alias("w")).filter("w > 0")
+    td = tdigest_weighted_build(t, "v", "w")
+    est = td.quantile(0.5)
+    g = t.groupBy("v").agg(F.sum("w").alias("w"))
+    c = g.select("v", "w",
+                 F.sum("w").over(W.orderBy("v")).alias("cw")).cache()
+    try:
+        total = c.agg(F.sum("w")).first()[0]
+        exact_med = (c.filter(F.col("cw") * 2 >= F.lit(total))
+                     .agg(F.min("v")).first()[0])
+        cum_le = (c.filter(F.col("v") <= F.lit(float(est)))
+                  .agg(F.coalesce(F.max("cw"), F.lit(0))).first()[0])
+        cum_lt = (c.filter(F.col("v") < F.lit(float(est)))
+                  .agg(F.coalesce(F.max("cw"), F.lit(0))).first()[0])
+    finally:
+        c.unpersist()
+    ok = (cum_lt <= 0.55 * total) and (cum_le >= 0.45 * total)
+    return spark.createDataFrame(
+        [Row(total_w=int(total), exact_med=int(exact_med), ok=bool(ok))],
+        "total_w long, exact_med long, ok boolean")
+
+
 def _pps_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     # probability-proportional-to-size sampling: p_i = min(1, 0.002·n_chars)
     # (~0.6 mean, so both the proportional branch and the p≥1 cap carry
@@ -1483,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample_docs": _pps_sample_docs,
         # cardinality-from-fill (new in round 4)
         "bloom_distinct_estimate": _bloom_distinct_estimate,
+        # weighted quantiles (new in round 4)
+        "weighted_quantile_docs": _weighted_quantile_docs,
         # bloom (the centerpiece)
         "bloom_zero_fn": _bloom_zero_fn,
         "bloom_partkey_screen": _bloom_partkey_screen,
@@ -2067,6 +2103,18 @@ def oracle_sql() -> dict[str, str]:
         "bloom_distinct_estimate": (
             "SELECT count(DISTINCT user_id) AS n_distinct_exact, TRUE AS ok "
             "FROM events WHERE user_id IS NOT NULL"),
+        "weighted_quantile_docs": (
+            "WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS w "
+            "FROM documents), "
+            "f AS (SELECT v, w FROM t WHERE w > 0), "
+            "g AS (SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM f GROUP BY v), "
+            "c AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw, "
+            "(SELECT CAST(SUM(w) AS BIGINT) FROM g) AS tot FROM g) "
+            "SELECT CAST(any_value(tot) AS BIGINT) AS total_w, "
+            "CAST(min(CASE WHEN cw * 2 >= tot THEN v END) AS BIGINT) "
+            "AS exact_med, TRUE AS ok FROM c"),
         "cbf_delete_membership": (
             "WITH clicks AS (SELECT user_id, value FROM events "
             "WHERE event_type = 'click' AND user_id IS NOT NULL), "

@@ -27,6 +27,7 @@ class TDigest:
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.float64)
         self._buf: list[np.ndarray] = []
+        self._buf_w: list[np.ndarray] = []
         self._buf_n = 0
         # observed extremes: centroid means drift by ulps under incremental
         # averaging, so quantiles are clamped to the true data range
@@ -36,11 +37,24 @@ class TDigest:
     # ---- updates ----
 
     def update_values(self, x: np.ndarray) -> None:
+        self.update_weighted(x, None)
+
+    def update_weighted(self, x: np.ndarray, w: np.ndarray | None) -> None:
+        """Weighted points: value x with multiplicity/mass w (w=None → 1).
+        NaN values and non-positive/NaN weights are dropped, mirroring SQL
+        aggregate null semantics."""
         x = np.asarray(x, dtype=np.float64)
-        x = x[~np.isnan(x)]
+        if w is None:
+            keep = ~np.isnan(x)
+            x, w = x[keep], np.ones(int(keep.sum()))
+        else:
+            w = np.asarray(w, dtype=np.float64)
+            keep = ~np.isnan(x) & ~np.isnan(w) & (w > 0)
+            x, w = x[keep], w[keep]
         if x.size == 0:
             return
         self._buf.append(x)
+        self._buf_w.append(w)
         self._buf_n += x.size
         self.vmin = min(self.vmin, float(x.min()))
         self.vmax = max(self.vmax, float(x.max()))
@@ -48,13 +62,20 @@ class TDigest:
             self._compress()
 
     def _compress(self) -> None:
-        if self._buf_n == 0 and self.means.size <= 2 * int(self.delta):
+        # the early-return may ONLY fire when the centroids are already in
+        # sorted order: merge() concatenates two sorted runs, and skipping
+        # the pass there would leave quantile()/rank() interpolating over
+        # an unsorted array (observed 7% rank error at the median before
+        # this check — the size condition alone is not "nothing to do")
+        if (self._buf_n == 0 and self.means.size <= 2 * int(self.delta)
+                and (self.means.size < 2
+                     or bool(np.all(np.diff(self.means) >= 0)))):
             return
         if self._buf:
             pts = np.concatenate(self._buf)
             means = np.concatenate([self.means, pts])
-            weights = np.concatenate([self.weights, np.ones(pts.size)])
-            self._buf, self._buf_n = [], 0
+            weights = np.concatenate([self.weights, np.concatenate(self._buf_w)])
+            self._buf, self._buf_w, self._buf_n = [], [], 0
         else:
             means, weights = self.means, self.weights
         order = np.argsort(means, kind="stable")
@@ -110,7 +131,8 @@ class TDigest:
 
     @property
     def n(self) -> float:
-        return float(self.weights.sum()) + float(self._buf_n)
+        return (float(self.weights.sum())
+                + float(sum(float(b.sum()) for b in self._buf_w)))
 
     def quantile(self, q: float) -> float:
         self._compress()
@@ -151,3 +173,30 @@ def tdigest_build(df: DataFrame, col: str, delta: float = 200.0) -> TDigest:
 
 def tdigest_by_group(df: DataFrame, group_col: str, col: str, delta: float = 200.0) -> DataFrame:
     return _sk.sketch_by_group(df, group_col, col, lambda pid: TDigest(delta), numeric=True)
+
+
+def tdigest_weighted_build(df: DataFrame, col: str, weight_col: str,
+                           delta: float = 200.0) -> TDigest:
+    """Global WEIGHTED quantile sketch: value ``col`` with mass
+    ``weight_col`` — "the token-weighted p50 of quality_score" (where every
+    document counts by its token count, so a million tiny docs can't drown
+    the corpus statistics).  Same zero-shuffle plan as
+    :func:`tdigest_build`: per-partition partials over Arrow batches,
+    tree-merged blobs; only (value, weight) doubles cross to Python."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    proj = (df.filter(F.col(col).isNotNull() & F.col(weight_col).isNotNull()
+                      & (F.col(weight_col).cast("double") > 0))
+            .select(F.col(col).cast("double").alias("_v"),
+                    F.col(weight_col).cast("double").alias("_w")))
+
+    def fn(batches):
+        sk = TDigest(delta)
+        for batch in batches:
+            sk.update_weighted(batch.column("_v").to_numpy(zero_copy_only=False),
+                               batch.column("_w").to_numpy(zero_copy_only=False))
+        yield pa.RecordBatch.from_pydict({"state": pa.array([sk.to_bytes()], pa.binary())})
+
+    states = proj.mapInArrow(fn, "state binary")
+    return _sk.fold_states(states, TDigest, lambda pid: TDigest(delta))

@@ -248,3 +248,46 @@ def test_theta_set_operations(spark):
         Theta(4)
     with pytest.raises(ValueError, match="different k"):
         Theta(16).merge(Theta(32))
+
+
+def test_tdigest_weighted(spark):
+    """Weighted t-digest: integer-multiplicity weights match an explicit
+    row-expansion build, quantiles track the exact weighted quantiles,
+    and weighted partials merge like any sketch."""
+    import numpy as np
+
+    from sparksketch.tdigest import TDigest, tdigest_weighted_build
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=50_000)
+    w = rng.integers(1, 20, size=50_000).astype(float)
+    t = TDigest(200.0)
+    t.update_weighted(x, w)
+    expanded = TDigest(200.0)
+    expanded.update_values(np.repeat(x, w.astype(int)))
+    order = np.argsort(x)
+    cw = np.cumsum(w[order])
+    for q in (0.05, 0.5, 0.95):
+        exact = x[order][np.searchsorted(cw, cw[-1] * q)]
+        assert abs(t.rank(exact) - q) < 0.02
+        assert abs(expanded.rank(exact) - q) < 0.02
+    assert t.n == cw[-1]
+    # NaN values / non-positive weights dropped
+    t2 = TDigest()
+    t2.update_weighted(np.array([1.0, np.nan, 3.0, 4.0]),
+                       np.array([2.0, 5.0, -1.0, np.nan]))
+    assert t2.n == 2.0
+    # distributed build == driver build on the same data
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x[:5000], w[:5000])], "v double, w double")
+    dist = tdigest_weighted_build(df, "v", "w")
+    drv = TDigest(200.0)
+    drv.update_weighted(x[:5000], w[:5000])
+    # both digests are approximate with different merge orders — compare
+    # each against the EXACT weighted rank, not against each other
+    o5 = np.argsort(x[:5000])
+    cw5 = np.cumsum(w[:5000][o5])
+    def exact_rank(v):
+        return cw5[np.searchsorted(x[:5000][o5], v, side="right") - 1] / cw5[-1]
+    assert abs(exact_rank(dist.quantile(0.5)) - 0.5) < 0.03
+    assert abs(exact_rank(drv.quantile(0.5)) - 0.5) < 0.03
+    assert dist.n == drv.n
