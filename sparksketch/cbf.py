@@ -156,3 +156,12 @@ def with_cbf_membership(df: DataFrame, col: str, state: CountingBloom,
                                 CountingBloom.from_bytes)
     key = F.col(col).cast("string")
     return df.withColumn(out, probe(*[hash_col(key, s) for s in CBF_SEEDS]))
+
+
+def cbf_by_group(df: DataFrame, group_col: str, col: str,
+                 k: int = 8, m: int = 1 << 18) -> DataFrame:
+    """Per-group counting filters → DataFrame (group, state binary), with
+    the library's standard map-side combine (see
+    :func:`~sparksketch.sketch.sketch_by_group`)."""
+    return _sk.sketch_by_group(df, group_col, col,
+                               lambda pid: CountingBloom(k, m), seeds=CBF_SEEDS)

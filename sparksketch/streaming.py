@@ -403,3 +403,51 @@ def stream_dedup_exact(stream_df: DataFrame, cols: list[str], ts_col: str,
         wm = wm.withColumn("_dk", F.xxhash64(*parts))
         return wm.dropDuplicatesWithinWatermark(["_dk"]).drop("_dk")
     return wm.dropDuplicatesWithinWatermark(list(cols))
+
+
+def stream_range_join(left: DataFrame, right: DataFrame, on: str,
+                      l_ts: str, r_ts: str, delta_seconds: float,
+                      delay: str = "10 minutes",
+                      rsuffix: str = "_r") -> DataFrame:
+    """Streaming **band join**: the stream-stream counterpart of
+    ``events.range_join`` — pairs with equal ``on`` keys whose event times
+    differ by at most ``delta_seconds``, as both sides arrive.
+
+    Built on Spark's watermarked stream-stream inner join: both sides get
+    an event-time watermark of ``delay``, and the time-RANGE condition
+    (``r.ts BETWEEN l.ts − Δ AND l.ts + Δ``) lets the state store evict a
+    row once the other side's watermark passes its band — **bounded state**
+    at any input rate (delay + Δ of history per key), which is the whole
+    point versus joining unbounded tables.  Matches later than
+    ``delay`` after their partner's event time are dropped as late data —
+    size ``delay`` to the real cross-stream skew and note the completeness
+    contract is the watermark's, not the operator's.
+
+    Right-side columns are suffixed with ``rsuffix`` (the ``on`` column is
+    kept once).  Rows with NULL key or NULL event time never match, as in
+    the batch operator.
+    """
+    if delta_seconds <= 0:
+        raise ValueError("delta_seconds must be positive")
+    ren = {c: (c + rsuffix if c in set(left.columns) else c)
+           for c in right.columns}
+    bad = [n for n in ren.values() if n in set(left.columns) and n != on + rsuffix]
+    if bad:
+        raise ValueError(f"stream_range_join: suffixed right columns still "
+                         f"collide with the left side: {sorted(bad)}")
+    r = right.select(*[F.col(c).alias(n) for c, n in ren.items()])
+    r_on, r_ts_col = ren[on], ren[r_ts]
+    # watermarks accept only TIMESTAMP (LTZ) event time — parquet NTZ
+    # columns are cast here; wall-clock values are unchanged under the
+    # library's pinned-UTC sessions
+    lw = (left.filter(F.col(on).isNotNull() & F.col(l_ts).isNotNull())
+          .withColumn(l_ts, F.col(l_ts).cast("timestamp"))
+          .withWatermark(l_ts, delay))
+    rw = (r.filter(F.col(r_on).isNotNull() & F.col(r_ts_col).isNotNull())
+          .withColumn(r_ts_col, F.col(r_ts_col).cast("timestamp"))
+          .withWatermark(r_ts_col, delay))
+    d = float(delta_seconds)
+    cond = ((F.col(on) == F.col(r_on))
+            & (F.col(r_ts_col) >= F.col(l_ts) - F.expr(f"INTERVAL {d} SECONDS"))
+            & (F.col(r_ts_col) <= F.col(l_ts) + F.expr(f"INTERVAL {d} SECONDS")))
+    return lw.join(rw, cond).drop(r_on)

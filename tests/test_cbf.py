@@ -75,3 +75,16 @@ def test_cbf_roundtrip_and_geometry_checks():
         CountingBloom(m=1000)
     with pytest.raises(ValueError, match="geometry"):
         st.merge(CountingBloom(k=5, m=1 << 13))
+
+
+def test_cbf_by_group(spark):
+    from sparksketch.cbf import CountingBloom, cbf_by_group
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    states = cbf_by_group(docs, "source", "text", m=1 << 14)
+    filters = {r.group: CountingBloom.from_bytes(bytes(r.state))
+               for r in states.collect()}
+    counts = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    for g, f in filters.items():
+        assert f.inserts == counts[g]
+    sample = docs.select("source", "text").limit(100).collect()
+    assert all(filters[r.source].contains(r.text) for r in sample)

@@ -3,6 +3,8 @@ epoch-guarded exactly-once merges."""
 
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sparksketch.bloom import BloomConfig
@@ -322,3 +324,46 @@ def test_stream_ams_and_theta_byte_identical_to_batch(spark, tmp_path):
         q.stop()
         blob = SketchStateStore(state_dir).read_blob()
         assert blob == batch_fn(keyed).to_bytes(), name
+
+
+def test_stream_range_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream band join must produce exactly the
+    batch range_join's pair set when every row arrives within the
+    watermark horizon."""
+    from sparksketch.events import range_join
+    from sparksketch.streaming import stream_range_join
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = (src.filter("event_type = 'click'")
+              .select("user_id", F.col("ts").alias("c_ts")))
+    purch = (src.filter("event_type = 'purchase'")
+             .select("user_id", F.col("ts").alias("p_ts")))
+    c_dir, p_dir = str(tmp_path / "c"), str(tmp_path / "p")
+    clicks.repartition(3).write.parquet(c_dir)
+    purch.repartition(3).write.parquet(p_dir)
+
+    cs = (spark.readStream.schema(clicks.schema)
+          .option("maxFilesPerTrigger", 1).parquet(c_dir))
+    ps = (spark.readStream.schema(purch.schema)
+          .option("maxFilesPerTrigger", 1).parquet(p_dir))
+    out = stream_range_join(cs, ps, "user_id", "c_ts", "p_ts",
+                            delta_seconds=600, delay="365 days")
+    q = (out.writeStream.format("memory").queryName("srj")
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.c_ts, r.p_ts) for r in spark.sql("SELECT * FROM srj").collect()}
+
+    want_df = range_join(clicks.withColumnRenamed("c_ts", "ts"),
+                         purch.withColumnRenamed("p_ts", "ts"),
+                         "user_id", "ts", 600)
+    want = {(r.user_id, r.ts, r.ts_r) for r in want_df.collect()}
+    assert got == want
+    assert len(got) > 0  # non-vacuous at sf0.01
+
+
+def test_stream_range_join_guards(spark):
+    from sparksketch.streaming import stream_range_join
+    df = spark.readStream.format("rate").load()  # has timestamp, value
+    with pytest.raises(ValueError, match="positive"):
+        stream_range_join(df, df, "value", "timestamp", "timestamp", 0)
