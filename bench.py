@@ -237,6 +237,24 @@ def main() -> int:
     bench("fd_embeddings", lambda: float(
         fd_build(emb, "embedding", ell=32).singular_values()[0]))
 
+    # --- round-4 operators ---
+    from sparksketch.cbf import cbf_build, cbf_delete, with_cbf_membership
+    def cbf_cycle():
+        # build over 500k urls, delete a 1/8 sub-multiset, probe the rest
+        st = cbf_build(wp, "url", m=1 << 21)
+        st = cbf_delete(st, wp.filter(F.pmod(F.xxhash64("url"), F.lit(8)) == 0), "url")
+        rest = wp.filter(F.pmod(F.xxhash64("url"), F.lit(8)) != 0)
+        return with_cbf_membership(rest, "url", st).filter("NOT is_member").count()
+    assert bench("cbf_build_delete", cbf_cycle) == 0  # zero FN after delete
+    from sparksketch.decontam import pps_sample
+    bench("pps_sample_docs", lambda: pps_sample(
+        docs, "n_chars", "doc_id", rate=0.002).count())
+    from sparksketch.tdigest import tdigest_weighted_build
+    bench("tdigest_weighted", lambda: tdigest_weighted_build(
+        docs.select(F.col("n_chars").cast("double").alias("v"),
+                    (F.col("n_chars") / 5).cast("double").alias("w")),
+        "v", "w").quantile(0.5))
+
     # --- relational surface ---
     bench("q1_pricing", lambda: lineitem
           .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
