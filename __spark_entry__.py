@@ -1382,10 +1382,10 @@ def _weighted_quantile_docs(spark: SparkSession, sf: str) -> DataFrame:
     # with the identical min-v-where-2·cumw≥total definition.
     from sparksketch.tdigest import tdigest_weighted_build
     docs = _T(spark, sf, "documents")
-    ntok = F.when(F.trim("text") == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    # token_count is the library's (gate-proven) tokenization — one
+    # definition for both the token_counts query and this weight column
     t = docs.select(F.col("n_chars").cast("long").alias("v"),
-                    ntok.alias("w")).filter("w > 0")
+                    token_count("text").alias("w")).filter("w > 0")
     td = tdigest_weighted_build(t, "v", "w")
     est = td.quantile(0.5)
     g = t.groupBy("v").agg(F.sum("w").alias("w"))

@@ -149,11 +149,16 @@ class CountingBloom:
         what matters at 1000 executors too."""
         self._flush()
         mx = int(self.counts.max()) if self.m else 0
-        for width, dt in ((1, np.uint8), (2, np.uint16), (4, np.uint32)):
-            if mx < (1 << (8 * width)):
-                break
-        else:
+        if self.counts.size and int(self.counts.min()) < 0:
+            # negative counters (raw delete_hashes misuse) must round-trip
+            # faithfully, not wrap into large unsigned "members"
             width, dt = 8, np.int64
+        else:
+            for width, dt in ((1, np.uint8), (2, np.uint16), (4, np.uint32)):
+                if mx < (1 << (8 * width)):
+                    break
+            else:
+                width, dt = 8, np.int64
         return (_MAGIC + struct.pack("<HIqqB", self.k, self.m, self.inserts,
                                      self.deletes, width)
                 + self.counts.astype(dt, copy=False).tobytes())

@@ -39,7 +39,8 @@ _STATE_SCHEMA = "state binary"
 _GROUP_STATE_SCHEMA = "group string, state binary"
 
 
-def _proj_cols(col, seeds: tuple[int, ...] | None, numeric: bool, keyed: bool = False):
+def _proj_cols(col, seeds: tuple[int, ...] | None, numeric: bool, keyed: bool = False,
+               weight_col: str | None = None):
     if keyed:
         # raw-key sketches (heavy hitters): the sketch must return the keys
         # themselves, so the string column ships to the kernel
@@ -48,7 +49,10 @@ def _proj_cols(col, seeds: tuple[int, ...] | None, numeric: bool, keyed: bool = 
         key = F.col(col).cast("string")
         return [hash_col(key, s).alias(f"_h{i}") for i, s in enumerate(seeds)]
     if numeric:
-        return [F.col(col).cast("double").alias("_v0")]
+        cols = [F.col(col).cast("double").alias("_v0")]
+        if weight_col is not None:
+            cols.append(F.col(weight_col).cast("double").alias("_w0"))
+        return cols
     raise ValueError("sketch needs seeds= (hash sketch), numeric=True (value sketch), "
                      "or keyed=True (raw-key sketch)")
 
@@ -76,7 +80,12 @@ def _update_from_batch(sk, batch: pa.RecordBatch, rows: np.ndarray | None,
         sk.update_hashes(*hs)
     else:
         v = batch.column("_v0").to_numpy(zero_copy_only=False)
-        sk.update_values(v if rows is None else v[rows])
+        if "_w0" in batch.schema.names:
+            w = batch.column("_w0").to_numpy(zero_copy_only=False)
+            sk.update_weighted(v if rows is None else v[rows],
+                               w if rows is None else w[rows])
+        else:
+            sk.update_values(v if rows is None else v[rows])
 
 
 def fold_states(states: DataFrame, cls, factory: Callable,
@@ -109,10 +118,21 @@ def fold_states(states: DataFrame, cls, factory: Callable,
 
 def build_sketch(df: DataFrame, col: str, factory: Callable, *,
                  seeds: tuple[int, ...] | None = None, numeric: bool = False,
-                 keyed: bool = False, tree_depth: int | None = None):
+                 keyed: bool = False, tree_depth: int | None = None,
+                 weight_col: str | None = None):
     """Global sketch over a column. Zero shuffles: partials per scan
-    partition, blobs treeReduce-merged."""
-    proj = _drop_nulls(df, col).select(*_proj_cols(col, seeds, numeric, keyed))
+    partition, blobs treeReduce-merged.  ``weight_col`` (numeric sketches
+    only) ships a mass column alongside the value and routes updates
+    through the sketch's ``update_weighted``; NULL/non-positive weights
+    are filtered at the scan (the kernel drops them too — the pushed
+    predicate just saves the Arrow transfer)."""
+    proj = _drop_nulls(df, col)
+    if weight_col is not None:
+        if not numeric:
+            raise ValueError("weight_col is only meaningful for numeric sketches")
+        proj = proj.filter(F.col(weight_col).isNotNull()
+                           & (F.col(weight_col).cast("double") > 0))
+    proj = proj.select(*_proj_cols(col, seeds, numeric, keyed, weight_col))
 
     def fn(batches):
         ctx = TaskContext.get()

@@ -427,14 +427,14 @@ def stream_range_join(left: DataFrame, right: DataFrame, on: str,
     kept once).  Rows with NULL key or NULL event time never match, as in
     the batch operator.
     """
-    if delta_seconds <= 0:
+    delta_us = int(round(delta_seconds * 1_000_000))
+    if delta_us <= 0:
         raise ValueError("delta_seconds must be positive")
-    ren = {c: (c + rsuffix if c in set(left.columns) else c)
-           for c in right.columns}
-    bad = [n for n in ren.values() if n in set(left.columns) and n != on + rsuffix]
-    if bad:
-        raise ValueError(f"stream_range_join: suffixed right columns still "
-                         f"collide with the left side: {sorted(bad)}")
+    # shared validation with the batch Δ-cell joins: required columns,
+    # reserved names, and suffix collisions all rejected with clear errors
+    from sparksketch.events import _checked_suffix_rename
+    ren = _checked_suffix_rename("stream_range_join", left, right,
+                                 [on, l_ts], [on, r_ts], set(), rsuffix)
     r = right.select(*[F.col(c).alias(n) for c, n in ren.items()])
     r_on, r_ts_col = ren[on], ren[r_ts]
     # watermarks accept only TIMESTAMP (LTZ) event time — parquet NTZ
@@ -446,8 +446,11 @@ def stream_range_join(left: DataFrame, right: DataFrame, on: str,
     rw = (r.filter(F.col(r_on).isNotNull() & F.col(r_ts_col).isNotNull())
           .withColumn(r_ts_col, F.col(r_ts_col).cast("timestamp"))
           .withWatermark(r_ts_col, delay))
-    d = float(delta_seconds)
+    # integer-microsecond interval: str(float) would render small deltas in
+    # scientific notation, which the INTERVAL parser rejects — and micros
+    # match the batch operator's boundary arithmetic exactly
+    iv = F.expr(f"INTERVAL {delta_us} MICROSECONDS")
     cond = ((F.col(on) == F.col(r_on))
-            & (F.col(r_ts_col) >= F.col(l_ts) - F.expr(f"INTERVAL {d} SECONDS"))
-            & (F.col(r_ts_col) <= F.col(l_ts) + F.expr(f"INTERVAL {d} SECONDS")))
+            & (F.col(r_ts_col) >= F.col(l_ts) - iv)
+            & (F.col(r_ts_col) <= F.col(l_ts) + iv))
     return lw.join(rw, cond).drop(r_on)

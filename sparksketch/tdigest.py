@@ -183,20 +183,5 @@ def tdigest_weighted_build(df: DataFrame, col: str, weight_col: str,
     the corpus statistics).  Same zero-shuffle plan as
     :func:`tdigest_build`: per-partition partials over Arrow batches,
     tree-merged blobs; only (value, weight) doubles cross to Python."""
-    import pyarrow as pa
-    from pyspark.sql import functions as F
-
-    proj = (df.filter(F.col(col).isNotNull() & F.col(weight_col).isNotNull()
-                      & (F.col(weight_col).cast("double") > 0))
-            .select(F.col(col).cast("double").alias("_v"),
-                    F.col(weight_col).cast("double").alias("_w")))
-
-    def fn(batches):
-        sk = TDigest(delta)
-        for batch in batches:
-            sk.update_weighted(batch.column("_v").to_numpy(zero_copy_only=False),
-                               batch.column("_w").to_numpy(zero_copy_only=False))
-        yield pa.RecordBatch.from_pydict({"state": pa.array([sk.to_bytes()], pa.binary())})
-
-    states = proj.mapInArrow(fn, "state binary")
-    return _sk.fold_states(states, TDigest, lambda pid: TDigest(delta))
+    return _sk.build_sketch(df, col, lambda pid: TDigest(delta),
+                            numeric=True, weight_col=weight_col)
