@@ -147,7 +147,8 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
 
 def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, *,
                     seeds: tuple[int, ...] | None = None, numeric: bool = False,
-                    keyed: bool = False, shuffle_partitions: int | None = None) -> DataFrame:
+                    keyed: bool = False, shuffle_partitions: int | None = None,
+                    weight_col: str | None = None) -> DataFrame:
     """Per-group sketches with explicit map-side combine.
 
     Phase 1 builds one sketch per (scan-partition × group) — the skew-robust
@@ -161,9 +162,15 @@ def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, 
     # null groups are dropped like null values (SQL GROUP BY would keep a
     # NULL group; sketches over "no group" are rarely meaningful and a null
     # dictionary index would otherwise corrupt the in-kernel grouping)
-    proj = _drop_nulls(_drop_nulls(df, col), group_col).select(
+    proj = _drop_nulls(_drop_nulls(df, col), group_col)
+    if weight_col is not None:
+        if not numeric:
+            raise ValueError("weight_col is only meaningful for numeric sketches")
+        proj = proj.filter(F.col(weight_col).isNotNull()
+                           & (F.col(weight_col).cast("double") > 0))
+    proj = proj.select(
         F.col(group_col).cast("string").alias("_g"),
-        *_proj_cols(col, seeds, numeric, keyed))
+        *_proj_cols(col, seeds, numeric, keyed, weight_col))
     cls = type(factory(0))
 
     def partial(batches):

@@ -175,6 +175,14 @@ def tdigest_by_group(df: DataFrame, group_col: str, col: str, delta: float = 200
     return _sk.sketch_by_group(df, group_col, col, lambda pid: TDigest(delta), numeric=True)
 
 
+def tdigest_weighted_by_group(df: DataFrame, group_col: str, col: str,
+                              weight_col: str, delta: float = 200.0) -> DataFrame:
+    """Per-group weighted quantile sketches (group, state binary) — e.g.
+    the token-weighted doc-length p50 per source."""
+    return _sk.sketch_by_group(df, group_col, col, lambda pid: TDigest(delta),
+                               numeric=True, weight_col=weight_col)
+
+
 def tdigest_weighted_build(df: DataFrame, col: str, weight_col: str,
                            delta: float = 200.0) -> TDigest:
     """Global WEIGHTED quantile sketch: value ``col`` with mass

@@ -291,3 +291,24 @@ def test_tdigest_weighted(spark):
     assert abs(exact_rank(dist.quantile(0.5)) - 0.5) < 0.03
     assert abs(exact_rank(drv.quantile(0.5)) - 0.5) < 0.03
     assert dist.n == drv.n
+
+
+def test_tdigest_weighted_by_group(spark):
+    from sparksketch.tdigest import TDigest, tdigest_weighted_by_group
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    states = tdigest_weighted_by_group(
+        docs.selectExpr("source", "CAST(n_chars AS DOUBLE) v",
+                        "CAST(n_chars % 7 + 1 AS DOUBLE) w"),
+        "source", "v", "w")
+    sks = {r.group: TDigest.from_bytes(bytes(r.state)) for r in states.collect()}
+    import numpy as np
+    rows = docs.selectExpr("source", "CAST(n_chars AS DOUBLE) v",
+                           "CAST(n_chars % 7 + 1 AS DOUBLE) w").collect()
+    for g in list(sks)[:3]:
+        vals = np.array([r.v for r in rows if r.source == g])
+        ws = np.array([r.w for r in rows if r.source == g])
+        o = np.argsort(vals)
+        cw = np.cumsum(ws[o])
+        exact = vals[o][np.searchsorted(cw, cw[-1] * 0.5)]
+        assert abs(sks[g].rank(exact) - 0.5) < 0.05
+        assert sks[g].n == cw[-1]
