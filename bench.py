@@ -76,7 +76,7 @@ def main() -> int:
         t.count()
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict[str, object] = {}  # floats, per-run lists, plan digests
 
     def bench(name, fn, repeats=1):
         # this box swings ±2x with page cache: queries flagged noisy run

@@ -74,7 +74,11 @@ class CountingBloom:
 
     # -- kernel updates (sketch.build_sketch protocol) --
     def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        # to_u64 for symmetry with contains_hashes: driver-side callers
+        # hand Spark's SIGNED int64 hash arrays, and mixed int64/uint64
+        # promotion inside km_indices raises; the view is zero-copy.
         # bincount rejects uint64 ("safe" cast rule); indices are < m
+        h1, h2 = to_u64(h1), to_u64(h2)
         idx = km_indices(h1, h2, self.k, self.m).ravel().astype(np.int64)
         self._pending.append((1, idx))
         self._pending_n += idx.size
@@ -83,6 +87,7 @@ class CountingBloom:
             self._flush()
 
     def delete_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        h1, h2 = to_u64(h1), to_u64(h2)
         idx = km_indices(h1, h2, self.k, self.m).ravel().astype(np.int64)
         self._pending.append((-1, idx))
         self._pending_n += idx.size
@@ -123,7 +128,12 @@ class CountingBloom:
                 "were not a sub-multiset of the insertions (deleting keys "
                 "never inserted voids the zero-FN guarantee)")
         self.counts -= other.counts
-        self.deletes += other.inserts
+        # the NET mass removed is other's inserts minus its own deletions —
+        # crediting other.inserts alone would overstate removals when the
+        # subtrahend itself carried deletes, and fpr_bound()'s default
+        # n = inserts − deletes would then under-count remaining keys
+        # (an optimistic FP bound, the wrong direction to err)
+        self.deletes += other.inserts - other.deletes
         return self
 
     # -- driver-side probe --

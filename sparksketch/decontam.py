@@ -374,7 +374,15 @@ def pps_sample(df: DataFrame, weight_col: str, key_col: str, rate: float,
     """Filter to the deterministic PPS sample (see :func:`pps_flag`).
     ``ht_weight`` optionally appends the Horvitz–Thompson inverse-inclusion
     weight ``1 / p_i`` so downstream sums over the sample stay unbiased
-    estimates of population totals."""
+    estimates of population totals.
+
+    Quantization note: the REALIZED inclusion probability is
+    ``floor(p_i · 2^32) / 2^32`` (the hex-threshold comparison), while the
+    HT weight uses the un-quantized ``1 / p_i`` — a ≤ 2^-32 relative bias
+    in downstream population estimates, kept deliberately: the exact-double
+    ``1 / min(rate·w, 1)`` is reproducible term-for-term in ANSI SQL (the
+    driver's hash gate), whereas the quantized form would thread the 2^32
+    scaling through every consumer for a bias far below sampling noise."""
     out = df.filter(pps_flag(weight_col, key_col, rate, salt))
     if ht_weight is not None:
         w = F.col(weight_col).cast("double")

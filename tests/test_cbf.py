@@ -88,3 +88,39 @@ def test_cbf_by_group(spark):
         assert f.inserts == counts[g]
     sample = docs.select("source", "text").limit(100).collect()
     assert all(filters[r.source].contains(r.text) for r in sample)
+
+
+def test_cbf_signed_hash_inputs_and_net_delete_accounting():
+    # driver-side callers hand Spark's SIGNED int64 hash arrays — update/
+    # delete must normalize exactly like contains (to_u64 view), and
+    # subtract must credit the subtrahend's NET mass (inserts − deletes)
+    h1 = (np.arange(50, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    h2 = (np.arange(50, dtype=np.uint64) * np.uint64(2654435761) + np.uint64(7))
+    signed1, signed2 = h1.view(np.int64), h2.view(np.int64)
+    a, b = CountingBloom(k=4, m=1 << 10), CountingBloom(k=4, m=1 << 10)
+    a.update_hashes(signed1, signed2)          # int64 must not raise
+    b.update_hashes(h1, h2)
+    assert a.to_bytes() == b.to_bytes()        # same filter either dtype
+    a.delete_hashes(signed1[:10], signed2[:10])
+    b.delete_hashes(h1[:10], h2[:10])
+    assert a.to_bytes() == b.to_bytes()
+    # net-mass accounting: subtrahend carrying its own deletions removes
+    # inserts − deletes occurrences, and the minuend's bookkeeping agrees
+    big = CountingBloom(k=4, m=1 << 10)
+    big.update_hashes(h1, h2)                  # 50 inserts
+    sub = CountingBloom(k=4, m=1 << 10)
+    sub.update_hashes(h1[:30], h2[:30])        # 30 in
+    sub.delete_hashes(h1[:10], h2[:10])        # 10 back out → net 20
+    big.subtract(sub)
+    assert (big.inserts, big.deletes) == (50, 20)
+    assert big.inserts - big.deletes == 30     # fpr_bound's default n
+    # counters equal a fresh build of exactly the surviving multiset
+    # (keys 0..9 came back via sub's own deletions; 30..49 never left)
+    exact = CountingBloom(k=4, m=1 << 10)
+    exact.update_hashes(h1[:10], h2[:10])
+    exact.update_hashes(h1[30:], h2[30:])
+    big._flush(); exact._flush()
+    assert np.array_equal(big.counts, exact.counts)
+    # and zero FN over the survivors
+    assert big.contains_hashes(h1[:10], h2[:10]).all()
+    assert big.contains_hashes(h1[30:], h2[30:]).all()
