@@ -762,10 +762,14 @@ def _canonical_url_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
-    # TPC-H q3 shape: selective dim (BUILDING customers, broadcast) ⋈ orders
-    # ⋈ lineitem, revenue in exact integer 10^-4 units (price/discount carry
+    # TPC-H q3 shape: selective dim (BUILDING customers) ⋈ orders ⋈
+    # lineitem, revenue in exact integer 10^-4 units (price/discount carry
     # 2 decimals each), top-10 via TakeOrdered; date emitted as a string so
-    # both engines hash it identically
+    # both engines hash it identically.  NO forced broadcast on customer:
+    # it grows with SF (TPC-H: 150k·SF, and a segment filter keeps a fixed
+    # 1/5 of it), and an explicit hint overrides autoBroadcastJoinThreshold
+    # — at 100× scale that OOMs instead of degrading.  AQE picks broadcast
+    # at small SF on its own and falls back to shuffle joins at scale.
     cust = _T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     cutoff = F.lit("1997-06-15").cast("timestamp_ntz")
     orders = _T(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
@@ -773,7 +777,7 @@ def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
     j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+         .join(cust, orders.o_custkey == cust.c_custkey))
     return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(F.sum(rev).alias("revenue_e4"))
             .orderBy(F.desc("revenue_e4"), "l_orderkey").limit(10)
@@ -785,8 +789,10 @@ def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 def _q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H q5 shape: 6-way join (region → nation → customer → orders →
     # lineitem → supplier) with the local-supplier twist (supplier and
-    # customer share a nation); all dims broadcast, one fact shuffle;
-    # revenue in exact integer 10^-4 units
+    # customer share a nation); revenue in exact integer 10^-4 units.
+    # Forced broadcast only on the BOUNDED dims (region=5, nation=25 rows
+    # at every SF); customer and supplier grow with SF, so their join
+    # strategy is AQE's runtime call, not a compile-time hint.
     region = _T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     nation = _T(spark, sf, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -798,8 +804,8 @@ def _q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
     j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-         .join(F.broadcast(supp),
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(supp,
                (li.l_suppkey == supp.s_suppkey)
                & (cust.c_nationkey == supp.s_nationkey)))
     return (j.groupBy("n_name")
@@ -823,8 +829,10 @@ def _q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H q10 shape: one-quarter orders ⋈ returned lineitems ⋈ customer
-    # ⋈ nation (dims broadcast), top-20 by exact integer revenue with a
-    # deterministic custkey tie-break; acctbal emitted in exact cents
+    # ⋈ nation, top-20 by exact integer revenue with a deterministic
+    # custkey tie-break; acctbal emitted in exact cents.  Only the bounded
+    # nation dim is hint-broadcast; customer (SF-proportional) is AQE's
+    # runtime decision so the plan degrades instead of OOMing at 100×.
     cust = _T(spark, sf, "customer")
     nation = _T(spark, sf, "nation")
     orders = _T(spark, sf, "orders").filter(
@@ -834,7 +842,7 @@ def _q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
     j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
          .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
     return (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
             .agg(F.sum(rev).alias("revenue_e4"))
@@ -871,7 +879,7 @@ def _q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz")))
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         F.coalesce(F.sum(F.when(F.col("p_type") == "PROMO", rev)), F.lit(0))
         .cast("long").alias("promo_e4"),
@@ -886,7 +894,7 @@ def _q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li = _T(spark, sf, "lineitem")
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 20))
@@ -937,7 +945,7 @@ def _q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     cust = _T(spark, sf, "customer")
     j = (li.join(big, "l_orderkey", "left_semi")
          .join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+         .join(cust, orders.o_custkey == cust.c_custkey))
     return (j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                       "o_totalprice")
             .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
@@ -999,7 +1007,9 @@ _REV_E4_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
 def _q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H q7 shape: shipping volume between two nations by year — the
     # double-nation-join pattern (lineitem ⋈ supplier ⋈ n1, ⋈ orders ⋈
-    # customer ⋈ n2) with a symmetric nation-pair predicate; dims broadcast
+    # customer ⋈ n2) with a symmetric nation-pair predicate; only the two
+    # bounded nation views are hint-broadcast — supplier and customer grow
+    # with SF and get their join strategy from AQE at runtime
     li = _T(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
@@ -1011,9 +1021,9 @@ def _q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
                        F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("_n2k"),
                        F.col("n_name").alias("cust_nation"))
-    j = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    j = (li.join(sup, li.l_suppkey == sup.s_suppkey)
          .join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
          .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
          .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k")))
     pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -1027,7 +1037,10 @@ def _q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
 def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H q8 shape: one nation's market share inside one region for one
     # part type, per order-year — numerator and denominator emitted as
-    # exact integers (the share is a driver-side division away)
+    # exact integers (the share is a driver-side division away).  Hints
+    # only on nation/region (bounded); part's type filter keeps a fixed
+    # FRACTION of an SF-proportional table, so like supplier and customer
+    # it broadcasts only when AQE measures it small enough at runtime.
     part = _T(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
     li = _T(spark, sf, "lineitem")
     sup = _T(spark, sf, "supplier")
@@ -1041,10 +1054,10 @@ def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
                        F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("_n2k"),
                        F.col("n_regionkey").alias("_n2r"))
-    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(sup, li.l_suppkey == sup.s_suppkey)
          .join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
          .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
          .join(F.broadcast(region), F.col("_n2r") == region.r_regionkey)
          .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k")))
@@ -1068,8 +1081,8 @@ def _q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     nation = _T(spark, sf, "nation")
     cost_e4 = (F.round(F.col("p_retailprice") * 100).cast("long")
                * F.round(F.col("l_quantity")).cast("long") * 100)
-    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(sup, li.l_suppkey == sup.s_suppkey)
          .join(orders, li.l_orderkey == orders.o_orderkey)
          .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey))
     return (j.groupBy(F.col("n_name").alias("nation"),
@@ -1086,7 +1099,7 @@ def _q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     li = _T(spark, sf, "lineitem")
     sup = _T(spark, sf, "supplier")
     nation = _T(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
-    scoped = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    scoped = (li.join(sup, li.l_suppkey == sup.s_suppkey)
               .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
               .select("l_partkey", _rev_e4().alias("_rev")))
     per_part = scoped.groupBy("l_partkey").agg(F.sum("_rev").alias("value_e4"))
@@ -1145,7 +1158,7 @@ def _q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue_e4").alias("_mx"))
     return (rev.join(F.broadcast(mx))
             .filter(F.col("total_revenue_e4") == F.col("_mx"))
-            .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .join(sup, rev.l_suppkey == sup.s_suppkey)
             .select("s_suppkey", "s_name", "total_revenue_e4"))
 
 
@@ -1160,10 +1173,17 @@ def _q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     part = _T(spark, sf, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") == 5))
     qint = F.round(F.col("l_quantity")).cast("long")
-    stats = (li.groupBy(F.col("l_partkey").alias("_pk"))
+    # the classic q17 plan: semi-filter the fact to the ~1/1000 of parts
+    # the query touches BEFORE the per-part stats groupBy — the aggregate
+    # shuffles only the relevant partkeys' rows, and since the semi-join
+    # keeps EVERY lineitem of those parts, the per-part avg is identical.
+    # part's brand+size equality filter is the narrow-slice case where a
+    # broadcast hint is scale-safe (bounded well below customer/supplier).
+    rel = li.join(F.broadcast(part.select("p_partkey")),
+                  li.l_partkey == F.col("p_partkey"), "left_semi")
+    stats = (rel.groupBy(F.col("l_partkey").alias("_pk"))
              .agg(F.sum(qint).alias("_sum_q"), F.count("*").alias("_n")))
-    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-         .join(stats, li.l_partkey == F.col("_pk")))
+    j = rel.join(stats, rel.l_partkey == F.col("_pk"))
     return (j.filter(qint * 5 * F.col("_n") < F.col("_sum_q"))
             .agg(F.coalesce(F.sum(F.round(F.col("l_extendedprice") * 100)
                                   .cast("long")), F.lit(0))
@@ -1192,7 +1212,7 @@ def _q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
                    & (F.col("_sk") != F.col("_sk2")), "left_semi")
     alone = cand.join(l3, (F.col("_ok") == F.col("_ok3"))
                       & (F.col("_sk") != F.col("_sk3")), "left_anti")
-    return (alone.join(F.broadcast(sup), F.col("_sk") == sup.s_suppkey)
+    return (alone.join(sup, F.col("_sk") == sup.s_suppkey)
             .groupBy("s_name").agg(F.count("*").alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name").limit(20))
 
@@ -1235,8 +1255,11 @@ def _q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     sup = _T(spark, sf, "supplier")
     nation = _T(spark, sf, "nation")
     region = _T(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    # part keeps its hint: the two-equality filter (size AND type) is a
+    # NARROW slice (~1/300 of part), the one case the broadcast envelope
+    # documents; supplier is unfiltered and SF-proportional → AQE decides
     ps = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-          .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+          .join(sup, li.l_suppkey == sup.s_suppkey)
           .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
           .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
           .select("p_partkey", "p_brand", "s_suppkey", "s_name", "n_name",
@@ -1257,8 +1280,8 @@ def _q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
     li = _T(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
     bad = (_T(spark, sf, "supplier").filter(F.col("s_acctbal") < 0)
            .select("s_suppkey"))
-    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti"))
     return (j.groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
@@ -1277,7 +1300,7 @@ def _q20_part_shippers(spark: SparkSession, sf: str) -> DataFrame:
     # at sf0.001 — a vacuous row would grade nothing there)
     nation = _T(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
     qint = F.round(F.col("l_quantity")).cast("long")
-    pli = li.join(F.broadcast(part.select("p_partkey")),
+    pli = li.join(part.select("p_partkey"),
                   li.l_partkey == F.col("p_partkey"))
     year_q = (pli.filter(F.year("l_shipdate") == 1996)
               .groupBy(F.col("l_partkey").alias("_ypk"),

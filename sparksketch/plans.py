@@ -122,3 +122,99 @@ def assert_scale_safe(df: DataFrame, *, max_exchanges: int | None = None,
         raise AssertionError("plan not scale-safe: " + "; ".join(problems)
                              + "\n" + d.plan)
     return d
+
+
+# --- forced-broadcast audit -------------------------------------------------
+#
+# An explicit broadcast hint OVERRIDES spark.sql.autoBroadcastJoinThreshold:
+# Spark builds the broadcast relation no matter how large it turns out,
+# so a hint on a table that grows with the data is a 100×-scale OOM wired
+# into the plan (it looks fine at test SF — exactly how the bug hides).
+# The safe envelope this library enforces on its own queries:
+#   - bounded tables (nation=25, region=5 rows at EVERY scale factor): ok;
+#   - aggregates (global or bounded-cardinality groupings): ok — an
+#     Aggregate node between the hint and any growing relation collapses
+#     cardinality before the broadcast;
+#   - narrow equality-filtered slices of part/supplier: ok only when an
+#     equality Filter sits inside the hinted subtree (e.g. brand+size,
+#     ~1/300 of the table) — a fixed-FRACTION filter (type, pattern,
+#     negation) does NOT qualify, those still grow with SF;
+#   - customer / orders / lineitem / documents / events / embeddings:
+#     never — no filter credit, AQE picks the strategy at runtime.
+
+# signature column → base table (the testdata schemas are fixed)
+_TABLE_SIGNATURES = {
+    "c_custkey": "customer", "o_orderkey": "orders", "l_orderkey": "lineitem",
+    "s_suppkey": "supplier", "p_partkey": "part", "n_nationkey": "nation",
+    "r_regionkey": "region", "doc_id": "documents", "event_id": "events",
+    "emb_id": "embeddings",
+}
+_BOUNDED_TABLES = {"nation", "region"}
+_NEVER_BROADCAST = {"customer", "orders", "lineitem", "documents", "events",
+                    "embeddings"}
+_FILTER_CREDIT = {"part", "supplier"}  # only with an equality filter in-tree
+
+
+def _tree_indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def forced_broadcasts(df: DataFrame) -> list[dict]:
+    """Every ``ResolvedHint (strategy=broadcast)`` subtree in the ANALYZED
+    logical plan (hints are consumed by the planner, so the audit must run
+    pre-optimization), reported as
+    ``{"tables": set, "has_aggregate": bool, "has_equality_filter": bool}``.
+    Classic-mode only (reads the JVM ``queryExecution`` seam)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except AttributeError as e:
+        raise NotImplementedError(
+            "forced_broadcasts needs a classic-mode DataFrame") from e
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        base = _tree_indent(line)
+        info = {"tables": set(), "has_aggregate": False,
+                "has_equality_filter": False}
+        for sub in lines[i + 1:]:
+            if _tree_indent(sub) <= base:
+                break
+            if "Aggregate" in sub:
+                info["has_aggregate"] = True
+            if "Filter" in sub and " = " in sub:
+                info["has_equality_filter"] = True
+            m = re.search(r"Relation\s*\[([^\]]*)", sub)
+            if m:
+                cols = {c.split("#")[0] for c in m.group(1).split(",")}
+                for sig, table in _TABLE_SIGNATURES.items():
+                    if sig in cols:
+                        info["tables"].add(table)
+        out.append(info)
+    return out
+
+
+def assert_broadcast_scale_safe(df: DataFrame) -> list[dict]:
+    """Fail on any forced broadcast outside the documented envelope above —
+    drop it after every query meant to run at scale (the relational suite's
+    pytest walks them all through this)."""
+    hints = forced_broadcasts(df)
+    problems = []
+    for h in hints:
+        growing = h["tables"] - _BOUNDED_TABLES
+        if not growing or h["has_aggregate"]:
+            continue  # bounded dims / collapsed cardinality
+        hard = growing & _NEVER_BROADCAST
+        if hard:
+            problems.append(f"forced broadcast of SF-proportional {sorted(hard)}")
+            continue
+        if growing <= _FILTER_CREDIT and h["has_equality_filter"]:
+            continue  # narrow equality slice (documented envelope)
+        problems.append(
+            f"forced broadcast of {sorted(growing)} without an equality "
+            f"filter in the hinted subtree")
+    if problems:
+        raise AssertionError("broadcast hints not scale-safe: "
+                             + "; ".join(problems))
+    return hints

@@ -122,3 +122,59 @@ def test_digest_nested_aqe_subquery(spark, tmp_path):
     assert d.n_exchanges >= 1
     # codegen stages counted per AQE scope, not collapsed across scopes
     assert d.n_wholestage_spans >= 2
+
+
+# --- forced-broadcast audit over the relational suite -----------------------
+
+_RELATIONAL_KEYS = [
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_parts", "q12_ship_delay_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q20_part_shippers", "q21_waiting_suppliers",
+    "q22_sales_opportunity", "rolling_user_spend", "rollup_pricing",
+    "top3_orders_per_customer", "distinct_parts_per_returnflag",
+    "customers_without_orders",
+]
+
+
+def test_relational_queries_have_no_unsafe_broadcast_hints(spark):
+    # the 100×-scale killer class: an explicit broadcast hint overrides
+    # autoBroadcastJoinThreshold, so a hint on an SF-proportional table
+    # (customer/orders/lineitem, or part/supplier without a narrow equality
+    # slice) OOMs at scale instead of degrading.  Walks EVERY relational
+    # query's analyzed plan through the library's own guard.
+    import __spark_entry__ as entry
+    from sparksketch.plans import assert_broadcast_scale_safe, forced_broadcasts
+    qs = entry.queries()
+    checked = 0
+    for key in _RELATIONAL_KEYS:
+        df = qs[key](spark, "/root/testdata/sf0.001")
+        assert_broadcast_scale_safe(df)
+        checked += len(forced_broadcasts(df))
+    # non-vacuity: the suite still CARRIES hints (nation/region/aggregates/
+    # narrow slices) — the guard is exercising real subtrees, not skipping
+    assert checked >= 10
+
+
+def test_broadcast_guard_catches_unsafe_hints(spark):
+    # positive control: the guard must actually fire on each unsafe class
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from sparksketch.plans import assert_broadcast_scale_safe
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    bad = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    with _pytest.raises(AssertionError, match="customer"):
+        assert_broadcast_scale_safe(bad)
+    # filtered customer is STILL unsafe (no filter credit for customer)
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    with _pytest.raises(AssertionError, match="customer"):
+        assert_broadcast_scale_safe(
+            orders.join(F.broadcast(seg), orders.o_custkey == seg.c_custkey))
+    # aggregate over a growing table IS safe (cardinality collapsed)
+    top = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    ok = orders.crossJoin(F.broadcast(top.limit(1)))
+    assert_broadcast_scale_safe(ok)
