@@ -1477,19 +1477,28 @@ def _cbf_delete_membership(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _decode_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    # rows-only by nature (binary decode is not SQL-expressible): the driver
-    # executes the full multimodal path — synth blobs → mapInPandas decode →
-    # feature vectors — and checks rows + schema.  The aggregate is still
-    # deterministic (pure function of media_id, seed 42) so the row content
-    # is stable across runs even without an oracle.
-    from sparksketch.multimodal import decode_features, synth_media
-    media = synth_media(spark, 2_000, seed=42, partitions=8)
-    feats = decode_features(media, decoder="fake", n_features=16)
-    joined = feats.join(media.select("media_id", "mime"), "media_id")
-    return (joined.groupBy("mime")
+    # REAL-decoder certificate (was rows-only through r4): one blob of
+    # genuine media per document row — binary PGM for even doc_ids, RIFF/
+    # WAVE 16-bit PCM for odd — decoded through decode_blob's REAL format
+    # branches (pure-numpy PGM parse, stdlib wave), then compared as EXACT
+    # integers (pixel count / int64 pixel sum / frame count) against the
+    # ground truth the seeded generator derives while writing the bytes.
+    # n_mismatch is pinned 0 by the oracle and ok pins TRUE; n_media is
+    # data-derived (count of documents by id parity), so the certificate
+    # scales with SF and can never go vacuous.
+    from sparksketch.multimodal import decode_stats, synth_real_media
+    docs = _T(spark, sf, "documents").select("doc_id")
+    media = synth_real_media(docs, "doc_id", seed=42)
+    checked = decode_stats(
+        media, decoder="real",
+        keep=["mime", "expected_pixels", "expected_sum", "expected_frames"])
+    bad = ((F.col("n_pixels") != F.col("expected_pixels"))
+           | (F.col("pixel_sum") != F.col("expected_sum"))
+           | (F.col("n_frames") != F.col("expected_frames")))
+    return (checked.groupBy("mime")
             .agg(F.count("*").alias("n_media"),
-                 F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_mean_pixel"),
-                 F.round(F.sum(F.element_at("features", 2)), 1).alias("total_frames"))
+                 F.sum(F.when(bad, 1).otherwise(0)).alias("n_mismatch"))
+            .withColumn("ok", F.col("n_mismatch") == 0)
             .orderBy("mime"))
 
 
@@ -1516,7 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": _top3_orders_per_customer,
         "distinct_parts_per_returnflag": _distinct_parts_per_returnflag,
         "customers_without_orders": _customers_without_orders,
-        # multimodal decode path (rows-only: no oracle_sql entry by nature)
+        # multimodal decode path — REAL PGM/WAV decode with an exact
+        # integer certificate since r5 (hash-checked like everything else)
         "decode_media_features": _decode_media_features,
         # --- new in round 4: the remaining TPC-H query shapes (q2/q16/q20
         # need partsupp, absent from the testdata; adapted shapes noted in
@@ -2123,6 +2133,14 @@ def oracle_sql() -> dict[str, str]:
             "ON yq.l_partkey = tq.l_partkey AND yq.l_suppkey = tq.l_suppkey "
             "WHERE yq.yq * 2 > tq.tq)"),
         "pps_sample_docs": _pps_sample_sql_query(),
+        "decode_media_features": (
+            # the generator emits one PGM per even doc_id and one WAV per
+            # odd; decode mismatches against carried ground truth pin to 0
+            "SELECT 'audio/wav' AS mime, count(*) AS n_media, "
+            "CAST(0 AS BIGINT) AS n_mismatch, TRUE AS ok "
+            "FROM documents WHERE doc_id % 2 = 1 "
+            "UNION ALL SELECT 'image/pgm', count(*), CAST(0 AS BIGINT), "
+            "TRUE FROM documents WHERE doc_id % 2 = 0"),
         "bloom_distinct_estimate": (
             "SELECT count(DISTINCT user_id) AS n_distinct_exact, TRUE AS ok "
             "FROM events WHERE user_id IS NOT NULL"),

@@ -186,6 +186,104 @@ def decode_features(df: DataFrame, media_col: str = "media", decoder: str = "fak
     return df.mapInPandas(fn, "media_id long, features array<float>")
 
 
+def synth_real_media(ids: DataFrame, id_col: str = "doc_id",
+                     seed: int = 42, max_dim: int = 48) -> DataFrame:
+    """REAL-format media (binary PGM images for even ids, RIFF/WAVE 16-bit
+    PCM for odd ids), one blob per input id, pure function of (id, seed) —
+    plus the decode ground truth carried alongside as exact integers
+    (``expected_pixels``/``expected_sum``/``expected_frames``), derivable
+    because the generator knows every byte it wrote.  This is what lets the
+    driver gate exercise the REAL decoder (:func:`decode_blob`'s PGM and
+    WAV branches, not the FMED fake) and still pin an exact certificate."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            vals = pdf[id_col].to_numpy()
+            rows = {"media_id": [], "media": [], "mime": [],
+                    "expected_pixels": [], "expected_sum": [],
+                    "expected_frames": []}
+            for i in vals:
+                i = int(i)
+                mix = (i * 0x9E3779B97F4A7C15 + seed) & 0xFFFFFFFFFFFFFFFF
+                if i % 2 == 0:  # binary PGM
+                    w = mix % (max_dim - 8) + 8
+                    h = (mix >> 17) % (max_dim - 8) + 8
+                    pix = ((np.arange(w * h, dtype=np.uint64)
+                            * np.uint64(2654435761)
+                            + np.uint64(mix)) % np.uint64(256)).astype(np.uint8)
+                    blob = f"P5\n# id {i}\n{w} {h}\n255\n".encode() + pix.tobytes()
+                    mime, npx, s = "image/pgm", w * h, int(pix.astype(np.int64).sum())
+                else:  # RIFF/WAVE, 16-bit PCM mono
+                    n = (mix >> 7) % 1900 + 100
+                    samples = (((np.arange(n, dtype=np.uint64) * np.uint64(48271)
+                                 + np.uint64(mix)) % np.uint64(65536))
+                               .astype(np.int64) - 32768).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(samples.tobytes())
+                    blob = buf.getvalue()
+                    # the decoder rescales (s + 32768) >> 8 — mirror it
+                    scaled = ((samples.astype(np.int64) + 32768) >> 8)
+                    mime, npx, s = "audio/wav", int(n), int(scaled.sum())
+                rows["media_id"].append(i)
+                rows["media"].append(blob)
+                rows["mime"].append(mime)
+                rows["expected_pixels"].append(npx)
+                rows["expected_sum"].append(s)
+                rows["expected_frames"].append(1)
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(
+        gen, "media_id long, media binary, mime string, expected_pixels long, "
+             "expected_sum long, expected_frames int")
+
+
+def decode_stats(df: DataFrame, media_col: str = "media",
+                 decoder: str = "real", keep: list[str] | None = None) -> DataFrame:
+    """Decode each blob and emit EXACT integer evidence — pixel count,
+    int64 pixel sum, frame count — plus any ``keep`` passthrough columns
+    (carrying ground truth through the same pass avoids a self-join against
+    the generator lineage).  ``decoder`` as in :func:`decode_features`."""
+    import pandas as pd
+
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    keep = keep or []
+
+    def fn(it):
+        for pdf in it:
+            n_frames, n_pixels, sums = [], [], []
+            for blob in pdf[media_col]:
+                b = bytes(blob)
+                if decoder == "fake":
+                    _w, _h, nf = _parse_header(b)
+                    pix = np.frombuffer(b, dtype=np.uint8, offset=10)
+                else:
+                    pix, nf = decode_blob(b)
+                n_frames.append(int(nf))
+                n_pixels.append(int(pix.size))
+                sums.append(int(pix.astype(np.int64).sum()))
+            out = pdf[["media_id", *keep]].copy()
+            out["n_frames"] = pd.Series(n_frames, index=pdf.index, dtype="int32")
+            out["n_pixels"] = n_pixels
+            out["pixel_sum"] = sums
+            yield out
+
+    keep_schema = "".join(
+        f", `{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in keep)
+    return df.mapInPandas(
+        fn, f"media_id long{keep_schema}, n_frames int, n_pixels long, "
+            f"pixel_sum long")
+
+
 def resize_stub(df: DataFrame, media_col: str = "media", target: int = 32) -> DataFrame:
     """Nearest-neighbor resize of fake media (the real seam would call a
     codec); demonstrates binary-in/binary-out batch plumbing."""

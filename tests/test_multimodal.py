@@ -115,3 +115,46 @@ def test_sample_frames(media):
         assert r["count"] == expect
     one = frames.first()
     assert one.frame[:4] == bytearray(b"FMED")
+
+
+def test_synth_real_media_decode_stats_exact(spark):
+    # the r5 certificate path: REAL-format blobs (PGM / WAV) decoded by
+    # decode_blob's real branches match the generator's carried ground
+    # truth EXACTLY — pixel count, int64 pixel sum, frame count
+    from pyspark.sql import functions as F
+
+    from sparksketch.multimodal import decode_stats, synth_real_media
+    ids = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    media = synth_real_media(ids, "doc_id", seed=42)
+    checked = decode_stats(
+        media, decoder="real",
+        keep=["mime", "expected_pixels", "expected_sum", "expected_frames"])
+    bad = checked.filter(
+        (F.col("n_pixels") != F.col("expected_pixels"))
+        | (F.col("pixel_sum") != F.col("expected_sum"))
+        | (F.col("n_frames") != F.col("expected_frames")))
+    assert bad.count() == 0
+    mimes = dict(checked.groupBy("mime").count().collect())
+    assert mimes == {"image/pgm": 150, "audio/wav": 150}
+    # determinism: same (id, seed) → byte-identical blobs
+    b1 = media.filter("media_id = 7").first().media
+    b2 = synth_real_media(ids, "doc_id", seed=42).filter("media_id = 7").first().media
+    assert bytes(b1) == bytes(b2)
+
+
+def test_decode_stats_catches_corruption(spark):
+    # negative control: flip payload bytes → pixel_sum must mismatch
+    from pyspark.sql import functions as F
+
+    from sparksketch.multimodal import decode_stats, synth_real_media
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    media = synth_real_media(ids, "doc_id", seed=42)
+    # corrupt the LAST byte (payload) of every blob; headers stay valid
+    corrupted = media.withColumn(
+        "media",
+        F.concat(F.expr("substring(media, 1, length(media) - 1)"),
+                 F.expr("CAST(X'00' AS BINARY)")))
+    checked = decode_stats(
+        corrupted, decoder="real", keep=["expected_sum"])
+    n_bad = checked.filter(F.col("pixel_sum") != F.col("expected_sum")).count()
+    assert n_bad > 0
