@@ -1502,12 +1502,47 @@ def _decode_media_features(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("mime"))
 
 
+def _rotation_order(keys: list[str]) -> list[str]:
+    """STANDING invariant: the driver's correctness gate checks only the
+    first 50 ``queries()`` entries, so ordering is least-recently-driver-
+    checked first, computed from the CORRECTNESS_r*.json files the driver
+    itself writes — never-checked queries lead, then ascending by the last
+    round a key appeared in, then by how many rounds have ever checked it
+    (thinnest evidence first), then stable.  No entry's latest driver row
+    can fall more than ceil(n_queries/50) rounds stale, with zero per-round
+    manual re-ordering."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    last = dict.fromkeys(keys, 0)
+    n_checks = dict.fromkeys(keys, 0)
+    for path in glob.glob(os.path.join(base, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k in data:
+            if k in last:
+                last[k] = max(last[k], rnd)
+                n_checks[k] += 1
+    order = {k: i for i, k in enumerate(keys)}
+    return sorted(keys, key=lambda k: (last[k], n_checks[k], order[k]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries only.  Queries with no driver row yet (new this round, or
-    # never reached under the old ordering) go FIRST; the long-green ones
-    # (3 rounds of driver evidence by r3) rotate to the tail.
-    return {
+    # entries only — the literal below is grouping/documentation, the
+    # RETURNED order is _rotation_order's least-recently-checked-first
+    # (computed from the driver's own CORRECTNESS_r*.json history).
+    qmap = {
         # --- rotated head: the 16 queries the r1-r3 gates never reached ---
         "interval_join_events": _interval_join_events,
         "props_k_stats_by_event_type": _props_k_stats_by_event_type,
@@ -1609,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click_value": _asof_last_click_value,
         "range_join_events": _range_join_events,
     }
+    return {k: qmap[k] for k in _rotation_order(list(qmap))}
 
 
 # ====================================================================

@@ -178,3 +178,27 @@ def test_broadcast_guard_catches_unsafe_hints(spark):
     top = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
     ok = orders.crossJoin(F.broadcast(top.limit(1)))
     assert_broadcast_scale_safe(ok)
+
+
+def test_queries_window_rotation_invariant():
+    # the driver gate truncates at 50 — ordering must be least-recently-
+    # driver-checked first, computed from CORRECTNESS_r*.json history
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entry
+    keys = list(entry.queries())
+    last = {}
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"_r(\d+)", p).group(1))
+        for k in json.load(open(p)):
+            last[k] = max(last.get(k, 0), rnd)
+    rounds = [last.get(k, 0) for k in keys]
+    # non-decreasing: a later entry is never LESS recently checked
+    assert rounds == sorted(rounds)
+    # every stale key (not checked in the latest recorded round) is inside
+    # the 50-slot window, as long as there are slots for them
+    latest = max(rounds) if rounds else 0
+    stale = [k for k in keys if last.get(k, 0) < latest]
+    assert all(k in keys[:max(50, len(stale))] for k in stale)
