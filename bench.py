@@ -246,6 +246,17 @@ def main() -> int:
         rest = wp.filter(F.pmod(F.xxhash64("url"), F.lit(8)) != 0)
         return with_cbf_membership(rest, "url", st).filter("NOT is_member").count()
     assert bench("cbf_build_delete", cbf_cycle) == 0  # zero FN after delete
+
+    def cbf_single_pass():
+        # the same build-minus-tombstones in ONE scan (delete_when=) —
+        # vs the two scans cbf_cycle's build+delete spend; the probe job
+        # is kept identical so the delta isolates the saved build scan
+        st = cbf_build(wp, "url", m=1 << 21,
+                       delete_when=F.pmod(F.xxhash64("url"), F.lit(8)) == 0)
+        rest = wp.filter(F.pmod(F.xxhash64("url"), F.lit(8)) != 0)
+        return with_cbf_membership(rest, "url", st).filter("NOT is_member").count()
+    assert bench("cbf_single_pass", cbf_single_pass) == 0  # same zero-FN
+
     from sparksketch.decontam import pps_sample
     bench("pps_sample_docs", lambda: pps_sample(
         docs, "n_chars", "doc_id", rate=0.002).count())

@@ -190,10 +190,50 @@ class CountingBloom:
         return c
 
 
-def cbf_build(df: DataFrame, col: str, k: int = 8, m: int = 1 << 18) -> CountingBloom:
+def cbf_build(df: DataFrame, col: str, k: int = 8, m: int = 1 << 18,
+              delete_when: Column | None = None) -> CountingBloom:
     """Distributed build: per-partition counting filters, tree-merged —
-    zero shuffles, the same plan shape as :func:`~sparksketch.bloom.build_bloom`."""
-    return _sk.build_sketch(df, col, lambda pid: CountingBloom(k, m), seeds=CBF_SEEDS)
+    zero shuffles, the same plan shape as :func:`~sparksketch.bloom.build_bloom`.
+
+    ``delete_when`` folds the common "build minus tombstones" two-pass —
+    ``cbf_delete(cbf_build(df, col), df.filter(p), col)`` — into ONE scan:
+    a tombstone row retracts ITSELF (its insert and delete cancel, so the
+    counters are never touched but the insert/delete bookkeeping advances),
+    producing a byte-identical filter (counters, inserts, deletes, blob
+    width) at half the scans.  The tombstones are a sub-multiset of the
+    insertions BY CONSTRUCTION here, so the zero-FN guarantee holds
+    unconditionally.  Cancelling a DIFFERENT row (a true operation log)
+    still uses the explicit :func:`cbf_delete` path, whose subtract guard
+    checks the sub-multiset property."""
+    if delete_when is None:
+        return _sk.build_sketch(df, col, lambda pid: CountingBloom(k, m),
+                                seeds=CBF_SEEDS)
+    import pyarrow as pa
+
+    from sparksketch.sketch import _STATE_SCHEMA, fold_states
+
+    key = F.col(col).cast("string")
+    proj = df.filter(F.col(col).isNotNull()).select(
+        hash_col(key, CBF_SEEDS[0]).alias("_h0"),
+        hash_col(key, CBF_SEEDS[1]).alias("_h1"),
+        F.coalesce(delete_when.cast("boolean"), F.lit(False)).alias("_del"))
+
+    def fn(batches):
+        sk = CountingBloom(k, m)
+        for batch in batches:
+            h0 = to_u64(batch.column("_h0").to_numpy(zero_copy_only=False))
+            h1 = to_u64(batch.column("_h1").to_numpy(zero_copy_only=False))
+            d = batch.column("_del").to_numpy(zero_copy_only=False).astype(bool)
+            if not d.all():
+                sk.update_hashes(h0[~d], h1[~d])
+            nd = int(d.sum())  # insert+delete cancel: bookkeeping only
+            sk.inserts += nd
+            sk.deletes += nd
+        yield pa.RecordBatch.from_pydict(
+            {"state": pa.array([sk.to_bytes()], pa.binary())})
+
+    states = proj.mapInArrow(fn, _STATE_SCHEMA)
+    return fold_states(states, CountingBloom, lambda pid: CountingBloom(k, m))
 
 
 def cbf_delete(state: CountingBloom, df: DataFrame, col: str) -> CountingBloom:

@@ -124,3 +124,28 @@ def test_cbf_signed_hash_inputs_and_net_delete_accounting():
     # and zero FN over the survivors
     assert big.contains_hashes(h1[:10], h2[:10]).all()
     assert big.contains_hashes(h1[30:], h2[30:]).all()
+
+
+def test_cbf_single_pass_build_with_deletes(spark):
+    # one-pass "build minus tombstones" is BYTE-identical to the two-pass
+    # build-then-delete (cbf_delete of a sub-multiset of the same source)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter("event_type = 'click' AND user_id IS NOT NULL")
+    tomb = F.col("value").isNotNull() & (F.col("value") < 95)
+    one_pass = cbf_build(clicks, "user_id", k=8, m=1 << 16, delete_when=tomb)
+    two_pass = cbf_delete(
+        cbf_build(clicks, "user_id", k=8, m=1 << 16),
+        clicks.filter(tomb), "user_id")
+    assert one_pass.to_bytes() == two_pass.to_bytes()
+    assert one_pass.inserts == clicks.count()
+    assert one_pass.deletes == clicks.filter(tomb).count()
+    # zero FN over the surviving users, like the two-pass path
+    rem = (clicks.filter("value IS NULL OR value >= 95")
+           .select("user_id").distinct())
+    fn = with_cbf_membership(rem, "user_id", one_pass).filter("NOT is_member").count()
+    assert fn == 0
+    # NULL predicate rows are inserts (coalesced to false), so the NULL-
+    # keeping variant retracts the same tombstones and keeps the rest
+    withnull = cbf_build(clicks, "user_id", k=8, m=1 << 16,
+                         delete_when=F.col("value") < 95)
+    assert withnull.to_bytes() == one_pass.to_bytes()
