@@ -1026,8 +1026,11 @@ def _q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
          .join(cust, orders.o_custkey == cust.c_custkey)
          .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
          .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k")))
-    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    # NATION_12 ↔ NATION_11: the pair with shipping volume in-window at
+    # EVERY SF (NATION_1/NATION_2 had zero rows at sf0.001 — a vacuous
+    # pass the certificate sweep now rejects)
+    pair = (((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_11"))
+            | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_12")))
     return (j.filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("int").alias("l_year"))
@@ -1093,19 +1096,25 @@ def _q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
 def _q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H q11 shape: per-key value HAVING a threshold against the GLOBAL
     # total (scalar subquery).  No partsupp in the testdata (documented
-    # adaptation): value := lineitem revenue of one nation's suppliers.
-    # The 0.1% threshold compares integers via `value > total div 1000`
-    # (provably ⟺ value·1000 > total, but overflow-safe at any SF).
+    # adaptation): value := lineitem revenue of one nation's suppliers
+    # (NATION_12 — the one nation with suppliers at every SF in the
+    # testdata).  TPC-H scales its HAVING fraction by 1/SF precisely
+    # because a FIXED fraction goes vacuous as parts multiply; the
+    # data-driven equivalent here is "value above HALF the average part
+    # value" — `value > total div (2·n_parts)` — which is provably
+    # non-empty at every SF (the max part is ≥ the average) and stays an
+    # exact integer comparison (div is overflow-safe at any SF).
     li = _T(spark, sf, "lineitem")
     sup = _T(spark, sf, "supplier")
-    nation = _T(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    nation = _T(spark, sf, "nation").filter(F.col("n_name") == "NATION_12")
     scoped = (li.join(sup, li.l_suppkey == sup.s_suppkey)
               .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
               .select("l_partkey", _rev_e4().alias("_rev")))
     per_part = scoped.groupBy("l_partkey").agg(F.sum("_rev").alias("value_e4"))
-    total = scoped.agg(F.sum("_rev").alias("_total"))
+    total = scoped.agg(F.sum("_rev").alias("_total"),
+                       F.countDistinct("l_partkey").alias("_n_parts"))
     return (per_part.join(F.broadcast(total))
-            .filter(F.col("value_e4") > F.expr("_total div 1000"))
+            .filter(F.col("value_e4") > F.expr("_total div (2 * _n_parts)"))
             .select("l_partkey", "value_e4"))
 
 
@@ -2209,8 +2218,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
             "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
-            "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
-            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11') "
+            "OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12')) "
             "AND l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1, 2, 3"),
@@ -2246,11 +2255,12 @@ def oracle_sql() -> dict[str, str]:
             f"{_REV_E4_SQL} AS rev FROM lineitem "
             "JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey "
-            "WHERE n_name = 'NATION_5') "
+            "WHERE n_name = 'NATION_12') "
             "SELECT l_partkey, CAST(SUM(rev) AS BIGINT) AS value_e4 "
             "FROM scoped GROUP BY l_partkey "
             "HAVING CAST(SUM(rev) AS BIGINT) > "
-            "(SELECT CAST(SUM(rev) AS BIGINT) // 1000 FROM scoped)"),
+            "(SELECT CAST(SUM(rev) AS BIGINT) // "
+            "(2 * count(DISTINCT l_partkey)) FROM scoped)"),
         "q12_ship_delay_priority": (
             "SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY "
             "THEN 'late' WHEN l_shipdate >= o_orderdate "

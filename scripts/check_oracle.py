@@ -71,6 +71,13 @@ def main():
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             continue
         el = time.perf_counter() - t0
+        from sparksketch.certify import degeneracy_problems
+        probs = degeneracy_problems(name, [r.asDict() for r in srows])
+        if probs:
+            failures.append(name)
+            for p in probs:
+                print(f"FAIL  {p}")
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check) [{el:.1f}s]")
             continue
