@@ -218,6 +218,26 @@ def _dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup_ids(_T(spark, sf, "documents"), "text", "doc_id")
 
 
+def _shared_kgram_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # exact cross-document substring overlap (shared 24-char grams, hot-gram
+    # cap 64) — gram_key="exact" makes the result collision-free and the
+    # oracle an exact ANSI-SQL mirror (Spark substring(t,i,k) ≡ DuckDB
+    # t[i:i+k-1]); the scale path shuffles xxhash64 gram keys instead and
+    # is pytest-pinned equal on this corpus
+    from sparksketch.dedup import shared_kgram_pairs
+    return shared_kgram_pairs(_T(spark, sf, "documents"), "text", "doc_id",
+                              k=24, max_gram_docs=64, gram_key="exact")
+
+
+def _kgram_dup_stats_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # per-document duplicated-span accounting (first-occurrence winners at
+    # 24-char gram granularity) — the linear-output corpus-scale form of
+    # shared_kgram_docs; exact mode for collision-free ANSI-SQL parity
+    from sparksketch.dedup import kgram_dup_stats
+    return kgram_dup_stats(_T(spark, sf, "documents"), "text", "doc_id",
+                           k=24, gram_key="exact")
+
+
 def _token_counts(spark: SparkSession, sf: str) -> DataFrame:
     docs = _T(spark, sf, "documents")
     return docs.select("doc_id", token_count("text").alias("n_tokens"))
@@ -1611,6 +1631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_median_by_event_type": _tdigest_median_by_event_type,
         # dedup
         "dedup_exact_documents": _dedup_exact_documents,
+        "shared_kgram_docs": _shared_kgram_docs,
+        "kgram_dup_stats_docs": _kgram_dup_stats_docs,
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_docs": _simhash_docs,
         "exact_jaccard_pairs": _exact_jaccard_pairs,
@@ -2178,6 +2200,28 @@ def oracle_sql() -> dict[str, str]:
             "ON yq.l_partkey = tq.l_partkey AND yq.l_suppkey = tq.l_suppkey "
             "WHERE yq.yq * 2 > tq.tq)"),
         "pps_sample_docs": _pps_sample_sql_query(),
+        "shared_kgram_docs": (
+            "WITH d AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform("
+            "range(1, length(text) - 24 + 2), i -> text[i:i+23])) AS gram "
+            "FROM documents WHERE length(text) >= 24)), "
+            "okg AS (SELECT gram FROM d GROUP BY gram "
+            "HAVING count(*) BETWEEN 2 AND 64) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM d a JOIN okg USING (gram) JOIN d b USING (gram) "
+            "WHERE a.doc_id < b.doc_id GROUP BY 1, 2"),
+        "kgram_dup_stats_docs": (
+            "WITH d AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform("
+            "range(1, length(text) - 24 + 2), i -> text[i:i+23])) AS gram "
+            "FROM documents WHERE length(text) >= 24)), "
+            "pd AS (SELECT doc_id, count(*) AS n_grams FROM d GROUP BY 1), "
+            "w AS (SELECT gram, min(doc_id) AS win FROM d GROUP BY 1), "
+            "wd AS (SELECT win AS doc_id, count(*) AS n_wins FROM w GROUP BY 1) "
+            "SELECT pd.doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+            "CAST(n_grams - coalesce(n_wins, 0) AS BIGINT) AS n_dup_grams "
+            "FROM pd LEFT JOIN wd USING (doc_id)"),
         "decode_media_features": (
             # the generator emits one PGM per even doc_id and one WAV per
             # odd; decode mismatches against carried ground truth pin to 0

@@ -182,6 +182,14 @@ def main() -> int:
     bench("dedup_minhash_docs", lambda: minhash_dedup_pairs(
         docs, "text", "doc_id", threshold=0.8).count())
     bench("simhash_docs", lambda: simhash(docs, "text", "doc_id").count())
+    from sparksketch.dedup import kgram_dup_stats
+    # substring-level dup accounting over 50k web pages (~21M chars) at
+    # content-defined 1/8 gram sampling — the vectorized byte-roll path
+    # (the JVM substring formulation is O(len²) per doc and unusable here)
+    wp50 = wp.limit(50_000).select(F.xxhash64("url").alias("doc_id"), "text")
+    bench("kgram_dup_stats", lambda: kgram_dup_stats(
+        wp50, "text", "doc_id", k=32, sample_mod=8)
+        .agg(F.sum("n_dup_grams")).collect())
 
     # --- heavy hitters (no candidate set) ---
     from sparksketch.topk import heavy_hitters

@@ -281,8 +281,174 @@ def exact_jaccard(pairs: DataFrame, df: DataFrame, col: str, id_col: str,
 
 
 # ====================================================================
-# SimHash
+# cross-document shared-substring detection
 # ====================================================================
+
+def shared_kgram_pairs(df: DataFrame, col: str = "text",
+                       id_col: str = "doc_id", k: int = 24,
+                       max_gram_docs: int = 64,
+                       gram_key: str = "hash") -> DataFrame:
+    """EXACT cross-document substring overlap: every pair of documents
+    sharing at least one character ``k``-gram, with the count of distinct
+    shared grams — the "memorized span" dedup case (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") that
+    whole-document and near-dup operators miss: two different pages
+    embedding the same 50-token boilerplate or quoted passage.
+
+    Plan shape (all linear scans + key shuffles, no cross product):
+
+    1. gram extraction is pure JVM — ``transform(sequence(...), i →
+       substring(col, i, k))`` with ``array_distinct`` applied per doc
+       BEFORE the explode, so the shuffle carries each (doc, gram) once;
+    2. a frequency pass drops grams in fewer than 2 or more than
+       ``max_gram_docs`` documents — the hot-gram cap bounds the self-join
+       fanout at ``max_gram_docs²`` per gram (the same role as LSH's
+       ``max_bucket``: site-wide boilerplate would otherwise square), and
+       singleton grams (the vast majority) never reach the join;
+    3. a self-equi-join on the gram key with ``id_a < id_b`` and a pair
+       groupBy.
+
+    ``gram_key="hash"`` (default) shuffles 8-byte ``xxhash64(gram)`` keys
+    — the 100 TB path (a collision can only merge two gram groups, adding
+    a spurious shared-gram count with probability ~pairs·2⁻⁶⁴);
+    ``gram_key="exact"`` shuffles the gram strings themselves, making the
+    result collision-free and exactly reproducible in ANSI SQL (the
+    driver-gate mode — Spark ``substring(t, i, k)`` ≡ DuckDB
+    ``t[i:i+k−1]``).  A pytest pins hash-mode ≡ exact-mode on the test
+    corpus.  Returns ``(doc_a, doc_b, n_shared)``.
+
+    Output-size envelope: the pair list is ``Σ_gram C(n_docs, 2)`` — on
+    template-heavy corpora that squares even under the cap.  Use this for
+    candidate inspection and targeted joins; corpus-wide duplicated-span
+    ACCOUNTING (flag/trim decisions over every document) is
+    :func:`kgram_dup_stats`, whose output is one row per document.
+    """
+    if max_gram_docs < 2:
+        raise ValueError(f"max_gram_docs must be >= 2, got {max_gram_docs}")
+    grams = _kgram_rows(df, col, id_col, k, gram_key)
+    # the frequency pass is a COUNT groupBy (map-side combinable — a gram
+    # occurring in 10⁹ docs partial-aggregates per mapper and never lands
+    # as raw rows on one reducer, unlike a collect_list); survivors gate
+    # the self-join via a semi-join on the gram key
+    counts = grams.groupBy("_gram").agg(F.count("*").alias("_n"))
+    live = (counts.filter((F.col("_n") >= 2) & (F.col("_n") <= max_gram_docs))
+            .select("_gram"))
+    g2 = grams.join(live, "_gram", "left_semi")
+    aa = g2.select(F.col("_gram"), F.col("_id").alias("doc_a"))
+    bb = g2.select(F.col("_gram"), F.col("_id").alias("doc_b"))
+    pairs = (aa.join(bb, "_gram")
+             .filter(F.col("doc_a") < F.col("doc_b")))
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared")))
+
+
+def _kgram_rows(df: DataFrame, col: str, id_col: str, k: int,
+                gram_key: str, sample_mod: int = 1) -> DataFrame:
+    """(doc id, distinct gram) rows — shared extraction for the k-gram
+    operators; distinct is applied per doc INSIDE the array before the
+    explode, so each (doc, gram) ships once.
+
+    ``sample_mod > 1`` keeps only grams with ``xxhash64(gram) ≡ 0 (mod
+    sample_mod)`` — CONTENT-DEFINED sampling (the winnowing/MOSES family):
+    because selection depends on the gram bytes alone, two documents
+    sharing a run agree on which of its grams are selected regardless of
+    where the run sits in each document (absolute-position striding has no
+    such guarantee).  Volume drops ×sample_mod; a shared run of length L
+    is missed with probability (1 − 1/sample_mod)^(L−k+1) — e.g. mod 8
+    and L ≥ k+30 ⟹ ~2% miss.  ``sample_mod=1`` is exact."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if gram_key not in ("hash", "exact"):
+        raise ValueError(f"unknown gram_key {gram_key!r}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    proj = df.filter(F.length(F.col(col)) >= k).select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(col).cast("string").alias("_t"))
+    if gram_key == "exact":
+        # JVM string grams — collision-free and ANSI-SQL-mirrorable (the
+        # oracle-gate mode).  NOTE the cost model: Spark's UTF8String
+        # substring scans from byte 0 to find the char offset, so this
+        # formulation is O(len²) per document — fine for the short-doc
+        # gate corpus, NOT the corpus-scale path (that is "hash" below,
+        # one vectorized O(len) roll per partition).
+        arr = (f"transform(sequence(1, length(_t) - {k} + 1), "
+               f"i -> substring(_t, i, {k}))")
+        if sample_mod > 1:
+            arr = f"filter({arr}, x -> pmod(xxhash64(x), {sample_mod}) = 0)"
+        return proj.select(
+            "_id", F.explode(F.expr(f"array_distinct({arr})")).alias("_gram"))
+
+    # hash mode: byte-level k-gram rolling hashes over the Arrow buffer —
+    # the minhash shingle kernel's roll (one vectorized polynomial pass +
+    # splitmix64 finalizer, zero per-gram string allocations).  Byte
+    # windows ≡ char windows on ASCII text (the equality pytest corpus);
+    # multi-byte text hashes byte-grams — a documented deviation, the
+    # operator's guarantees (same-content ⟹ same hash) are unaffected.
+    mod = np.uint64(sample_mod)
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("_id").to_numpy(zero_copy_only=False)
+            hashes, starts, counts = _shingle_window_hashes(batch.column("_t"), k)
+            row_of = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+            g = hashes
+            if sample_mod > 1:
+                keep = (g % mod) == 0
+                g, row_of = g[keep], row_of[keep]
+            if g.size:
+                order = np.lexsort((g, row_of))
+                rg, gg = row_of[order], g[order]
+                first = np.ones(rg.size, dtype=bool)
+                first[1:] = (rg[1:] != rg[:-1]) | (gg[1:] != gg[:-1])
+                rg, gg = rg[first], gg[first]
+            else:
+                rg = np.zeros(0, dtype=np.int64)
+                gg = np.zeros(0, dtype=np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[rg], pa.int64()),
+                 pa.array(gg.view(np.int64), pa.int64())],
+                names=["_id", "_gram"])
+
+    return proj.mapInArrow(fn, "_id long, _gram long")
+
+
+def kgram_dup_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                    k: int = 24, gram_key: str = "hash",
+                    sample_mod: int = 1) -> DataFrame:
+    """Corpus-scale duplicated-span accounting — the LINEAR-output
+    counterpart of :func:`shared_kgram_pairs` (whose pair list is
+    ``Σ_gram C(n_docs, 2)`` and squares on template-heavy corpora).
+
+    Every distinct ``k``-gram has one WINNER (the smallest doc id
+    containing it — the first-occurrence rule paragraph_dedup uses); for
+    each document, ``n_dup_grams`` counts its grams whose winner is some
+    other document, i.e. spans seen earlier in the corpus (Lee et al.
+    2022's duplicated-span measure at gram granularity).  Emitted as
+    ``(doc_id, n_grams, n_dup_grams)`` — drop or trim docs above a
+    ``n_dup_grams / n_grams`` threshold downstream.
+
+    100-TB shape — NO gram-keyed join anywhere: ``n_dup_grams = n_grams −
+    n_wins`` where per-gram winners come from a map-side-combinable MIN
+    aggregate and ``n_wins`` from a COUNT over the (already tiny) winner
+    table, so a boilerplate gram in 10⁹ documents costs one partial-min
+    cell per mapper, never a hot reducer.  Docs shorter than ``k`` have no
+    grams and are omitted, as in :func:`shared_kgram_pairs`.  At corpus
+    scale set ``sample_mod`` (content-defined gram sampling, see
+    :func:`_kgram_rows`) — counts then cover the sampled gram population,
+    an unbiased duplicated-FRACTION estimate per doc.
+    """
+    grams = _kgram_rows(df, col, id_col, k, gram_key, sample_mod)
+    per_doc = grams.groupBy(F.col("_id").alias("doc_id")).agg(
+        F.count("*").alias("n_grams"))
+    winners = grams.groupBy("_gram").agg(F.min("_id").alias("_win"))
+    wins_per_doc = winners.groupBy(F.col("_win").alias("doc_id")).agg(
+        F.count("*").alias("_n_wins"))
+    return (per_doc.join(wins_per_doc, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    (F.col("n_grams")
+                     - F.coalesce(F.col("_n_wins"), F.lit(0)))
+                    .alias("n_dup_grams")))
 
 def _simhash_kernel():
     def fn(batches):
