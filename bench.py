@@ -185,8 +185,14 @@ def main() -> int:
     from sparksketch.dedup import kgram_dup_stats
     # substring-level dup accounting over 50k web pages (~21M chars) at
     # content-defined 1/8 gram sampling — the vectorized byte-roll path
-    # (the JVM substring formulation is O(len²) per doc and unusable here)
-    wp50 = wp.limit(50_000).select(F.xxhash64("url").alias("doc_id"), "text")
+    # (the JVM substring formulation is O(len²) per doc and unusable here).
+    # ensure_webpages, NOT wp.limit(): GlobalLimit funnels all rows into
+    # ONE partition, which would serialize the kernel on a 32-core box
+    # repartition to the core count: the cached corpus is 8 parquet files
+    # (~3 MB each, under maxPartitionBytes), which would cap the kernel at
+    # 8-way parallelism; the 21 MB shuffle is timed and cheap
+    wp50 = (ensure_webpages(spark, 50_000).repartition(CPUS)
+            .select(F.xxhash64("url").alias("doc_id"), "text"))
     bench("kgram_dup_stats", lambda: kgram_dup_stats(
         wp50, "text", "doc_id", k=32, sample_mod=8)
         .agg(F.sum("n_dup_grams")).collect())

@@ -322,6 +322,13 @@ def shared_kgram_pairs(df: DataFrame, col: str = "text",
     candidate inspection and targeted joins; corpus-wide duplicated-span
     ACCOUNTING (flag/trim decisions over every document) is
     :func:`kgram_dup_stats`, whose output is one row per document.
+
+    Cost model note: the gram extraction re-runs once per consumer branch
+    of the plan (the frequency pass, the semi-joined sides) — DELIBERATE:
+    at corpus scale the gram set is ~16 B × total-chars rows, and
+    persisting it costs more storage than re-running one vectorized
+    byte-roll per scan; callers on small corpora who prefer one extraction
+    can pre-materialize ``df`` themselves.
     """
     if max_gram_docs < 2:
         raise ValueError(f"max_gram_docs must be >= 2, got {max_gram_docs}")
@@ -348,20 +355,35 @@ def _kgram_rows(df: DataFrame, col: str, id_col: str, k: int,
     operators; distinct is applied per doc INSIDE the array before the
     explode, so each (doc, gram) ships once.
 
-    ``sample_mod > 1`` keeps only grams with ``xxhash64(gram) ≡ 0 (mod
-    sample_mod)`` — CONTENT-DEFINED sampling (the winnowing/MOSES family):
+    ``sample_mod > 1`` keeps only grams whose own hash ≡ 0 (mod
+    sample_mod) — CONTENT-DEFINED sampling (the winnowing/MOSES family):
     because selection depends on the gram bytes alone, two documents
     sharing a run agree on which of its grams are selected regardless of
     where the run sits in each document (absolute-position striding has no
     such guarantee).  Volume drops ×sample_mod; a shared run of length L
     is missed with probability (1 − 1/sample_mod)^(L−k+1) — e.g. mod 8
-    and L ≥ k+30 ⟹ ~2% miss.  ``sample_mod=1`` is exact."""
+    and L ≥ k+30 ⟹ ~2% miss.  ``sample_mod=1`` is exact.  Sampling is
+    hash-mode only: the selection hash is the kernel's byte-roll, and the
+    exact-string mode (whose point is an ANSI-SQL-mirrorable result on
+    small corpora) would select a DIFFERENT gram population — rejected
+    rather than silently diverging.
+
+    Preconditions shared by the k-gram operators: one row per document id
+    (duplicate ids double-count grams against the per-doc distinct
+    semantics — run exact dedup first), and the returned rows are
+    recomputed per downstream consumer (see the operator docstrings for
+    why that is deliberate)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if gram_key not in ("hash", "exact"):
         raise ValueError(f"unknown gram_key {gram_key!r}")
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    if sample_mod > 1 and gram_key == "exact":
+        raise ValueError(
+            "sample_mod > 1 requires gram_key='hash': exact mode selects by "
+            "xxhash64(gram) while the kernel selects by its byte-roll hash "
+            "— the two sample different gram populations")
     proj = df.filter(F.length(F.col(col)) >= k).select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(col).cast("string").alias("_t"))
@@ -374,8 +396,6 @@ def _kgram_rows(df: DataFrame, col: str, id_col: str, k: int,
         # one vectorized O(len) roll per partition).
         arr = (f"transform(sequence(1, length(_t) - {k} + 1), "
                f"i -> substring(_t, i, {k}))")
-        if sample_mod > 1:
-            arr = f"filter({arr}, x -> pmod(xxhash64(x), {sample_mod}) = 0)"
         return proj.select(
             "_id", F.explode(F.expr(f"array_distinct({arr})")).alias("_gram"))
 
@@ -437,6 +457,11 @@ def kgram_dup_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     scale set ``sample_mod`` (content-defined gram sampling, see
     :func:`_kgram_rows`) — counts then cover the sampled gram population,
     an unbiased duplicated-FRACTION estimate per doc.
+
+    The extraction runs twice (the per-doc branch and the winner branch)
+    — deliberate, as in :func:`shared_kgram_pairs`: materializing the
+    gram rows (~16 B × total-chars) costs more than repeating the
+    vectorized roll, and at 10¹² documents far more.
     """
     grams = _kgram_rows(df, col, id_col, k, gram_key, sample_mod)
     per_doc = grams.groupBy(F.col("_id").alias("doc_id")).agg(

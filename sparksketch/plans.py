@@ -132,13 +132,16 @@ def assert_scale_safe(df: DataFrame, *, max_exchanges: int | None = None,
 # into the plan (it looks fine at test SF — exactly how the bug hides).
 # The safe envelope this library enforces on its own queries:
 #   - bounded tables (nation=25, region=5 rows at EVERY scale factor): ok;
-#   - aggregates (global or bounded-cardinality groupings): ok — an
-#     Aggregate node between the hint and any growing relation collapses
-#     cardinality before the broadcast;
+#   - COLLAPSING aggregates: ok — a global aggregate, or a grouping free
+#     of table key columns (grouping on c_custkey etc. reproduces the
+#     table's own cardinality and earns no credit; non-key groupings with
+#     genuinely unbounded domains remain the caller's responsibility —
+#     the audit is syntactic);
 #   - narrow equality-filtered slices of part/supplier: ok only when an
-#     equality Filter sits inside the hinted subtree (e.g. brand+size,
-#     ~1/300 of the table) — a fixed-FRACTION filter (type, pattern,
-#     negation) does NOT qualify, those still grow with SF;
+#     equality Filter ON A COLUMN OF THAT TABLE sits inside the hinted
+#     subtree (e.g. brand+size, ~1/300 of the table) — a fixed-FRACTION
+#     filter (type-pattern, negation) or an equality on some OTHER joined
+#     dim does NOT qualify, those still grow with SF;
 #   - customer / orders / lineitem / documents / events / embeddings:
 #     never — no filter credit, AQE picks the strategy at runtime.
 
@@ -159,11 +162,40 @@ def _tree_indent(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-"))
 
 
+# TPC-H prefix convention — used to attribute equality-filter columns and
+# aggregate grouping keys to their base table
+_COL_PREFIX_TABLE = {"c_": "customer", "o_": "orders", "l_": "lineitem",
+                     "s_": "supplier", "p_": "part", "n_": "nation",
+                     "r_": "region"}
+# grouping on a table's KEY column reproduces that table's cardinality —
+# an Aggregate on these collapses nothing
+_KEY_COLUMNS = {"c_custkey", "o_orderkey", "l_orderkey", "s_suppkey",
+                "p_partkey", "doc_id", "event_id", "emb_id", "media_id"}
+
+
+def _cols_to_tables(names) -> set[str]:
+    out = set()
+    for n in names:
+        for pre, t in _COL_PREFIX_TABLE.items():
+            if n.startswith(pre):
+                out.add(t)
+    return out
+
+
 def forced_broadcasts(df: DataFrame) -> list[dict]:
     """Every ``ResolvedHint (strategy=broadcast)`` subtree in the ANALYZED
     logical plan (hints are consumed by the planner, so the audit must run
-    pre-optimization), reported as
-    ``{"tables": set, "has_aggregate": bool, "has_equality_filter": bool}``.
+    pre-optimization), reported as ``{"tables", "collapsing_aggregate",
+    "equality_filter_tables"}``:
+
+    - ``collapsing_aggregate`` — an Aggregate whose grouping list is empty
+      (global) or free of table KEY columns; grouping on a key reproduces
+      the table's own cardinality and earns no credit;
+    - ``equality_filter_tables`` — base tables owning a column compared
+      with ``=`` inside a Filter in the subtree (attribution by the TPC-H
+      column-prefix convention), so a filter on a BOUNDED dim can't launder
+      an unfiltered fact broadcast.
+
     Classic-mode only (reads the JVM ``queryExecution`` seam)."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
@@ -176,15 +208,24 @@ def forced_broadcasts(df: DataFrame) -> list[dict]:
         if "ResolvedHint" not in line or "broadcast" not in line.lower():
             continue
         base = _tree_indent(line)
-        info = {"tables": set(), "has_aggregate": False,
-                "has_equality_filter": False}
+        info = {"tables": set(), "collapsing_aggregate": False,
+                "equality_filter_tables": set()}
         for sub in lines[i + 1:]:
             if _tree_indent(sub) <= base:
                 break
-            if "Aggregate" in sub:
-                info["has_aggregate"] = True
-            if "Filter" in sub and " = " in sub:
-                info["has_equality_filter"] = True
+            am = re.search(r"\bAggregate \[([^\]]*)\](, \[)?", sub)
+            if am:
+                if am.group(2) is None:
+                    info["collapsing_aggregate"] = True  # global aggregate
+                else:
+                    keys = {c.split("#")[0].strip()
+                            for c in am.group(1).split(",") if c.strip()}
+                    if not keys & _KEY_COLUMNS:
+                        info["collapsing_aggregate"] = True
+            if "Filter" in sub:
+                eq_cols = re.findall(r"(\w+)#\d+L? = ", sub)
+                eq_cols += re.findall(r" = (\w+)#\d+L?", sub)
+                info["equality_filter_tables"] |= _cols_to_tables(eq_cols)
             m = re.search(r"Relation\s*\[([^\]]*)", sub)
             if m:
                 cols = {c.split("#")[0] for c in m.group(1).split(",")}
@@ -203,17 +244,18 @@ def assert_broadcast_scale_safe(df: DataFrame) -> list[dict]:
     problems = []
     for h in hints:
         growing = h["tables"] - _BOUNDED_TABLES
-        if not growing or h["has_aggregate"]:
-            continue  # bounded dims / collapsed cardinality
+        if not growing or h["collapsing_aggregate"]:
+            continue  # bounded dims / genuinely collapsed cardinality
         hard = growing & _NEVER_BROADCAST
         if hard:
             problems.append(f"forced broadcast of SF-proportional {sorted(hard)}")
             continue
-        if growing <= _FILTER_CREDIT and h["has_equality_filter"]:
-            continue  # narrow equality slice (documented envelope)
+        if (growing <= _FILTER_CREDIT
+                and growing <= h["equality_filter_tables"]):
+            continue  # narrow equality slice ON the growing table itself
         problems.append(
             f"forced broadcast of {sorted(growing)} without an equality "
-            f"filter in the hinted subtree")
+            f"filter on the growing table in the hinted subtree")
     if problems:
         raise AssertionError("broadcast hints not scale-safe: "
                              + "; ".join(problems))

@@ -377,3 +377,12 @@ def test_kgram_sample_mod_content_defined(spark):
     samp = {r.doc_id: r.n_grams for r in kgram_dup_stats(
         df, "text", "doc_id", k=24, gram_key="hash", sample_mod=8).collect()}
     assert all(samp[d] < full[d] for d in full)
+
+
+def test_kgram_exact_mode_rejects_sampling(spark):
+    import pytest as _pytest
+
+    from sparksketch.dedup import kgram_dup_stats
+    df = spark.createDataFrame([(1, "abcdefghij" * 10)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="sample_mod > 1 requires"):
+        kgram_dup_stats(df, "text", "doc_id", gram_key="exact", sample_mod=8)

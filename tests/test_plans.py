@@ -178,6 +178,24 @@ def test_broadcast_guard_catches_unsafe_hints(spark):
     top = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
     ok = orders.crossJoin(F.broadcast(top.limit(1)))
     assert_broadcast_scale_safe(ok)
+    # ...but grouping ON THE TABLE KEY collapses nothing — still unsafe
+    perkey = cust.groupBy("c_custkey").agg(F.sum("c_acctbal").alias("s"))
+    with _pytest.raises(AssertionError, match="customer"):
+        assert_broadcast_scale_safe(
+            orders.join(F.broadcast(perkey), orders.o_custkey == perkey.c_custkey))
+    # an equality filter on a DIFFERENT (bounded) table cannot launder an
+    # unfiltered part/supplier broadcast
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    laundered = part.crossJoin(nation.filter(F.col("n_name") == "NATION_1"))
+    with _pytest.raises(AssertionError, match="part"):
+        assert_broadcast_scale_safe(
+            li.join(F.broadcast(laundered), li.l_partkey == laundered.p_partkey))
+    # while a genuine equality slice of part itself stays allowed
+    sliced = part.filter((F.col("p_size") == 10) & (F.col("p_type") == "LARGE"))
+    assert_broadcast_scale_safe(
+        li.join(F.broadcast(sliced), li.l_partkey == sliced.p_partkey))
 
 
 def test_queries_window_rotation_invariant():
