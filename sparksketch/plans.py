@@ -167,10 +167,33 @@ def _tree_indent(line: str) -> int:
 _COL_PREFIX_TABLE = {"c_": "customer", "o_": "orders", "l_": "lineitem",
                      "s_": "supplier", "p_": "part", "n_": "nation",
                      "r_": "region"}
-# grouping on a table's KEY column reproduces that table's cardinality —
-# an Aggregate on these collapses nothing
+# grouping on a table key — primary OR a foreign key of an SF-proportional
+# table — reproduces SF-proportional cardinality, so an Aggregate on these
+# collapses nothing (bounded-domain foreign keys like *_nationkey are
+# deliberately absent: 25 nations at every SF)
 _KEY_COLUMNS = {"c_custkey", "o_orderkey", "l_orderkey", "s_suppkey",
-                "p_partkey", "doc_id", "event_id", "emb_id", "media_id"}
+                "p_partkey", "doc_id", "event_id", "emb_id", "media_id",
+                "o_custkey", "l_partkey", "l_suppkey"}
+
+
+def _strip_not_spans(s: str) -> str:
+    """Remove every balanced ``NOT (...)`` span so a negation's inner ``=``
+    never reads as an equality (``p_type != 'X'`` prints as
+    ``NOT (p_type#4 = X)`` in analyzed plans)."""
+    while True:
+        i = s.find("NOT (")
+        if i < 0:
+            return s
+        depth, j = 0, i + 4
+        while j < len(s):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        s = s[:i] + s[j + 1:]
 
 
 def _cols_to_tables(names) -> set[str]:
@@ -185,16 +208,20 @@ def _cols_to_tables(names) -> set[str]:
 def forced_broadcasts(df: DataFrame) -> list[dict]:
     """Every ``ResolvedHint (strategy=broadcast)`` subtree in the ANALYZED
     logical plan (hints are consumed by the planner, so the audit must run
-    pre-optimization), reported as ``{"tables", "collapsing_aggregate",
-    "equality_filter_tables"}``:
+    pre-optimization).  Each hint reports its ``tables`` plus one entry per
+    base Relation with the credits found on THAT relation's ANCESTOR PATH
+    inside the subtree — path-scoped on purpose: an Aggregate or Filter on
+    a SIBLING branch (e.g. a nation aggregate cross-joined next to raw
+    orders) collapses nothing about the other branch and must not launder
+    it:
 
-    - ``collapsing_aggregate`` — an Aggregate whose grouping list is empty
-      (global) or free of table KEY columns; grouping on a key reproduces
-      the table's own cardinality and earns no credit;
-    - ``equality_filter_tables`` — base tables owning a column compared
-      with ``=`` inside a Filter in the subtree (attribution by the TPC-H
-      column-prefix convention), so a filter on a BOUNDED dim can't launder
-      an unfiltered fact broadcast.
+    - ``collapsed`` — a collapsing Aggregate (global, or grouping free of
+      table PRIMARY/FOREIGN key columns; grouping on ``o_custkey`` has
+      customer cardinality and earns no credit) sits between the hint and
+      the relation;
+    - ``eq_tables`` — tables owning a column compared with ``=`` in an
+      ancestor Filter (``NOT (... = ...)`` spans are excised first, so a
+      negation never reads as an equality slice).
 
     Classic-mode only (reads the JVM ``queryExecution`` seam)."""
     try:
@@ -208,30 +235,44 @@ def forced_broadcasts(df: DataFrame) -> list[dict]:
         if "ResolvedHint" not in line or "broadcast" not in line.lower():
             continue
         base = _tree_indent(line)
-        info = {"tables": set(), "collapsing_aggregate": False,
-                "equality_filter_tables": set()}
+        info = {"tables": set(), "relations": []}
+        # ancestor stack of (indent, kind, payload) nodes within the subtree
+        stack: list[tuple[int, str, object]] = []
         for sub in lines[i + 1:]:
-            if _tree_indent(sub) <= base:
+            d = _tree_indent(sub)
+            if d <= base:
                 break
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            kind, payload = "other", None
             am = re.search(r"\bAggregate \[([^\]]*)\](, \[)?", sub)
             if am:
                 if am.group(2) is None:
-                    info["collapsing_aggregate"] = True  # global aggregate
+                    kind = "agg_collapsing"  # global aggregate
                 else:
                     keys = {c.split("#")[0].strip()
                             for c in am.group(1).split(",") if c.strip()}
-                    if not keys & _KEY_COLUMNS:
-                        info["collapsing_aggregate"] = True
-            if "Filter" in sub:
-                eq_cols = re.findall(r"(\w+)#\d+L? = ", sub)
-                eq_cols += re.findall(r" = (\w+)#\d+L?", sub)
-                info["equality_filter_tables"] |= _cols_to_tables(eq_cols)
+                    kind = ("agg_keyed" if keys & _KEY_COLUMNS
+                            else "agg_collapsing")
+            elif "Filter" in sub:
+                clean = _strip_not_spans(sub)
+                eq_cols = re.findall(r"(\w+)#\d+L? = ", clean)
+                eq_cols += re.findall(r" = (\w+)#\d+L?", clean)
+                kind, payload = "filter", _cols_to_tables(eq_cols)
             m = re.search(r"Relation\s*\[([^\]]*)", sub)
             if m:
                 cols = {c.split("#")[0] for c in m.group(1).split(",")}
-                for sig, table in _TABLE_SIGNATURES.items():
-                    if sig in cols:
-                        info["tables"].add(table)
+                tables = {t for sig, t in _TABLE_SIGNATURES.items()
+                          if sig in cols}
+                info["tables"] |= tables
+                rel = {"tables": tables,
+                       "collapsed": any(k == "agg_collapsing"
+                                        for _, k, _p in stack),
+                       "eq_tables": set().union(*[p for _, k, p in stack
+                                                  if k == "filter"] or [set()])}
+                info["relations"].append(rel)
+                continue
+            stack.append((d, kind, payload))
         out.append(info)
     return out
 
@@ -239,23 +280,28 @@ def forced_broadcasts(df: DataFrame) -> list[dict]:
 def assert_broadcast_scale_safe(df: DataFrame) -> list[dict]:
     """Fail on any forced broadcast outside the documented envelope above —
     drop it after every query meant to run at scale (the relational suite's
-    pytest walks them all through this)."""
+    pytest walks them all through this).  Safety is judged PER RELATION:
+    every SF-proportional base relation under the hint must be collapsed by
+    an aggregate on its own path, or (part/supplier only) narrowed by an
+    equality filter on its own columns on its own path."""
     hints = forced_broadcasts(df)
     problems = []
     for h in hints:
-        growing = h["tables"] - _BOUNDED_TABLES
-        if not growing or h["collapsing_aggregate"]:
-            continue  # bounded dims / genuinely collapsed cardinality
-        hard = growing & _NEVER_BROADCAST
-        if hard:
-            problems.append(f"forced broadcast of SF-proportional {sorted(hard)}")
-            continue
-        if (growing <= _FILTER_CREDIT
-                and growing <= h["equality_filter_tables"]):
-            continue  # narrow equality slice ON the growing table itself
-        problems.append(
-            f"forced broadcast of {sorted(growing)} without an equality "
-            f"filter on the growing table in the hinted subtree")
+        for rel in h["relations"]:
+            growing = rel["tables"] - _BOUNDED_TABLES
+            if not growing or rel["collapsed"]:
+                continue
+            hard = growing & _NEVER_BROADCAST
+            if hard:
+                problems.append(
+                    f"forced broadcast of SF-proportional {sorted(hard)} "
+                    f"(no collapsing aggregate on its path)")
+                continue
+            if growing <= _FILTER_CREDIT and growing <= rel["eq_tables"]:
+                continue  # narrow equality slice ON the growing table itself
+            problems.append(
+                f"forced broadcast of {sorted(growing)} without an equality "
+                f"filter on the growing table on its path")
     if problems:
         raise AssertionError("broadcast hints not scale-safe: "
                              + "; ".join(problems))

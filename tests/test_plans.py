@@ -196,6 +196,24 @@ def test_broadcast_guard_catches_unsafe_hints(spark):
     sliced = part.filter((F.col("p_size") == 10) & (F.col("p_type") == "LARGE"))
     assert_broadcast_scale_safe(
         li.join(F.broadcast(sliced), li.l_partkey == sliced.p_partkey))
+    # an aggregate on a SIBLING branch cannot launder a raw fact branch
+    # (credits are path-scoped per relation)
+    nagg = nation.groupBy("n_name").agg(F.count("*").alias("n"))
+    sib = orders.crossJoin(nagg)
+    with _pytest.raises(AssertionError, match="orders"):
+        assert_broadcast_scale_safe(
+            li.join(F.broadcast(sib), li.l_orderkey == sib.o_orderkey))
+    # a NEGATION prints as NOT(col = lit) — it must NOT earn equality credit
+    neg = part.filter(F.col("p_type") != "LARGE")
+    with _pytest.raises(AssertionError, match="part"):
+        assert_broadcast_scale_safe(
+            li.join(F.broadcast(neg), li.l_partkey == neg.p_partkey))
+    # grouping on a FOREIGN key of an SF-proportional table collapses
+    # nothing (orders-per-customer has customer cardinality)
+    percust = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    with _pytest.raises(AssertionError, match="orders"):
+        assert_broadcast_scale_safe(
+            cust.join(F.broadcast(percust), cust.c_custkey == percust.o_custkey))
 
 
 def test_queries_window_rotation_invariant():
