@@ -1531,6 +1531,18 @@ def _decode_media_features(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("mime"))
 
 
+# Queries whose RESULT changed in round N (new semantics, not just a new
+# plan): until a CORRECTNESS_r*.json from round >= N records them, their
+# previous driver rows certify code that no longer exists, so the rotation
+# treats them as never-checked.  Self-clearing — once the driver gate of
+# round N lands, last-checked >= N and the entry sorts by recency again.
+_RESULT_CHANGED_IN_ROUND = {
+    "q7_nation_volume": 5,        # nation pair -> NATION_12/11 (all-SF non-vacuous)
+    "q11_important_parts": 5,     # threshold -> above half average; NATION_12
+    "decode_media_features": 5,   # rows-only fake-codec -> real-decoder certificate
+}
+
+
 def _rotation_order(keys: list[str]) -> list[str]:
     """STANDING invariant: the driver's correctness gate checks only the
     first 50 ``queries()`` entries, so ordering is least-recently-driver-
@@ -1562,6 +1574,9 @@ def _rotation_order(keys: list[str]) -> list[str]:
             if k in last:
                 last[k] = max(last[k], rnd)
                 n_checks[k] += 1
+    for k, rnd in _RESULT_CHANGED_IN_ROUND.items():
+        if k in last and last[k] < rnd:
+            last[k] = 0  # stale rows certify retired semantics
     order = {k: i for i, k in enumerate(keys)}
     return sorted(keys, key=lambda k: (last[k], n_checks[k], order[k]))
 

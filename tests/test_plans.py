@@ -230,6 +230,11 @@ def test_queries_window_rotation_invariant():
         rnd = int(re.search(r"_r(\d+)", p).group(1))
         for k in json.load(open(p)):
             last[k] = max(last.get(k, 0), rnd)
+    # a result-changing edit retires the old driver rows (the registry is
+    # self-clearing once a newer CORRECTNESS file records the key)
+    for k, rnd in entry._RESULT_CHANGED_IN_ROUND.items():
+        if last.get(k, 0) < rnd:
+            last[k] = 0
     rounds = [last.get(k, 0) for k in keys]
     # non-decreasing: a later entry is never LESS recently checked
     assert rounds == sorted(rounds)
