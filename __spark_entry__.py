@@ -511,6 +511,72 @@ def _embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "n_exact_pairs long, subset_ok boolean, recall_ok boolean")
 
 
+def _kmeans_clusters_emb(spark: SparkSession, sf: str) -> DataFrame:
+    # distributed spherical k-means certificate (sparksketch/clustering.py):
+    #   descent_ok   — Lloyd's invariant: the per-iteration assignment-cost
+    #     sequence is monotone non-increasing (1e-6 relative float slack);
+    #   conserved_ok — every vector lands in exactly one cluster's
+    #     sufficient statistics (fold total == table count);
+    #   cover_ok     — all k clusters non-empty after the fit (maximin init
+    #     over these spread-out embeddings; seed-fixed, deterministic for
+    #     the fixed testdata partitioning).
+    # n_points is the data-derived column the oracle recomputes exactly.
+    from sparksketch.clustering import kmeans_fit, with_cluster
+    emb = _T(spark, sf, "embeddings")
+    res = kmeans_fit(emb, "embedding", k=8, iters=6, seed=5)
+    assigned = with_cluster(emb, "embedding", res.centroids)
+    nonempty = assigned.select("cluster").distinct().count()
+    n_rows = emb.count()
+    return spark.createDataFrame(
+        [Row(n_points=int(res.n), descent_ok=bool(res.monotone()),
+             conserved_ok=bool(res.n == n_rows),
+             cover_ok=bool(nonempty == 8))],
+        "n_points long, descent_ok boolean, conserved_ok boolean, cover_ok boolean")
+
+
+def _semantic_dedup_emb(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup certificate: plant EXACT duplicates (vec_id+10000, same
+    # vector) of every vec_id < 40 — base embeddings are near-random (max
+    # foreign cosine ≈ 0.37), so the global cosine-≥-0.9 pair set IS the
+    # planted set, and the operator must emit exactly those pairs even
+    # though it only compares within k-means clusters (identical vectors
+    # cannot straddle an argmax decision boundary).
+    #   sound_ok    — every emitted pair's exact double cosine ≥ 0.9;
+    #   complete_ok — every planted pair is emitted;
+    #   n_pairs     — emitted count == count(vec_id < 40), oracle-derived;
+    #   n_kept      — semantic_dedup survivors == original row count (the
+    #     min-id representative of each planted pair is the original).
+    from sparksketch.clustering import semantic_dedup, semantic_dedup_pairs
+    emb = _T(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    both = emb.unionByName(planted)
+    pairs = semantic_dedup_pairs(both, "embedding", "vec_id",
+                                 threshold=0.9, k=8, iters=4, seed=5).cache()
+    e = both.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    rechecked = (pairs.join(a, "id_a").join(b, "id_b")
+                 .select((dot / (na * nb)).alias("sim")))
+    n_unsound = rechecked.filter(F.col("sim") < 0.9 - 1e-9).count()
+    n_pairs = pairs.count()
+    expected = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + 10000).alias("id_b"))
+    n_missing = expected.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    n_kept = semantic_dedup(both, "embedding", "vec_id",
+                            threshold=0.9, k=8, iters=4, seed=5).count()
+    return spark.createDataFrame(
+        [Row(n_pairs=int(n_pairs), n_kept=int(n_kept),
+             sound_ok=bool(n_unsound == 0), complete_ok=bool(n_missing == 0))],
+        "n_pairs long, n_kept long, sound_ok boolean, complete_ok boolean")
+
+
 _MIX_FRACTIONS = {"src0": 0.2, "src1": 0.5, "src2": 0.0}
 
 
@@ -1685,6 +1751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _cosine_pairs,
         "knn_join_embeddings": _knn_join_embeddings,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
+        # --- clustering (round 5): distributed spherical k-means + SemDeDup ---
+        "kmeans_clusters_emb": _kmeans_clusters_emb,
+        "semantic_dedup_emb": _semantic_dedup_emb,
         # event-stream surface
         "sessions_per_user": _sessions_per_user,
         "asof_last_click_value": _asof_last_click_value,
@@ -1977,6 +2046,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.vec_id < b.vec_id "
             "AND round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
             "sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3"),
+        # clustering certificates: the k-means fit is not SQL-expressible,
+        # so each emits oracle-derivable exact counts + booleans pinned TRUE
+        "kmeans_clusters_emb": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_points, TRUE AS descent_ok, "
+            "TRUE AS conserved_ok, TRUE AS cover_ok FROM embeddings"),
+        "semantic_dedup_emb": (
+            "SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 40) "
+            "AS BIGINT) AS n_pairs, CAST(count(*) AS BIGINT) AS n_kept, "
+            "TRUE AS sound_ok, TRUE AS complete_ok FROM embeddings"),
         "exact_jaccard_pairs": (
             "WITH t AS (SELECT doc_id, substring(text, 1, 4096) AS t FROM documents), "
             "sh AS (SELECT doc_id, list_distinct(list_transform("

@@ -36,6 +36,33 @@ def ensure_webpages(spark, n):
     return spark.read.parquet(path)
 
 
+def ensure_vectors(spark, n, dim=64):
+    """Synthetic embedding corpus — SAME generator (Philox key [42, block],
+    decaying spectrum) and layout as scripts/fd_scale.ensure_corpus, so the
+    4M file is shared between the bench and the scale scripts."""
+    path = os.path.join(DATA_DIR, f"embeddings_{n}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import pyarrow as pa
+
+        def gen(batches):
+            for batch in batches:
+                ids = batch.column("id").to_numpy(zero_copy_only=False)
+                rng = np.random.Generator(np.random.Philox(key=[42, int(ids[0])]))
+                mat = rng.normal(size=(len(ids), dim)).astype(np.float32)
+                mat *= np.linspace(3.0, 0.2, dim, dtype=np.float32)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, pa.int64()),
+                     pa.FixedSizeListArray.from_arrays(
+                         pa.array(mat.ravel(), pa.float32()), dim
+                     ).cast(pa.list_(pa.float32()))],
+                    ["vec_id", "embedding"])
+
+        (spark.range(n).repartition(64, "id")
+         .mapInArrow(gen, "vec_id long, embedding array<float>")
+         .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
 def main() -> int:
     if not os.path.isdir(SF_DIR):
         print(json.dumps({"error": f"SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}"}))
@@ -250,6 +277,17 @@ def main() -> int:
     from sparksketch.fd import fd_build
     bench("fd_embeddings", lambda: float(
         fd_build(emb, "embedding", ell=32).singular_values()[0]))
+
+    # --- clustering (round 5): one Lloyd iteration over 4M x 64 vectors ---
+    # fixed init (not the sampled maximin) so the timing isolates the
+    # distributed E-step + sufficient-statistics pass; scale/descent
+    # evidence at 3 iterations is scripts/kmeans_scale.py
+    from sparksketch.clustering import kmeans_fit
+    emb4m = ensure_vectors(spark, 4_000_000)
+    km_init = np.eye(64, dtype=np.float32)[:16]
+    km = bench("kmeans_4m_iter", lambda: kmeans_fit(
+        emb4m, "embedding", k=16, iters=1, seed=5, dim=64, init=km_init))
+    assert km.n == 4_000_000  # every vector folded exactly once
 
     # --- round-4 operators ---
     from sparksketch.cbf import cbf_build, cbf_delete, with_cbf_membership

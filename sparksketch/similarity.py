@@ -260,6 +260,19 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     else:
         planes = lsh_planes(dim, n_planes * n_tables, seed)
         bucketed = with_lsh_table_buckets(proj, "_v", planes, n_planes, n_tables)
+    return exact_pairs_within_buckets(bucketed, dim, threshold,
+                                      max_bucket=max_bucket, block=block)
+
+
+def exact_pairs_within_buckets(bucketed: DataFrame, dim: int, threshold: float,
+                               max_bucket: int = 65536, block: int = 2048) -> DataFrame:
+    """Exact cosine-≥-threshold pairs WITHIN each bucket of a pre-bucketed
+    frame (columns ``_id long, _v array<float>, bucket``) — the shared
+    rerank stage behind both LSH near-dup (:func:`embedding_near_dup_pairs`)
+    and k-means semantic dedup (:func:`sparksketch.clustering.
+    semantic_dedup_pairs`).  One shuffle on ``bucket``; within-bucket
+    compute is tiled ``block``-row GEMMs (peak memory O(block²)) and capped
+    at ``max_bucket`` rows per bucket (deterministic: lowest ids win)."""
     bucketed = bucketed.repartition(F.col("bucket"))
 
     def pairs_fn(batches):
