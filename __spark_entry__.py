@@ -546,13 +546,15 @@ def _semantic_dedup_emb(spark: SparkSession, sf: str) -> DataFrame:
     #   n_pairs     — emitted count == count(vec_id < 40), oracle-derived;
     #   n_kept      — semantic_dedup survivors == original row count (the
     #     min-id representative of each planted pair is the original).
-    from sparksketch.clustering import semantic_dedup, semantic_dedup_pairs
+    from sparksketch.clustering import kmeans_fit, semantic_dedup_pairs
+    from sparksketch.dedup import dedup_representatives
     emb = _T(spark, sf, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 40).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     both = emb.unionByName(planted)
-    pairs = semantic_dedup_pairs(both, "embedding", "vec_id",
-                                 threshold=0.9, k=8, iters=4, seed=5).cache()
+    cents = kmeans_fit(both, "embedding", k=8, iters=4, seed=5).centroids
+    pairs = semantic_dedup_pairs(both, "embedding", "vec_id", threshold=0.9,
+                                 centroids=cents).cache()
     e = both.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
@@ -569,8 +571,9 @@ def _semantic_dedup_emb(spark: SparkSession, sf: str) -> DataFrame:
     expected = emb.filter(F.col("vec_id") < 40).select(
         F.col("vec_id").alias("id_a"), (F.col("vec_id") + 10000).alias("id_b"))
     n_missing = expected.join(pairs, ["id_a", "id_b"], "left_anti").count()
-    n_kept = semantic_dedup(both, "embedding", "vec_id",
-                            threshold=0.9, k=8, iters=4, seed=5).count()
+    # representative resolution over the cached pairs — the same composition
+    # semantic_dedup() performs, without refitting k-means a second time
+    n_kept = dedup_representatives(both, pairs, "vec_id").count()
     return spark.createDataFrame(
         [Row(n_pairs=int(n_pairs), n_kept=int(n_kept),
              sound_ok=bool(n_unsound == 0), complete_ok=bool(n_missing == 0))],

@@ -37,29 +37,13 @@ def ensure_webpages(spark, n):
 
 
 def ensure_vectors(spark, n, dim=64):
-    """Synthetic embedding corpus — SAME generator (Philox key [42, block],
-    decaying spectrum) and layout as scripts/fd_scale.ensure_corpus, so the
-    4M file is shared between the bench and the scale scripts."""
+    """Cached synthetic embedding corpus — ONE shared generator
+    (sparksketch.webtext.synthetic_embeddings), so the 4M file is
+    interchangeable between the bench and the scale scripts."""
     path = os.path.join(DATA_DIR, f"embeddings_{n}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        import pyarrow as pa
-
-        def gen(batches):
-            for batch in batches:
-                ids = batch.column("id").to_numpy(zero_copy_only=False)
-                rng = np.random.Generator(np.random.Philox(key=[42, int(ids[0])]))
-                mat = rng.normal(size=(len(ids), dim)).astype(np.float32)
-                mat *= np.linspace(3.0, 0.2, dim, dtype=np.float32)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(ids, pa.int64()),
-                     pa.FixedSizeListArray.from_arrays(
-                         pa.array(mat.ravel(), pa.float32()), dim
-                     ).cast(pa.list_(pa.float32()))],
-                    ["vec_id", "embedding"])
-
-        (spark.range(n).repartition(64, "id")
-         .mapInArrow(gen, "vec_id long, embedding array<float>")
-         .write.mode("overwrite").parquet(path))
+        from sparksketch.webtext import synthetic_embeddings
+        synthetic_embeddings(spark, n, dim=dim).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 

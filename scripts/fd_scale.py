@@ -54,35 +54,22 @@ spark.stop()
 """
 
 
-def ensure_corpus():
-    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
-        return
+def ensure_corpus(n_vecs: int = N_VECS):
+    """Generate .bench_data/embeddings_{n}.parquet once (seed-42 Philox,
+    decaying spectrum) via the ONE shared generator
+    sparksketch.webtext.synthetic_embeddings; always read back thereafter."""
+    corpus = os.path.join(REPO, ".bench_data", f"embeddings_{n_vecs}.parquet")
+    if os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        return corpus
     sys.path.insert(0, REPO)
-    import numpy as np
-    import pyarrow as pa
-    from pyspark.sql import functions as F
     from sparksketch.session import get_spark
+    from sparksketch.webtext import synthetic_embeddings
     spark = get_spark("gen-emb", cores=32,
                       extra={"spark.ui.showConsoleProgress": "false"})
-
-    def gen(batches):
-        for batch in batches:
-            ids = batch.column("id").to_numpy(zero_copy_only=False)
-            # independent Philox stream per id block (seed 42); generated
-            # once into .bench_data, then always read back from parquet
-            rng = np.random.Generator(np.random.Philox(key=[42, int(ids[0])]))
-            mat = rng.normal(size=(len(ids), DIM)).astype(np.float32)
-            # plant a decaying spectrum so FD has structure to capture
-            mat *= np.linspace(3.0, 0.2, DIM, dtype=np.float32)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()),
-                 pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel(), pa.float32()), DIM).cast(pa.list_(pa.float32()))],
-                ["vec_id", "embedding"])
-
-    (spark.range(N_VECS).repartition(64, "id")
-     .mapInArrow(gen, "vec_id long, embedding array<float>")
-     .write.mode("overwrite").parquet(CORPUS))
+    (synthetic_embeddings(spark, n_vecs, dim=DIM)
+     .write.mode("overwrite").parquet(corpus))
     spark.stop()
+    return corpus
 
 
 def run(cores: int) -> dict:

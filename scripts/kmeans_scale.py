@@ -51,10 +51,11 @@ spark.stop()
 
 def main() -> int:
     if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
-        # generated by scripts/fd_scale.py (shared corpus, seed 42)
+        # shared generator + cache with scripts/fd_scale.py (seed 42);
+        # pass THIS script's size so KMEANS_SCALE_VECS overrides work
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import fd_scale
-        fd_scale.ensure_corpus()
+        fd_scale.ensure_corpus(N_VECS)
     results = {}
     for cores in LEVELS:
         env = {**os.environ, "PYTHONPATH": REPO}

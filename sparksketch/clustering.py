@@ -98,7 +98,10 @@ def kmeans_fit(df: DataFrame, vec_col: str, k: int, iters: int = 8,
         cents = cents / np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
     k = int(cents.shape[0])  # ivf_centroids clamps k to the sample size
-    proj = df.select(F.col(vec_col).alias("_v")).filter(F.col("_v").isNotNull())
+    # size filter matches knn_join/fd_build: a ragged row would otherwise
+    # silently misalign _mat_of's flat reshape (null rows would crash it)
+    proj = (df.select(F.col(vec_col).alias("_v"))
+            .filter(F.col("_v").isNotNull() & (F.size("_v") == dim)))
     cached = bool(cache and iters > 1)
     if cached:
         from pyspark import StorageLevel
@@ -114,47 +117,58 @@ def kmeans_fit(df: DataFrame, vec_col: str, k: int, iters: int = 8,
     return KMeansResult(centroids=cents, costs=costs, n=total_n)
 
 
+def _partials_frame(proj: DataFrame, cents: np.ndarray, k: int,
+                    dim: int) -> DataFrame:
+    """ONE iteration's sufficient-statistics pass as a DataFrame: input ->
+    MapInArrow, one (k x d sums, counts, cost) row per partition, no
+    Exchange anywhere (pinned by the plan pytest)."""
+    C = cents.astype(np.float32)
+
+    def partials_fn(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        S = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        cost = 0.0
+        seen = False
+        for batch in batches:
+            mat = _mat_of(batch.column("_v"), dim)
+            if mat.shape[0] == 0:
+                continue
+            seen = True
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            unit = (mat / norms).astype(np.float32)
+            sims = unit @ C.T
+            assign = np.argmax(sims, axis=1)
+            cost += float(np.sum(
+                1.0 - sims[np.arange(assign.shape[0]), assign],
+                dtype=np.float64))
+            # per-dim bincount scatter: sequential input-order accumulation
+            # like np.add.at but buffered (~10x faster in the hot kernel)
+            unit64 = unit.astype(np.float64)
+            for j in range(dim):
+                S[:, j] += np.bincount(assign, weights=unit64[:, j],
+                                       minlength=k)
+            counts += np.bincount(assign, minlength=k)
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pid], pa.int32()),
+                 pa.array([S.tobytes()], pa.binary()),
+                 pa.array([counts.tobytes()], pa.binary()),
+                 pa.array([cost], pa.float64()),
+                 pa.array([int(counts.sum())], pa.int64())],
+                names=["part", "sums", "counts", "cost", "n"])
+
+    return proj.mapInArrow(
+        partials_fn, "part int, sums binary, counts binary, cost double, n long")
+
+
 def _lloyd_loop(proj: DataFrame, cents: np.ndarray, k: int, dim: int,
                 iters: int) -> tuple[np.ndarray, list[float], int]:
     costs: list[float] = []
     total_n = 0
     for _ in range(iters):
-        C = cents.astype(np.float32)
-
-        def partials_fn(batches, _C=C):
-            from pyspark import TaskContext
-            pid = TaskContext.get().partitionId()
-            S = np.zeros((k, dim), dtype=np.float64)
-            counts = np.zeros(k, dtype=np.int64)
-            cost = 0.0
-            seen = False
-            for batch in batches:
-                mat = _mat_of(batch.column("_v"), dim)
-                if mat.shape[0] == 0:
-                    continue
-                seen = True
-                norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-                unit = (mat / norms).astype(np.float32)
-                sims = unit @ _C.T
-                assign = np.argmax(sims, axis=1)
-                cost += float(np.sum(
-                    1.0 - sims[np.arange(assign.shape[0]), assign],
-                    dtype=np.float64))
-                np.add.at(S, assign, unit.astype(np.float64))
-                counts += np.bincount(assign, minlength=k)
-            if seen:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([pid], pa.int32()),
-                     pa.array([S.tobytes()], pa.binary()),
-                     pa.array([counts.tobytes()], pa.binary()),
-                     pa.array([cost], pa.float64()),
-                     pa.array([int(counts.sum())], pa.int64())],
-                    names=["part", "sums", "counts", "cost", "n"])
-
-        rows = proj.mapInArrow(
-            partials_fn,
-            "part int, sums binary, counts binary, cost double, n long",
-        ).collect()
+        rows = _partials_frame(proj, cents, k, dim).collect()
         # sorted-partition fold: float64 addition is order-sensitive, so pin
         # the order for run-to-run determinism (fixed input partitioning)
         rows.sort(key=lambda r: r.part)
@@ -203,8 +217,10 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     if centroids is None:
         centroids = kmeans_fit(df, vec_col, k, iters=iters, seed=seed,
                                dim=dim).centroids
-    proj = df.select(F.col(id_col).cast("long").alias("_id"),
-                     F.col(vec_col).alias("_v"))
+    # same ragged/null guard as kmeans_fit — see the comment there
+    proj = (df.select(F.col(id_col).cast("long").alias("_id"),
+                      F.col(vec_col).alias("_v"))
+            .filter(F.col("_v").isNotNull() & (F.size("_v") == dim)))
     bucketed = with_cluster(proj, "_v", centroids, out="bucket")
     return exact_pairs_within_buckets(bucketed, dim, threshold,
                                       max_bucket=max_cluster, block=block)

@@ -141,6 +141,35 @@ def webpages(spark: SparkSession, n_rows: int, seed: int = 42,
     return spark.range(0, n_rows, 1, parts).mapInArrow(gen, SCHEMA)
 
 
+def synthetic_embeddings(spark: SparkSession, n_rows: int, dim: int = 64,
+                         seed: int = 42, partitions: int = 64) -> DataFrame:
+    """Deterministic synthetic embedding corpus ``(vec_id long, embedding
+    array<float>)`` — the SINGLE generator shared by bench.py and the scale
+    scripts (scripts/fd_scale.py, scripts/kmeans_scale.py), so the cached
+    ``.bench_data/embeddings_N.parquet`` files are interchangeable.
+
+    One independent Philox stream per id block (key ``[seed, first_id]``),
+    with a planted decaying spectrum so matrix sketches (FD) have structure
+    to capture.  Deterministic for the fixed ``repartition(partitions,
+    'id')`` layout: each block's stream is keyed by its own first id."""
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            rng = np.random.Generator(np.random.Philox(key=[seed, int(ids[0])]))
+            mat = rng.normal(size=(len(ids), dim)).astype(np.float32)
+            mat *= np.linspace(3.0, 0.2, dim, dtype=np.float32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.FixedSizeListArray.from_arrays(
+                     pa.array(mat.ravel(), pa.float32()), dim
+                 ).cast(pa.list_(pa.float32()))],
+                ["vec_id", "embedding"])
+
+    return (spark.range(n_rows).repartition(partitions, "id")
+            .mapInArrow(gen, "vec_id long, embedding array<float>"))
+
+
 # ====================================================================
 # byte-identical text extraction (input_hint invariant)
 # ====================================================================

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from sparksketch.clustering import (KMeansResult, kmeans_fit, semantic_dedup,
+from sparksketch.clustering import (kmeans_fit, semantic_dedup,
                                     semantic_dedup_pairs, with_cluster)
 
 DIM = 16
@@ -154,21 +154,18 @@ def test_semantic_dedup_pairs_reuses_precomputed_centroids(spark):
 
 
 def test_kmeans_partials_zero_shuffle(spark):
-    """The per-iteration statistics pass must plan as input -> MapInArrow
-    with no Exchange anywhere (the partial/final contract)."""
-    import pyarrow as pa
-
+    """THE ACTUAL per-iteration statistics pass (clustering._partials_frame)
+    must plan as input -> MapInArrow with no Exchange anywhere (the
+    partial/final contract); any repartition slipped into the loop fails
+    this, not a stand-in."""
+    from sparksketch.clustering import _partials_frame
     from sparksketch.plans import plan_digest
 
     rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(64)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     proj = df.select(F.col("embedding").alias("_v"))
+    cents = np.eye(4, dtype=np.float32)[:2]
 
-    def fn(batches):
-        for batch in batches:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([batch.num_rows], pa.int64())], names=["n"])
-
-    digest = plan_digest(proj.mapInArrow(fn, "n long"))
+    digest = plan_digest(_partials_frame(proj, cents, k=2, dim=4))
     assert digest.n_python_evals == 1
     assert digest.n_exchanges == 0
