@@ -646,8 +646,11 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     prev = None
     cur = edges.distinct().localCheckpoint(eager=True)
     for _it in range(max_iter):
+        # LAZY checkpoint: the checksum action right below materializes it,
+        # so each round costs ONE job instead of two (eager materialize +
+        # checksum) — local-mode round latency is the operator's floor
         nxt = star(star(cur, large=True, dedup=False),
-                   large=False, dedup=True).localCheckpoint(eager=True)
+                   large=False, dedup=True).localCheckpoint(eager=False)
         sig = checksum(nxt)
         cur = nxt
         if sig == prev:
