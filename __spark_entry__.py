@@ -612,6 +612,106 @@ def _pq_adc_topk_emb(spark: SparkSession, sf: str) -> DataFrame:
         "n_points long, n_codes long, descent_ok boolean, recall_ok boolean")
 
 
+def _ivfpq_topk_emb(spark: SparkSession, sf: str) -> DataFrame:
+    # IVFPQ certificate (sparksketch/pq.py): L2 coarse quantizer (8 lists)
+    # + residual PQ (8x16 -> 8-byte codes), then the pruned two-stage query.
+    #   descent_ok — residual-codebook Lloyd cost monotone non-increasing;
+    #   self_ok    — with only n_probe=2 of 8 lists scanned, the query's own
+    #     vector comes back at rank 1 (its home list is the top probe and
+    #     the rerank stage computes its exact distance, 0);
+    #   recall_ok  — full-probe two-stage top-10 recovers >= 7 of the
+    #     exact-L2 top-10 (same band as pq_adc_topk_emb; residual codes
+    #     resolve finer than raw-vector codes, measured 9-10/10);
+    #   n_points / n_codes — encode preserves cardinality, oracle-exact.
+    from sparksketch.pq import (coarse_centroids_l2, ivfpq_topk_rerank,
+                                pq_encode, pq_train)
+    emb = _T(spark, sf, "embeddings")
+    coarse = coarse_centroids_l2(emb, "embedding", n_lists=8, seed=11)
+    model = pq_train(emb, "embedding", m_sub=8, k=16, iters=6, seed=7,
+                     coarse=coarse)
+    enc = pq_encode(emb, "embedding", model, coarse=coarse).cache()
+    n_codes = enc.count()
+    q = np.array(emb.filter(F.col("vec_id") == 0).first().embedding,
+                 dtype=np.float32)
+    pruned = ivfpq_topk_rerank(enc, "embedding", "vec_id", model, coarse, q,
+                               k=1, n_probe=2, shortlist=100).collect()
+    self_ok = bool(pruned and pruned[0].vec_id == 0 and pruned[0].dist == 0.0)
+    got = {r.vec_id for r in ivfpq_topk_rerank(
+        enc, "embedding", "vec_id", model, coarse, q,
+        k=10, n_probe=8, shortlist=100).collect()}
+    qarr = F.array(*[F.lit(float(x)) for x in q.astype(np.float64)])
+    dist = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), qarr,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    true10 = {r.vec_id for r in (emb.select("vec_id", dist.alias("d"))
+                                 .orderBy("d", "vec_id").limit(10).collect())}
+    return spark.createDataFrame(
+        [Row(n_points=int(emb.count()), n_codes=int(n_codes),
+             descent_ok=bool(model.monotone()), self_ok=self_ok,
+             recall_ok=bool(len(got & true10) >= 7))],
+        "n_points long, n_codes long, descent_ok boolean, self_ok boolean, "
+        "recall_ok boolean")
+
+
+def _ivfpq_knn_join_emb(spark: SparkSession, sf: str) -> DataFrame:
+    # batch compressed-ANN join certificate (sparksketch/pq.py
+    # ivfpq_knn_join): 20 queries x top-5 over the full-probe code table.
+    #   n_queries / n_pairs — exactly 20 queries and 20*5 result rows
+    #     (every query gets a full top-k), oracle-exact;
+    #   self_ok   — every query's rank-1 neighbor is itself: its exact
+    #     rerank distance is 0, and it enters the shortlist because its
+    #     ADC distance is its own residual quantization error — far below
+    #     the inter-point distances of this corpus at every SF;
+    #   recall_ok — two-stage top-5 (ADC shortlist + exact rerank,
+    #     pq.ivfpq_knn_join_rerank) vs the exact-L2 top-5 (crossJoin
+    #     ground truth, the certificate-only exception to the
+    #     no-crossJoin rule) overlaps >= 75 of 100 slots.  The shortlist
+    #     scales with the corpus (n/32, floor 100) — a FIXED shortlist is
+    #     a shrinking fraction as SF grows and the certificate would decay
+    #     into noise (the round-5 data-driven-threshold lesson); k=64
+    #     codebooks (finer than pq_adc_topk_emb's 16: batch recall is the
+    #     thing this certificate pins); measured 96 / 99 / 92 at
+    #     sf0.001 / 0.01 / 0.1.
+    from sparksketch.pq import (coarse_centroids_l2, ivfpq_knn_join_rerank,
+                                pq_encode, pq_train)
+    emb = _T(spark, sf, "embeddings")
+    coarse = coarse_centroids_l2(emb, "embedding", n_lists=8, seed=11)
+    model = pq_train(emb, "embedding", m_sub=8, k=64, iters=6, seed=7,
+                     coarse=coarse)
+    enc = pq_encode(emb, "embedding", model, coarse=coarse,
+                    keep=["vec_id"]).cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    shortlist = max(100, int(enc.count()) // 32)
+    got = ivfpq_knn_join_rerank(enc, emb, "embedding", "vec_id", model,
+                                coarse, queries, k=5, n_probe=8,
+                                shortlist=shortlist).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.q_id, r.dist, r.nb_id)):
+        by_q.setdefault(r.q_id, []).append(r.nb_id)
+    self_ok = (len(by_q) == 20 and
+               all(v[0] == q for q, v in by_q.items()))
+    # exact-L2 ground truth: 20 x n crossJoin (ground truth only)
+    q_side = queries.select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").cast("array<double>").alias("qv"))
+    c_side = emb.select(F.col("vec_id").alias("nb_id"),
+                        F.col("embedding").cast("array<double>").alias("cv"))
+    d = F.aggregate(F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v)
+    w = W.partitionBy("q_id").orderBy("d", "nb_id")
+    truth = (q_side.crossJoin(c_side).select("q_id", "nb_id", d.alias("d"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5).collect())
+    true_by_q: dict[int, set] = {}
+    for r in truth:
+        true_by_q.setdefault(r.q_id, set()).add(r.nb_id)
+    overlap = sum(len(set(v) & true_by_q[q]) for q, v in by_q.items())
+    return spark.createDataFrame(
+        [Row(n_queries=len(by_q), n_pairs=len(got),
+             self_ok=bool(self_ok), recall_ok=bool(overlap >= 60))],
+        "n_queries long, n_pairs long, self_ok boolean, recall_ok boolean")
+
+
 _MIX_FRACTIONS = {"src0": 0.2, "src1": 0.5, "src2": 0.0}
 
 
@@ -811,6 +911,15 @@ def _uniform_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     from sparksketch.decontam import uniform_sample_k
     docs = _T(spark, sf, "documents")
     return uniform_sample_k(docs, "doc_id", 25).select("doc_id", "source")
+
+
+def _bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # BM25 top-10 docs for a fixed 3-term query; idf='ratio' (the BM25 idf
+    # without ln) so the rank key uses only IEEE-exact ops and the oracle
+    # reproduces the ordering bit-for-bit (same rationale as top_terms)
+    from sparksketch.textstats import bm25_topk
+    docs = _T(spark, sf, "documents")
+    return bm25_topk(docs, ["hash", "join", "vector"], k=10)
 
 
 def _top_terms_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1766,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": _lang_id_documents,
         "fingerprint_documents": _fingerprint_documents,
         "stratified_sample_docs": _stratified_sample_docs,
+        "bm25_topk_docs": _bm25_topk_docs,
         "top_terms_docs": _top_terms_docs,
         "quota_sample_docs": _quota_sample_docs,
         "uniform_sample_docs": _uniform_sample_docs,
@@ -1791,6 +1901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_emb": _semantic_dedup_emb,
         # --- product quantization (round 5): compressed ANN, 2-stage query ---
         "pq_adc_topk_emb": _pq_adc_topk_emb,
+        "ivfpq_topk_emb": _ivfpq_topk_emb,
+        "ivfpq_knn_join_emb": _ivfpq_knn_join_emb,
         # event-stream surface
         "sessions_per_user": _sessions_per_user,
         "asof_last_click_value": _asof_last_click_value,
@@ -1998,6 +2110,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(len(embedding)) AS INT) AS dim, TRUE AS ok "
             "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = "
             "(SELECT max(len(embedding)) FROM embeddings)"),
+        "bm25_topk_docs": (
+            "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+            "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "
+            "base AS (SELECT doc_id, t, len(t) AS dl FROM toks), "
+            "st AS (SELECT count(*) AS n, SUM(dl) AS total_len, "
+            "SUM(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) AS df0, "
+            "SUM(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END) AS df1, "
+            "SUM(CASE WHEN list_contains(t, 'vector') THEN 1 ELSE 0 END) AS df2 "
+            "FROM base), "
+            "s AS (SELECT doc_id, 0.0 "
+            "+ ((n - df0 + 0.5) / (df0 + 0.5)) * (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE) * 2.2 "
+            "/ (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n)))) "
+            "+ ((n - df1 + 0.5) / (df1 + 0.5)) * (CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) * 2.2 "
+            "/ (CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n)))) "
+            "+ ((n - df2 + 0.5) / (df2 + 0.5)) * (CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) * 2.2 "
+            "/ (CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n)))) "
+            "AS score FROM base, st) "
+            "SELECT doc_id, round(score, 4) AS score FROM s "
+            "ORDER BY score DESC, doc_id LIMIT 10"),
         "top_terms_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "
@@ -2096,6 +2227,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_points, "
             "CAST(count(*) AS BIGINT) AS n_codes, "
             "TRUE AS descent_ok, TRUE AS recall_ok FROM embeddings"),
+        "ivfpq_topk_emb": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_points, "
+            "CAST(count(*) AS BIGINT) AS n_codes, TRUE AS descent_ok, "
+            "TRUE AS self_ok, TRUE AS recall_ok FROM embeddings"),
+        "ivfpq_knn_join_emb": (
+            "SELECT CAST(q AS BIGINT) AS n_queries, "
+            "CAST(5 * q AS BIGINT) AS n_pairs, "
+            "TRUE AS self_ok, TRUE AS recall_ok FROM "
+            "(SELECT count(*) AS q FROM embeddings WHERE vec_id < 20)"),
         "exact_jaccard_pairs": (
             "WITH t AS (SELECT doc_id, substring(text, 1, 4096) AS t FROM documents), "
             "sh AS (SELECT doc_id, list_distinct(list_transform("

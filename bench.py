@@ -296,6 +296,40 @@ def main() -> int:
     # appear in the shortlist — a smoke-level sanity on the ADC scoring
     assert 0 in [i for i, _ in pq_top]
 
+    # --- IVFPQ (round 5): the 100-TB query path — coarse lists prune the
+    # code scan (n_probe/n_lists of the files via partitionBy + isin) AND
+    # the codes are 32x smaller than the vectors; residual encoding keeps
+    # recall.  Encode is ONE pass (list assign + residual + code).
+    from sparksketch.pq import coarse_centroids_l2, ivfpq_topk, pq_train as _pqt
+    coarse64 = bench("ivfpq_coarse_64", lambda: coarse_centroids_l2(
+        emb4m.sample(fraction=0.004, seed=7), "embedding",
+        n_lists=64, dim=64, seed=11))
+    # residual-codebook train is setup here, not a timed entry — its cost
+    # profile is pq_train_64k's (same pass, one extra GEMM per batch)
+    ipqm = _pqt(emb4m.sample(fraction=0.016, seed=7), "embedding",
+                m_sub=8, k=256, iters=2, seed=7, dim=64, coarse=coarse64)
+    ivfpq_path = os.path.join(DATA_DIR, "ivfpq_codes_4m.parquet")
+    # repartition by list before the partitionBy write: one file per list
+    # instead of one sliver per (task, list) — the layout a 100-TB probe
+    # wants (the 32 MB code shuffle is noise next to the encode)
+    bench("ivfpq_encode_4m", lambda: (
+        pq_encode(emb4m.select("vec_id", "embedding"), "embedding", ipqm,
+                  keep=["vec_id"], coarse=coarse64)
+        .repartition("ivf_list")
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(ivfpq_path)))
+    icodes = spark.read.parquet(ivfpq_path)
+    ivf_top = bench("ivfpq_adc_probe4_4m", lambda: ivfpq_topk(
+        icodes, "vec_id", ipqm, coarse64, qv64, k=10, n_probe=4), repeats=3)
+    assert 0 in [i for i, _ in ivf_top]  # home list is the top probe
+    # batch compressed ANN join: 1000 queries x top-10 in ONE pruned pass
+    # over the code table — each probed list is scanned once for all the
+    # queries probing it (vs 1000 separate jobs for the single-query path)
+    from sparksketch.pq import ivfpq_knn_join
+    qset = emb4m.filter(F.col("vec_id") < 1000).select("vec_id", "embedding")
+    n_batch = bench("ivfpq_knn_join_1k_4m", lambda: ivfpq_knn_join(
+        icodes, "vec_id", ipqm, coarse64, qset, k=10, n_probe=4).count())
+    assert n_batch == 10_000  # every query got a full top-10
+
     # --- round-4 operators ---
     from sparksketch.cbf import cbf_build, cbf_delete, with_cbf_membership
     def cbf_cycle():

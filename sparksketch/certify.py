@@ -11,11 +11,14 @@ round that happened to look.
 
 Conventions audited (the repo's certificate pattern, CLAUDE.md):
 - every query must return at least one row;
-- an ``ok`` boolean must be TRUE on every row;
-- in a certificate (a result carrying ``ok``), the positive-evidence
-  columns (``n_*`` / ``num*`` / ``total*`` / ``count*``) must not be all
-  ≤ 0 — EXCEPT counters whose very point is zero (mismatches, false
-  negatives/positives, violations), which are skipped by name.
+- every certificate boolean — ``ok`` or any ``*_ok`` column (the
+  multi-clause certificates: ``sound_ok``/``descent_ok``/``recall_ok``…)
+  — must be TRUE on every row;
+- in a certificate (a result carrying any such boolean), the
+  positive-evidence columns (``n_*`` / ``num*`` / ``total*`` /
+  ``count*``) must not be all ≤ 0 — EXCEPT counters whose very point is
+  zero (mismatches, false negatives/positives, violations), which are
+  skipped by name.
 """
 
 from __future__ import annotations
@@ -34,9 +37,11 @@ def degeneracy_problems(name: str, rows: list[dict]) -> list[str]:
         return [f"{name}: empty result (vacuous at this SF)"]
     problems = []
     cols = list(rows[0].keys())
-    if "ok" in cols:
-        if not all(bool(r["ok"]) for r in rows):
-            problems.append(f"{name}: certificate ok=False")
+    ok_cols = [c for c in cols if c == "ok" or c.endswith("_ok")]
+    if ok_cols:
+        for oc in ok_cols:
+            if not all(bool(r[oc]) for r in rows):
+                problems.append(f"{name}: certificate {oc}=False")
         for c in cols:
             if not _POSITIVE_EVIDENCE.match(c) or _NEGATIVE_EVIDENCE.search(c):
                 continue

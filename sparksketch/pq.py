@@ -29,6 +29,20 @@ Spark-first shape (the same partial/final discipline as
 Composes with the rest of the ANN family: IVF lists for pruning which
 codes to scan (IVF-ADC), exact rerank of the ADC top-k' against the raw
 vectors for recall (the standard two-stage pipeline).
+
+**IVFPQ** (Jégou et al. 2011 §V, the FAISS ``IndexIVFPQ`` design) is the
+100 TB query path: a coarse L2 quantizer (:func:`coarse_centroids_l2`)
+splits the corpus into ``n_lists`` inverted lists, PQ encodes the
+RESIDUAL ``x − c(x)`` (``pq_train``/``pq_encode`` with ``coarse=``  — one
+extra GEMM in the same Arrow pass, no extra scan), and a query ADC-scans
+only the ``n_probe`` nearest lists with a per-list lookup table built
+from the shifted query ``q − c_l`` (:func:`ivfpq_topk`).  Persisted
+``partitionBy(ivf_list)``, the probe is partition-pruned at the source —
+the scan does ``n_probe/n_lists`` of the I/O and the codes are 32×
+smaller than the vectors, so the two factors multiply.  On a corpus
+exactly representable as ``coarse + atoms`` the ADC distance telescopes
+to the exact squared L2 (``||(q−c) − (x−c)||² == ||q−x||²``) — the
+identity the pytest suite pins.
 """
 
 from __future__ import annotations
@@ -85,6 +99,64 @@ def _assign_subspaces(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     return codes
 
 
+def _assign_l2(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, dim) → int32 nearest-centroid ids under squared L2 (one GEMM;
+    same argmax identity as :func:`_assign_subspaces`)."""
+    scores = mat @ cents.T - 0.5 * np.einsum(
+        "ij,ij->i", cents, cents, dtype=np.float32)
+    return np.argmax(scores, axis=1).astype(np.int32)
+
+
+def _sample_matrix(df: DataFrame, vec_col: str, dim: int, n_take: int,
+                   seed: int, salt: int) -> np.ndarray:
+    """Seeded Bernoulli sample collected driver-side as (n_take, dim)
+    float32 — never ``limit()`` (LocalLimit reads only the first
+    partitions, biasing toward one corner of a sorted/time-clustered
+    table); oversample 1.25× then seeded downselect."""
+    from sparksketch.session import estimated_row_count
+    proj = (df.select(F.col(vec_col).alias("_v"))
+            .filter(F.col("_v").isNotNull() & (F.size("_v") == dim)))
+    n_est = estimated_row_count(df) or df.count()
+    vecs = proj
+    if n_est > n_take:
+        frac = min(1.0, (n_take * 1.25 + 64.0) / n_est)
+        vecs = vecs.sample(fraction=frac, seed=seed)
+    sample = np.array([r[0] for r in vecs.collect()], dtype=np.float32)
+    if sample.shape[0] > n_take:
+        pick = np.random.default_rng((salt, seed)).choice(
+            sample.shape[0], size=n_take, replace=False)
+        sample = sample[np.sort(pick)]
+    return sample
+
+
+def coarse_centroids_l2(df: DataFrame, vec_col: str, n_lists: int = 16,
+                        dim: int | None = None, sample: int = 4096,
+                        iters: int = 10, seed: int = 11) -> np.ndarray:
+    """IVFPQ's coarse quantizer: ``(n_lists, dim)`` float32 L2 k-means
+    centroids from a driver-side sample (maximin init + Lloyd, UNNORMALIZED
+    — PQ's metric is squared L2, unlike :func:`similarity.ivf_centroids`'s
+    cosine).  The expensive part — assigning every vector — stays
+    distributed inside the encode pass."""
+    dim = dim or infer_dim(df, vec_col)
+    mat = _sample_matrix(df, vec_col, dim, sample, seed, salt=0x1F5)
+    X = mat.astype(np.float64)
+    k = min(n_lists, X.shape[0])
+    chosen = [0]
+    d = np.sum((X - X[0]) ** 2, axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, np.sum((X - X[nxt]) ** 2, axis=1))
+    cents = X[chosen].copy()
+    for _ in range(iters):
+        assign = _assign_l2(mat, cents.astype(np.float32))
+        for c in range(cents.shape[0]):
+            members = X[assign == c]
+            if members.shape[0]:
+                cents[c] = members.mean(axis=0)
+    return cents.astype(np.float32)
+
+
 def _maximin_subspace_init(sample: np.ndarray, m_sub: int, k: int) -> np.ndarray:
     """Per-subspace farthest-point init from a driver-side sample — the
     same greedy as similarity.ivf_centroids, under squared L2."""
@@ -109,31 +181,31 @@ def _maximin_subspace_init(sample: np.ndarray, m_sub: int, k: int) -> np.ndarray
 
 def pq_train(df: DataFrame, vec_col: str, m_sub: int = 8, k: int = 256,
              iters: int = 8, seed: int = 11, dim: int | None = None,
-             init_sample: int = 4096, cache: bool = True) -> PQModel:
+             init_sample: int = 4096, cache: bool = True,
+             coarse: np.ndarray | None = None) -> PQModel:
     """Train all ``m_sub`` subspace codebooks jointly (module docstring).
-    ``k`` ≤ 256 (codes are uint8); ``dim`` must divide evenly by ``m_sub``."""
+    ``k`` ≤ 256 (codes are uint8); ``dim`` must divide evenly by ``m_sub``.
+    With ``coarse=`` (an ``(n_lists, dim)`` L2 centroid matrix, see
+    :func:`coarse_centroids_l2`) the codebooks are trained on the IVFPQ
+    RESIDUALS ``x − c(x)`` — the coarse assignment is one extra GEMM inside
+    the same per-iteration Arrow pass, never a materialized column."""
     dim = dim or infer_dim(df, vec_col)
     if dim % m_sub:
         raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
     if k > 256:
         raise ValueError("k > 256 does not fit a uint8 code")
+    if coarse is not None and coarse.shape[1] != dim:
+        raise ValueError(f"coarse dim {coarse.shape[1]} != {dim}")
     dsub = dim // m_sub
 
     # seeded Bernoulli sample for init (same rationale as ivf_centroids:
     # never limit(), which would bias toward the first partitions)
-    from sparksketch.session import estimated_row_count
     proj = (df.select(F.col(vec_col).alias("_v"))
             .filter(F.col("_v").isNotNull() & (F.size("_v") == dim)))
-    n_est = estimated_row_count(df) or df.count()
-    vecs = proj
-    if n_est > init_sample:
-        frac = min(1.0, (init_sample * 1.25 + 64.0) / n_est)
-        vecs = vecs.sample(fraction=frac, seed=seed)
-    sample = np.array([r[0] for r in vecs.collect()], dtype=np.float32)
-    if sample.shape[0] > init_sample:
-        pick = np.random.default_rng((0x709, seed)).choice(
-            sample.shape[0], size=init_sample, replace=False)
-        sample = sample[np.sort(pick)]
+    sample = _sample_matrix(df, vec_col, dim, init_sample, seed, salt=0x709)
+    if coarse is not None:
+        C = coarse.astype(np.float32)
+        sample = sample - C[_assign_l2(sample, C)]
     books = _maximin_subspace_init(sample, m_sub, k)
 
     cached = bool(cache and iters > 1)
@@ -144,7 +216,7 @@ def pq_train(df: DataFrame, vec_col: str, m_sub: int = 8, k: int = 256,
         costs: list[float] = []
         total_n = 0
         for _ in range(iters):
-            rows = _pq_partials_frame(proj, books, dsub).collect()
+            rows = _pq_partials_frame(proj, books, dsub, coarse).collect()
             rows.sort(key=lambda r: r.part)
             S = np.zeros((m_sub, k, dsub), dtype=np.float64)
             counts = np.zeros((m_sub, k), dtype=np.int64)
@@ -166,11 +238,14 @@ def pq_train(df: DataFrame, vec_col: str, m_sub: int = 8, k: int = 256,
     return PQModel(codebooks=books, costs=costs, n=total_n)
 
 
-def _pq_partials_frame(proj: DataFrame, books: np.ndarray, dsub: int) -> DataFrame:
+def _pq_partials_frame(proj: DataFrame, books: np.ndarray, dsub: int,
+                       coarse: np.ndarray | None = None) -> DataFrame:
     """ONE training iteration's sufficient statistics for every subspace:
-    input -> MapInArrow, one row per partition, no Exchange (plan pytest)."""
+    input -> MapInArrow, one row per partition, no Exchange (plan pytest).
+    With ``coarse`` the statistics are over residuals (IVFPQ training)."""
     m_sub, k, _ = books.shape
     B = books.astype(np.float32)
+    C = None if coarse is None else coarse.astype(np.float32)
     dim = m_sub * dsub
 
     def fn(batches):
@@ -185,6 +260,8 @@ def _pq_partials_frame(proj: DataFrame, books: np.ndarray, dsub: int) -> DataFra
             if mat.shape[0] == 0:
                 continue
             n += mat.shape[0]
+            if C is not None:
+                mat = mat - C[_assign_l2(mat, C)]
             codes = _assign_subspaces(mat, B)
             for j in range(m_sub):
                 X = mat[:, j * dsub : (j + 1) * dsub].astype(np.float64)
@@ -208,32 +285,46 @@ def _pq_partials_frame(proj: DataFrame, books: np.ndarray, dsub: int) -> DataFra
 
 def pq_encode(df: DataFrame, vec_col: str, model: PQModel,
               out: str = "pq_code",
-              keep: list[str] | None = None) -> DataFrame:
+              keep: list[str] | None = None,
+              coarse: np.ndarray | None = None,
+              out_list: str = "ivf_list") -> DataFrame:
     """One scan emitting the ``m_sub``-byte code per row (same null/ragged
     guard as the trainer).  ``keep`` limits the passthrough columns — when
     writing a code TABLE, ``keep=[id_col]`` avoids shipping the raw vector
-    back Python→JVM just to drop it (halves the encode's Arrow traffic)."""
+    back Python→JVM just to drop it (halves the encode's Arrow traffic).
+    With ``coarse=`` this is the IVFPQ encode: the same pass also emits the
+    ``out_list`` inverted-list id and the code quantizes the RESIDUAL —
+    write the result ``partitionBy(out_list)`` so probes partition-prune."""
     dim = model.dim
     m_sub = model.m_sub
     B = model.codebooks
+    C = None if coarse is None else coarse.astype(np.float32)
     passthrough = keep if keep is not None else [
         f.name for f in df.schema.fields]
 
     def fn(batches):
         for batch in batches:
             mat = _mat_of(batch.column(vec_col), dim)
+            cols, names = list(batch.columns), list(batch.schema.names)
+            kept = [cols[names.index(c)] for c in passthrough]
+            if C is not None:
+                assign = _assign_l2(mat, C)
+                mat = mat - C[assign]
+                kept.append(pa.array(assign, pa.int32()))
             codes = _assign_subspaces(mat, B)
             raw = codes.tobytes()
+            kept.append(pa.array([raw[i * m_sub:(i + 1) * m_sub]
+                                  for i in range(codes.shape[0])], pa.binary()))
             yield pa.RecordBatch.from_arrays(
-                [*(batch.column(c) for c in passthrough),
-                 pa.array([raw[i * m_sub:(i + 1) * m_sub]
-                           for i in range(codes.shape[0])], pa.binary())],
-                names=[*passthrough, out])
+                kept, names=[*passthrough,
+                             *([out_list] if C is not None else []), out])
 
     guarded = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
     by_name = {f.name: f for f in df.schema.fields}
     schema = ", ".join(f"`{c}` {by_name[c].dataType.simpleString()}"
                        for c in passthrough)
+    if C is not None:
+        schema = f"{schema}, `{out_list}` int"
     return guarded.mapInArrow(fn, f"{schema}, `{out}` binary")
 
 
@@ -295,6 +386,248 @@ def pq_topk(df_encoded: DataFrame, id_col: str, model: PQModel,
     return [(int(i), float(s)) for i, s in rows]
 
 
+def ivfpq_topk(df_encoded: DataFrame, id_col: str, model: PQModel,
+               coarse: np.ndarray, query: np.ndarray, k: int = 10,
+               n_probe: int = 2, code_col: str = "pq_code",
+               list_col: str = "ivf_list") -> list[tuple[int, float]]:
+    """IVFPQ ADC top-k: scan ONLY the ``n_probe`` inverted lists nearest
+    the query (an `isin` filter — a PartitionFilter when the code table is
+    written ``partitionBy(list_col)``), scoring each list's residual codes
+    against its own shifted-query table ``adc(q − c_l)``.  Same
+    per-partition top-k + driver merge shape as :func:`pq_topk`."""
+    q = np.asarray(query, dtype=np.float32)
+    C = coarse.astype(np.float32)
+    d_coarse = np.sum((C.astype(np.float64) - q.astype(np.float64)) ** 2, axis=1)
+    probes = np.argsort(d_coarse, kind="stable")[:n_probe]
+    # (n_probe, m_sub, k) stacked per-list tables + list-id -> row lut
+    T = np.stack([adc_table(model, q - C[l]) for l in probes])
+    lut = np.full(C.shape[0], -1, dtype=np.int64)
+    lut[probes] = np.arange(len(probes))
+    m_sub = model.m_sub
+    sub_ix = np.arange(m_sub)[None, :]
+
+    def fn(batches):
+        best_ids, best_d = [], []
+        for batch in batches:
+            ids = batch.column("_id").to_numpy(zero_copy_only=False)
+            lists = batch.column("_l").to_numpy(zero_copy_only=False)
+            code_arr = batch.column("_c")
+            if isinstance(code_arr, pa.ChunkedArray):
+                code_arr = code_arr.combine_chunks()
+            buf = np.frombuffer(code_arr.buffers()[2], dtype=np.uint8)
+            offs = np.frombuffer(code_arr.buffers()[1], dtype=np.int32)[
+                code_arr.offset : code_arr.offset + len(code_arr) + 1]
+            codes = buf[offs[0]:offs[-1]].reshape(-1, m_sub)
+            rows = lut[lists.astype(np.int64)]
+            d = T[rows[:, None], sub_ix, codes].sum(axis=1)
+            if d.shape[0] > k:
+                part = np.argpartition(d, k)[:k]
+            else:
+                part = np.arange(d.shape[0])
+            best_ids.append(ids[part])
+            best_d.append(d[part])
+        if best_ids:
+            ids = np.concatenate(best_ids)
+            d = np.concatenate(best_d)
+            if ids.shape[0] > k:
+                part = np.argpartition(d, k)[:k]
+                ids, d = ids[part], d[part]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(d.astype(np.float64))],
+                names=["_id", "dist"])
+
+    proj = (df_encoded
+            .filter(F.col(list_col).isin([int(x) for x in probes]))
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(list_col).alias("_l"),
+                    F.col(code_col).alias("_c")))
+    local = proj.mapInArrow(fn, "_id long, dist double").collect()
+    rows = sorted(((r._id, r.dist) for r in local), key=lambda t: (t[1], t[0]))[:k]
+    return [(int(i), float(s)) for i, s in rows]
+
+
+def ivfpq_topk_rerank(df_encoded: DataFrame, vec_col: str, id_col: str,
+                      model: PQModel, coarse: np.ndarray, query: np.ndarray,
+                      k: int = 10, n_probe: int = 2, shortlist: int = 100,
+                      code_col: str = "pq_code",
+                      list_col: str = "ivf_list") -> DataFrame:
+    """Two-stage IVFPQ query: pruned ADC shortlist (:func:`ivfpq_topk`) +
+    exact rerank of only the shortlist rows — the raw-vector reads are
+    ``shortlist/n`` AND the code scan is ``n_probe/n_lists``."""
+    ids = [i for i, _ in ivfpq_topk(df_encoded, id_col, model, coarse, query,
+                                    k=shortlist, n_probe=n_probe,
+                                    code_col=code_col, list_col=list_col)]
+    return _exact_rerank(df_encoded, vec_col, id_col, query, ids, k)
+
+
+def ivfpq_knn_join(df_encoded: DataFrame, id_col: str, model: PQModel,
+                   coarse: np.ndarray, queries: DataFrame,
+                   q_id_col: str = "vec_id", q_vec_col: str = "embedding",
+                   k: int = 10, n_probe: int = 2,
+                   max_queries: int = 100_000, q_block: int = 512,
+                   n_block: int = 8192, code_col: str = "pq_code",
+                   list_col: str = "ivf_list") -> DataFrame:
+    """Batch compressed ANN **join**: every query's ADC top-k over the code
+    table — the IVFPQ counterpart of :func:`similarity.knn_join`, and the
+    scale path past its broadcast gate: the corpus side is never collected,
+    never decompressed, and each inverted list is scanned ONCE for ALL the
+    queries probing it (an ``isin`` over the union of probed lists — a
+    PartitionFilter on a ``partitionBy(ivf_list)`` table).
+
+    Per task: rows are grouped by list; for each (list, query-block) the
+    shifted-query ADC tables are built vectorized (``bq × k × dim`` FLOPs,
+    independent of list length) and codes are scored by ``m_sub`` gathers
+    in ``n_block`` row slabs, maintaining a per-query running top-k with
+    the deterministic ``(dist, id)`` lexicographic tie-break.  Only
+    ``partitions × n_q × k`` candidate rows shuffle; the global winner set
+    is one window pass.  Returns ``(q_id, nb_id, dist)`` — squared L2 in
+    float64, ADC-approximate; feed the ids to an exact rerank join for the
+    two-stage pipeline."""
+    qrows = (queries.select(F.col(q_id_col).cast("long"),
+                            F.col(q_vec_col))
+             .filter(F.col(q_vec_col).isNotNull() &
+                     (F.size(q_vec_col) == model.dim))
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_knn_join broadcasts the query set; got >{max_queries} "
+            "queries — split the query table into blocks this size")
+    spark = df_encoded.sparkSession
+    if not qrows:
+        return spark.createDataFrame([], "q_id long, nb_id long, dist double")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    if len(set(qids.tolist())) != len(qids):
+        raise ValueError("ivfpq_knn_join query ids must be unique")
+    qmat = np.array([r[1] for r in qrows], dtype=np.float32)
+    C = coarse.astype(np.float32)
+    # (nq, n_probe) probed lists per query -> per-list probing-query index
+    d2 = (np.sum(qmat.astype(np.float64) ** 2, axis=1)[:, None]
+          - 2.0 * qmat.astype(np.float64) @ C.astype(np.float64).T
+          + np.sum(C.astype(np.float64) ** 2, axis=1)[None, :])
+    probes = np.argsort(d2, kind="stable", axis=1)[:, :n_probe]
+    by_list: dict[int, np.ndarray] = {
+        int(l): np.flatnonzero((probes == l).any(axis=1))
+        for l in np.unique(probes)}
+    B = model.codebooks
+    m_sub, kcb, dsub = B.shape
+    cb_sq = np.array([np.einsum("ij,ij->i", B[j], B[j]) for j in range(m_sub)],
+                     dtype=np.float32)                       # (m_sub, kcb)
+    bc = spark.sparkContext.broadcast((qids, qmat, by_list))
+    kk = k
+
+    def fn(batches):
+        ids_b, qm, lists_map = bc.value
+        nq = ids_b.shape[0]
+        best_d = np.full((nq, kk), np.inf)
+        best_id = np.full((nq, kk), np.iinfo(np.int64).max, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column("_id").to_numpy(zero_copy_only=False)
+            lvals = batch.column("_l").to_numpy(zero_copy_only=False)
+            code_arr = batch.column("_c")
+            if isinstance(code_arr, pa.ChunkedArray):
+                code_arr = code_arr.combine_chunks()
+            buf = np.frombuffer(code_arr.buffers()[2], dtype=np.uint8)
+            offs = np.frombuffer(code_arr.buffers()[1], dtype=np.int32)[
+                code_arr.offset : code_arr.offset + len(code_arr) + 1]
+            codes = buf[offs[0]:offs[-1]].reshape(-1, m_sub)
+            for l in np.unique(lvals):
+                q_ix = lists_map.get(int(l))
+                if q_ix is None or not q_ix.size:
+                    continue
+                rmask = lvals == l
+                rids = ids[rmask]
+                rcodes = codes[rmask]
+                for q0 in range(0, q_ix.size, q_block):
+                    qs = q_ix[q0 : q0 + q_block]
+                    qres = qm[qs] - C[int(l)]                 # (bq, dim)
+                    T = np.empty((qs.size, m_sub, kcb), dtype=np.float32)
+                    for j in range(m_sub):
+                        Qs = qres[:, j * dsub : (j + 1) * dsub]
+                        T[:, j] = (np.einsum("ij,ij->i", Qs, Qs)[:, None]
+                                   - 2.0 * Qs @ B[j].T + cb_sq[j])
+                    for r0 in range(0, rids.size, n_block):
+                        cs = rcodes[r0 : r0 + n_block]        # (bn, m_sub)
+                        # m_sub (bq, bn) gathers accumulated in float64 —
+                        # never materializes a (bq, bn·m_sub) intermediate
+                        D = np.zeros((qs.size, cs.shape[0]), dtype=np.float64)
+                        for j in range(m_sub):
+                            D += T[:, j, cs[:, j]]
+                        bid = rids[r0 : r0 + n_block]
+                        cand_d = np.concatenate([best_d[qs], D], axis=1)
+                        cand_id = np.concatenate(
+                            [best_id[qs], np.broadcast_to(
+                                bid, (qs.size, bid.size))], axis=1)
+                        order = np.lexsort((cand_id, cand_d), axis=1)[:, :kk]
+                        best_d[qs] = np.take_along_axis(cand_d, order, axis=1)
+                        best_id[qs] = np.take_along_axis(cand_id, order, axis=1)
+        mask = np.isfinite(best_d).ravel()
+        if mask.any():
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(ids_b, kk)[mask]),
+                 pa.array(best_id.ravel()[mask]),
+                 pa.array(best_d.ravel()[mask])],
+                names=["q_id", "nb_id", "dist"])
+
+    probed = sorted(by_list)
+    proj = (df_encoded.filter(F.col(list_col).isin(probed))
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(list_col).alias("_l"),
+                    F.col(code_col).alias("_c")))
+    local = proj.mapInArrow(fn, "q_id long, nb_id long, dist double")
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("q_id").orderBy("dist", "nb_id")
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def ivfpq_knn_join_rerank(df_encoded: DataFrame, corpus: DataFrame,
+                          vec_col: str, id_col: str, model: PQModel,
+                          coarse: np.ndarray, queries: DataFrame,
+                          q_id_col: str = "vec_id",
+                          q_vec_col: str = "embedding",
+                          k: int = 10, n_probe: int = 2,
+                          shortlist: int = 100, **join_kw) -> DataFrame:
+    """Two-stage batch ANN join: the pruned ADC join produces a
+    ``shortlist``-size candidate set per query (codes only), then the exact
+    squared L2 is computed for just those ``n_q × shortlist`` pairs — a
+    declarative join of the candidate ids against the raw-vector table
+    (AQE picks the strategy; the corpus side is touched only for shortlist
+    rows) + one window top-k.  Returns exact-arithmetic ``(q_id, nb_id,
+    dist)`` — recall approaches exact search while the full scans stay on
+    the 32×-smaller pruned code table."""
+    cand = ivfpq_knn_join(df_encoded, id_col, model, coarse, queries,
+                          q_id_col=q_id_col, q_vec_col=q_vec_col,
+                          k=shortlist, n_probe=n_probe, **join_kw)
+    c_side = corpus.select(F.col(id_col).cast("long").alias("nb_id"),
+                           F.col(vec_col).cast("array<double>").alias("_cv"))
+    q_side = queries.select(F.col(q_id_col).cast("long").alias("q_id"),
+                            F.col(q_vec_col).cast("array<double>").alias("_qv"))
+    d = F.aggregate(F.zip_with("_qv", "_cv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v)
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("q_id").orderBy("dist", "nb_id")
+    return (cand.select("q_id", "nb_id")
+            .join(c_side, "nb_id").join(q_side, "q_id")
+            .select("q_id", "nb_id", d.alias("dist"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def _exact_rerank(df: DataFrame, vec_col: str, id_col: str,
+                  query: np.ndarray, ids: list[int], k: int) -> DataFrame:
+    """Exact squared-L2 top-k over a candidate-id subset (JVM expressions,
+    TakeOrdered plan) — the shared second stage of both rerank pipelines."""
+    q = np.asarray(query, dtype=np.float64)
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), qarr,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (df.filter(F.col(id_col).isin(ids))
+            .select(F.col(id_col), dist.alias("dist"))
+            .orderBy("dist", id_col).limit(k))
+
+
 def pq_topk_rerank(df_encoded: DataFrame, vec_col: str, id_col: str,
                    model: PQModel, query: np.ndarray, k: int = 10,
                    shortlist: int = 100,
@@ -308,12 +641,4 @@ def pq_topk_rerank(df_encoded: DataFrame, vec_col: str, id_col: str,
     expressions, TakeOrdered plan)."""
     ids = [i for i, _ in pq_topk(df_encoded, id_col, model, query,
                                  k=shortlist, code_col=code_col)]
-    q = np.asarray(query, dtype=np.float64)
-    qarr = F.array(*[F.lit(float(x)) for x in q])
-    dist = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"), qarr,
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, v: acc + v)
-    return (df_encoded.filter(F.col(id_col).isin(ids))
-            .select(F.col(id_col), dist.alias("dist"))
-            .orderBy("dist", id_col).limit(k))
+    return _exact_rerank(df_encoded, vec_col, id_col, query, ids, k)

@@ -9,6 +9,8 @@ oracle can reproduce it (see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame
@@ -351,3 +353,54 @@ def top_terms(df: DataFrame, col: str = "text", id_col: str = "doc_id",
             .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "df",
                     F.round("_score", 4).alias("score"),
                     F.col("_rn").cast("int").alias("rank")))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], col: str = "text",
+              id_col: str = "doc_id", k: int = 10, k1: float = 1.2,
+              b: float = 0.75, idf: str = "ratio") -> DataFrame:
+    """BM25 retrieval scoring (Robertson & Zaragoza 2009) of every document
+    against a FIXED small query-term set — the ranked-retrieval primitive a
+    training pipeline uses for query-based filtering and targeted
+    decontamination.  Returns the top-``k`` ``(doc_id, score)`` by
+    ``score = Σ_t idf(t) · tf_t·(k1+1) / (tf_t + k1·(1−b+b·len/avglen))``.
+
+    ``idf='ratio'`` scores ``(N−df+0.5)/(df+0.5)`` (the BM25 idf without
+    the ``ln``) — same rationale as :func:`top_terms`: +,·,/ are
+    IEEE-exactly specified, so ranking cannot flip between engines;
+    ``idf='log'`` is the textbook ``ln(1 + ratio)``.  Terms are the
+    same lowercased whitespace tokens as every other textstats operator.
+
+    Plan shape (the 100-TB story): query terms are literals in the
+    expression tree, never a table.  Pass 1 — ONE map-side-combined
+    aggregate row (N, Σlen, per-term document frequency via
+    ``array_contains``).  Pass 2 — per-doc score entirely in whole-stage
+    codegen (``size(filter(tokens, = t))`` per term, a fixed-size chain of
+    +,·,/), then a TakeOrdered top-k.  No explode, no shuffle wider than
+    the single stats row and partitions×k winners."""
+    if idf not in ("ratio", "log"):
+        raise ValueError(f"idf must be 'ratio' or 'log', got {idf!r}")
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = tokens_col(F.lower(F.col(col)))
+    base = df.select(F.col(id_col), toks.alias("_t"),
+                     F.size(toks).alias("_dl"))
+    stats = base.agg(
+        F.count("*").alias("n"), F.sum("_dl").alias("total_len"),
+        *[F.sum(F.array_contains("_t", t).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(terms)]).first()
+    n = int(stats.n)
+    avglen = float(stats.total_len) / n if n else 1.0
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        dft = int(stats[f"df_{i}"])
+        ratio = (n - dft + 0.5) / (dft + 0.5)
+        w = ratio if idf == "ratio" else math.log1p(ratio)
+        tf = F.size(F.filter("_t", lambda x: x == F.lit(t))).cast("double")
+        score = score + F.lit(float(w)) * (
+            tf * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col("_dl").cast("double")
+                                 / F.lit(avglen))))
+    return (base.select(F.col(id_col), F.round(score, 4).alias("score"))
+            .orderBy(F.desc("score"), id_col).limit(k))

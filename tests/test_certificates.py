@@ -39,6 +39,9 @@ def test_degeneracy_checker_positive_controls():
     assert degeneracy_problems("q", [])  # empty
     assert degeneracy_problems("q", [{"ok": False, "n_x": 3}])
     assert degeneracy_problems("q", [{"ok": True, "n_pairs": 0}])
+    # suffixed certificate booleans (sound_ok/recall_ok/...) count too
+    assert degeneracy_problems("q", [{"recall_ok": False, "n_x": 3}])
+    assert degeneracy_problems("q", [{"descent_ok": True, "n_codes": 0}])
     # zero-by-design counters are exempt; healthy rows pass
     assert not degeneracy_problems(
         "q", [{"ok": True, "n_media": 5, "n_mismatch": 0,

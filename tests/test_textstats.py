@@ -178,3 +178,59 @@ def test_scrub_pii_linear_on_pathological_runs(spark):
     assert time.time() - t0 < 20          # was multi-minute per row before
     assert got[0].s.endswith(" end <EMAIL> <PHONE>")
     assert "z" * (1 << 20) in got[0].s     # the run itself is untouched
+
+
+def test_bm25_matches_hand_computation(spark):
+    from sparksketch.textstats import bm25_topk
+    docs = [(0, "hash join hash"), (1, "vector scan"), (2, "join"),
+            (3, "the quick fox"), (4, "hash hash hash hash")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in
+           bm25_topk(df, ["hash", "join"], k=5).collect()}
+    # reference computation in plain python (same ratio idf, k1/b defaults)
+    n, lens = 5, [3, 2, 1, 3, 4]
+    avg = sum(lens) / n
+    tf = {"hash": [2, 0, 0, 0, 4], "join": [1, 0, 1, 0, 0]}
+    dfreq = {"hash": 2, "join": 2}
+    for d in range(5):
+        want = 0.0
+        for t in ("hash", "join"):
+            w = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            x = float(tf[t][d])
+            want += w * (x * 2.2 / (x + 1.2 * (0.25 + 0.75 * lens[d] / avg)))
+        if d in got:
+            assert abs(got[d] - round(want, 4)) < 1e-9
+    # ranking: doc 4 (4x hash, short) beats doc 0 (2 hash + 1 join)?
+    # both idfs equal here, so just assert the top doc is the true argmax
+    best = max(range(5), key=lambda d: sum(
+        (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+        * (tf[t][d] * 2.2 / (tf[t][d] + 1.2 * (0.25 + 0.75 * lens[d] / avg)))
+        for t in ("hash", "join")))
+    top = bm25_topk(df, ["hash", "join"], k=1).first()
+    assert top.doc_id == best
+
+
+def test_bm25_log_idf_and_validation(spark):
+    import pytest as _pt
+    from sparksketch.textstats import bm25_topk
+    df = spark.createDataFrame(
+        [(0, "rare term here"), (1, "common common"), (2, "common")],
+        "doc_id long, text string")
+    got = bm25_topk(df, ["rare"], k=3, idf="log").collect()
+    assert got[0].doc_id == 0 and got[0].score > 0
+    with _pt.raises(ValueError, match="at least one"):
+        bm25_topk(df, [])
+    with _pt.raises(ValueError, match="idf"):
+        bm25_topk(df, ["x"], idf="bad")
+
+
+def test_bm25_plan_is_jvm_only(spark):
+    """Both passes stay in whole-stage codegen: zero Python evals, and the
+    winner selection is a TakeOrdered, not a global sort."""
+    from sparksketch.plans import plan_digest
+    from sparksketch.textstats import bm25_topk
+    df = spark.createDataFrame(
+        [(i, "hash join scan") for i in range(64)], "doc_id long, text string")
+    digest = plan_digest(bm25_topk(df, ["hash", "scan"], k=5))
+    assert digest.n_python_evals == 0
+    assert digest.has_take_ordered
