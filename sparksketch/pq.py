@@ -345,7 +345,14 @@ def pq_topk(df_encoded: DataFrame, id_col: str, model: PQModel,
             code_col: str = "pq_code") -> list[tuple[int, float]]:
     """ADC top-k nearest (smallest approximate squared L2): per-partition
     table-lookup scoring + local top-k, driver merge of partitions × k —
-    no shuffle, no per-candidate FLOPs, codes never decompressed."""
+    no shuffle, no per-candidate FLOPs, codes never decompressed.
+
+    The returned list is ordered canonically by ``(dist, id)``; when
+    EQUAL distances tie at the k boundary (identical codes), which of the
+    tied ids survives follows the partition layout — deterministic for a
+    fixed input partitioning, same bar as every driver-merge operator
+    here (the rerank stage re-ranks exactly, so two-stage results don't
+    inherit the caveat)."""
     table = adc_table(model, query)
     m_sub = model.m_sub
 
