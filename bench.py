@@ -214,6 +214,15 @@ def main() -> int:
     hh = bench("heavy_hitters_hosts", lambda: heavy_hitters(hosts, "h", k=16))
     extras["heavy_hitters_top3"] = [k for k, _ in hh.topk(3)]
 
+    # --- BM25 ranked retrieval over the full 500k-page corpus ---
+    # two codegen scans (stats row + scoring) + TakeOrdered; terms are
+    # expression literals, never a table
+    from sparksketch.textstats import bm25_topk
+    bm25 = bench("bm25_topk_500k", lambda: bm25_topk(
+        wp, ["work", "time", "men"], col="text", id_col="url",
+        k=10).collect())
+    assert len(bm25) == 10 and all(r.score > 0 for r in bm25)
+
     # --- dedup-cluster resolution (alternating star CC) ---
     from sparksketch.dedup import connected_components
     n_cc = int(2_000_000 * SF)
