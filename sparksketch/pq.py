@@ -43,6 +43,12 @@ smaller than the vectors, so the two factors multiply.  On a corpus
 exactly representable as ``coarse + atoms`` the ADC distance telescopes
 to the exact squared L2 (``||(q−c) − (x−c)||² == ||q−x||²``) — the
 identity the pytest suite pins.
+
+Streaming ingest needs no extra operator: ``pq_encode`` is a stateless
+Arrow transform, so it applies unchanged to a ``readStream`` frame, and
+``writeStream.partitionBy("ivf_list")`` maintains the same pruned code
+table the batch probes scan (pytest: 3-micro-batch file stream ==
+batch encode, row-for-row).
 """
 
 from __future__ import annotations

@@ -367,3 +367,45 @@ def test_stream_range_join_guards(spark):
     df = spark.readStream.format("rate").load()  # has timestamp, value
     with pytest.raises(ValueError, match="positive"):
         stream_range_join(df, df, "value", "timestamp", "timestamp", 0)
+
+
+def test_stream_pq_encode_matches_batch(spark, tmp_path):
+    """Streaming ANN ingest needs no new operator: pq_encode (with or
+    without the IVFPQ coarse stage) is a stateless Arrow transform, so it
+    applies unchanged to a readStream frame; writeStream.partitionBy(
+    'ivf_list') maintains the same pruned code-table layout the batch
+    probes scan.  Pins: a 3-micro-batch file stream produces EXACTLY the
+    batch encode's rows (same codes, same list assignment, all rows)."""
+    import numpy as np
+
+    from sparksketch.pq import coarse_centroids_l2, pq_encode, pq_train
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(90, 16)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = str(tmp_path / "src")
+    for b in range(3):  # one file per micro-batch
+        (df.filter((F.col("vec_id") % 3) == b).coalesce(1)
+         .write.mode("append").parquet(src))
+    coarse = coarse_centroids_l2(df, "embedding", n_lists=4, seed=11)
+    model = pq_train(df, "embedding", m_sub=4, k=8, iters=4, seed=3,
+                     coarse=coarse)
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "codes")
+    q = (pq_encode(stream, "embedding", model, coarse=coarse,
+                   keep=["vec_id"])
+         .writeStream.format("parquet").partitionBy("ivf_list")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.vec_id: (r.ivf_list, bytes(r.pq_code))
+           for r in spark.read.parquet(out).collect()}
+    want = {r.vec_id: (r.ivf_list, bytes(r.pq_code))
+            for r in pq_encode(df, "embedding", model, coarse=coarse,
+                               keep=["vec_id"]).collect()}
+    assert got == want and len(got) == 90
