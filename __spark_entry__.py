@@ -43,7 +43,7 @@ from sparksketch.dedup import (
     simhash,
     simhash_candidates,
 )
-from sparksketch.hll import HLL, hll_by_group, hll_distinct
+from sparksketch.hll import HLL, HLL_SEED, hll_by_group, hll_distinct
 from sparksketch.kll import kll_build
 from sparksketch.sketch import estimate_col
 from sparksketch.similarity import cosine_topk_df, embedding_near_dup_pairs
@@ -147,6 +147,38 @@ def _hll_users_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", "n_exact",
         (F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact") <= tol).alias("hll_ok"),
     )
+
+
+def _hll_cube_daily_users(spark: SparkSession, sf: str) -> DataFrame:
+    # Materialized sketch-table pattern: ONE HLL state per (event_type, day)
+    # cell, then a 10-day range query answered by MERGING the matching blobs
+    # (sketch.rollup_states) — never rescanning the fact table.  At 100 TB
+    # the cube is built once per ingest; every later slice/range distinct
+    # query reads kilobyte blobs.  Certificate: the rolled-up state is
+    # BYTE-IDENTICAL to a direct build over the equivalent fact slice
+    # (register-max merge law ⇒ grouping is associative), and the estimate
+    # sits within the published HLL band of the exact distinct.
+    from sparksketch.sketch import rollup_states, sketch_cube
+    ev = _T(spark, sf, "events").withColumn("day", F.to_date("ts").cast("string"))
+    p = 13
+    hll = lambda pid: HLL(p)
+    lo, hi = "2024-01-05", "2024-01-14"
+    cube = sketch_cube(ev, ["event_type", "day"], "user_id", hll, seeds=(HLL_SEED,))
+    rolled = rollup_states(cube.filter(F.col("day").between(lo, hi)),
+                           ["event_type"], HLL, hll)
+    sel = ev.filter(F.col("day").between(lo, hi))
+    direct = (hll_by_group(sel, "event_type", "user_id", p=p)
+              .select(F.col("group").alias("dgroup"), F.col("state").alias("dstate")))
+    exact = sel.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    tol = 3 * HLL(p).rel_error()
+    est = estimate_col(HLL)("state")
+    return (exact
+            .join(rolled, "event_type")
+            .join(direct, F.col("event_type") == F.col("dgroup"))
+            .select("event_type", "n_exact",
+                    (F.col("state") == F.col("dstate")).alias("merge_ok"),
+                    (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= tol)
+                    .alias("hll_ok")))
 
 
 def _hll_distinct_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1849,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # companion sketches
         "hll_users_by_event_type": _hll_users_by_event_type,
         "hll_distinct_docs": _hll_distinct_docs,
+        # sketch cube / rollup state tables (new in round 5)
+        "hll_cube_daily_users": _hll_cube_daily_users,
         "cms_source_counts": _cms_source_counts,
         "cms_returnflag_counts": _cms_returnflag_counts,
         "tdigest_value_quantiles": _tdigest_value_quantiles,
@@ -2044,6 +2078,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_event_type": ("SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
                                     "TRUE AS hll_ok FROM events GROUP BY event_type"),
         "hll_distinct_docs": "SELECT COUNT(DISTINCT text) AS n_exact, TRUE AS hll_ok FROM documents",
+        "hll_cube_daily_users": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, "
+            "TRUE AS merge_ok, TRUE AS hll_ok FROM events "
+            "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-14' "
+            "GROUP BY event_type"),
         "cms_source_counts": "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
         "cms_returnflag_counts": ("SELECT l_returnflag, count(*) AS cnt FROM lineitem "
                                   "GROUP BY l_returnflag"),

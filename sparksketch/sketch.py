@@ -212,6 +212,85 @@ def sketch_by_group(df: DataFrame, group_col: str, col: str, factory: Callable, 
     return grouped.applyInPandas(merge_group, _GROUP_STATE_SCHEMA)
 
 
+_CUBE_SEP = "\x1f"  # ASCII unit separator — dims must not contain it (doc'd)
+
+
+def sketch_cube(df: DataFrame, dims: list[str], col: str, factory: Callable, *,
+                seeds: tuple[int, ...] | None = None, numeric: bool = False,
+                keyed: bool = False, weight_col: str | None = None) -> DataFrame:
+    """One sketch state per combination of ``dims`` — the materialized
+    sketch-table pattern.  Persist the result (``sources.write_table``) and
+    later answer *any* slice/range query by merging the handful of matching
+    states (:func:`rollup_states`) instead of rescanning the fact table:
+    at 100 TB, a "distinct users for event_type X over days [a, b]" becomes
+    a read of ≤ ``b−a+1`` kilobyte-sized blobs, not a fact scan.
+
+    The merge laws make this EXACT with respect to a direct build: HLL
+    (register max), CMS (counter add), Theta (bottom-k union) and AMS
+    (counter add) states rolled up from the cube are **byte-identical** to
+    a sketch built directly over the equivalent fact slice (verified in
+    tests); t-digest/KLL rollups are within the sketch's published bound
+    (compression is order-dependent, estimates are not materially so).
+
+    Same skew-robust shape as :func:`sketch_by_group` (the cube cell is the
+    group): map-side partials per scan partition, one blob shuffle.
+    Dim values are cast to string in the output; rows with a NULL in any
+    dim are dropped (GROUP BY over sketches, same rule as the group path).
+    Dim values must not contain U+001F (the internal separator).
+
+    Returns DataFrame ``(*dims string..., state binary)``.
+    """
+    if not dims:
+        raise ValueError("sketch_cube needs at least one dim; use build_sketch for a global sketch")
+    proj = df
+    for d in dims:
+        proj = proj.filter(F.col(d).isNotNull())
+    combo = F.concat_ws(_CUBE_SEP, *[F.col(d).cast("string") for d in dims])
+    states = sketch_by_group(proj.withColumn("_cube_key", combo), "_cube_key", col,
+                             factory, seeds=seeds, numeric=numeric, keyed=keyed,
+                             weight_col=weight_col)
+    parts = F.split(F.col("group"), _CUBE_SEP, len(dims))
+    return states.select(*[parts[i].alias(d) for i, d in enumerate(dims)],
+                         F.col("state"))
+
+
+def rollup_states(states: DataFrame, keep: list[str], cls, factory: Callable,
+                  state_col: str = "state") -> DataFrame | object:
+    """Collapse a sketch-state table along dimensions by merging blobs.
+
+    ``keep`` names the dimension columns to retain (their types are
+    preserved); every other column is rolled away.  ``keep=[]`` folds the
+    whole table into ONE sketch object (driver-side, via
+    :func:`fold_states`).  Filter the state table first to answer range
+    queries::
+
+        day_states = sketch_cube(events, ["event_type", "day"], "user_id", hll)
+        week = rollup_states(day_states.filter(F.col("day").between(a, b)),
+                             ["event_type"], HLL, hll)
+
+    The shuffle moves only blobs — one row per retained cell per input cell.
+    """
+    if not keep:
+        return fold_states(states.select(state_col), cls, factory)
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    out_schema = StructType([states.schema[c] for c in keep]
+                            + [StructField(state_col, BinaryType())])
+
+    def merge_cell(pdf):
+        import pandas as pd
+        acc = None
+        for blob in pdf[state_col]:
+            nxt = cls.from_bytes(bytes(blob))
+            acc = nxt if acc is None else acc.merge(nxt)
+        row = {c: [pdf[c].iloc[0]] for c in keep}
+        row[state_col] = [acc.to_bytes()]
+        return pd.DataFrame(row)
+
+    return states.groupBy(*keep).applyInPandas(merge_cell, out_schema)
+
+
 def estimate_col(cls, method: str = "estimate", args: tuple = (), dtype: str = "double"):
     """A pandas UDF turning a state-blob column into an estimate column."""
     @F.pandas_udf(dtype)
