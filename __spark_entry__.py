@@ -270,6 +270,18 @@ def _kgram_dup_stats_docs(spark: SparkSession, sf: str) -> DataFrame:
                            k=24, gram_key="exact")
 
 
+def _set_sim_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # EXACT token-set Jaccard self-join at τ=0.8 via prefix filtering
+    # (rarest-first global token order), reduced to per-document neighbor
+    # accounting (linear output) — the oracle recomputes the full
+    # token-equi-join ground truth, so any pair the prefix filter missed
+    # would hash-mismatch; integer cross-multiplied threshold (τ‰·union)
+    # keeps the boundary engine-exact
+    from sparksketch.dedup import set_sim_doc_stats
+    return set_sim_doc_stats(_T(spark, sf, "documents"), "text", "doc_id",
+                             threshold=0.8)
+
+
 def _token_counts(spark: SparkSession, sf: str) -> DataFrame:
     docs = _T(spark, sf, "documents")
     return docs.select("doc_id", token_count("text").alias("n_tokens"))
@@ -1892,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _dedup_exact_documents,
         "shared_kgram_docs": _shared_kgram_docs,
         "kgram_dup_stats_docs": _kgram_dup_stats_docs,
+        "set_sim_docs": _set_sim_docs,
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_docs": _simhash_docs,
         "exact_jaccard_pairs": _exact_jaccard_pairs,
@@ -2535,6 +2548,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pd.doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
             "CAST(n_grams - coalesce(n_wins, 0) AS BIGINT) AS n_dup_grams "
             "FROM pd LEFT JOIN wd USING (doc_id)"),
+        "set_sim_docs": (
+            # full token-equi-join ground truth (no prefix filter): the
+            # Spark side's filtered plan must reproduce it exactly
+            "WITH d AS (SELECT doc_id, list_distinct(CASE WHEN trim(text) = '' "
+            "THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS ts "
+            "FROM documents), "
+            "n AS (SELECT doc_id, len(ts) AS n FROM d WHERE len(ts) > 0), "
+            "t AS (SELECT doc_id, unnest(ts) AS tok FROM d), "
+            "pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter "
+            "FROM t a JOIN t b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "j AS (SELECT ia, ib, CAST(inter AS BIGINT) AS inter "
+            "FROM pr JOIN n na ON na.doc_id = ia JOIN n nb ON nb.doc_id = ib "
+            "WHERE inter * 1000 >= 800 * (na.n + nb.n - inter)), "
+            "bi AS (SELECT ia AS doc_id, inter FROM j "
+            "UNION ALL SELECT ib, inter FROM j) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors, "
+            "CAST(sum(inter) AS BIGINT) AS sum_inter FROM bi GROUP BY doc_id"),
         "decode_media_features": (
             # the generator emits one PGM per even doc_id and one WAV per
             # odd; decode mismatches against carried ground truth pin to 0

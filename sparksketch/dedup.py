@@ -734,3 +734,112 @@ def paragraph_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                     "n_paras",
                     (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0)))
                     .cast("long").alias("n_removed")))
+
+
+# ====================================================================
+# exact set-similarity join (prefix filtering)
+# ====================================================================
+
+def token_sets(df: DataFrame, col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """``(_id, _ts, _n)`` — the distinct lowercased whitespace tokens of
+    each document (the same tokenization as every textstats operator) plus
+    the set size; empty token sets are dropped (they can match nothing)."""
+    from sparksketch.textstats import tokens_col
+    ts = F.array_distinct(tokens_col(F.lower(F.col(col))))
+    return (df.select(F.col(id_col).cast("long").alias("_id"), ts.alias("_ts"))
+            .filter(F.size("_ts") > 0)
+            .withColumn("_n", F.size("_ts").cast("long")))
+
+
+def set_sim_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.8) -> DataFrame:
+    """EXACT token-set-similarity self-join: every document pair whose
+    distinct-token Jaccard is ≥ ``threshold``, via prefix filtering
+    (Chaudhuri et al. 2006 SSJoin / Bayardo et al. 2007 AllPairs) — the
+    exact counterpart of :func:`minhash_dedup_pairs`, with no candidate the
+    filter is allowed to miss.
+
+    Plan shape (linear scans + key shuffles; the only quadratic term is the
+    true result size):
+
+    1. distinct tokens per doc (JVM ``array_distinct`` over the shared
+       whitespace tokenizer);
+    2. a document-frequency pass (map-side-combinable ``groupBy(token)``)
+       gives the canonical global token order **rarest-first** — prefix
+       tokens are by construction the lowest-fanout join keys;
+    3. per-doc ordering by ``(df, token)`` (one window sort per doc group —
+       no hot keys: group size = tokens/doc) keeps only the **prefix**:
+       the first ``n − ⌈τ·n⌉ + 1`` tokens.  Two sets with Jaccard ≥ τ must
+       overlap by ≥ ⌈τ·max(n_a, n_b)⌉ tokens, so their prefixes must share
+       at least one token (pigeonhole); using the longer "probe" prefix on
+       both sides is a superset of AllPairs' asymmetric scheme, hence
+       complete — a brute-force pytest and the driver's full-join DuckDB
+       oracle both re-prove it;
+    4. candidates = prefix-token self-equi-join with ``id_a < id_b`` and the
+       length filter ``τ·n_a ≤ n_b ≤ n_a/τ``, deduped;
+    5. exact verification joins the candidate pairs back to the full token
+       arrays: ``inter = size(array_intersect)``,
+       ``union = n_a + n_b − inter``.
+
+    The threshold is quantized to 1/1000 and compared by **integer
+    cross-multiplication** (``inter·1000 ≥ τ‰·union``) — no float boundary
+    can disagree between engines.  Returns
+    ``(id_a, id_b, n_inter, n_union)``, all BIGINT; Jaccard is the caller's
+    exact ratio ``n_inter / n_union``.
+
+    100 TB notes: everything shuffles (token, id) pairs or candidate id
+    pairs, never text; rarest-first ordering keeps prefix buckets small on
+    natural corpora, but a boilerplate corpus where *every* pair truly
+    exceeds τ has a quadratic RESULT — cap that with a higher τ or use the
+    banded :func:`minhash_dedup_pairs` screen first.  Reference parity:
+    the reference has no set-similarity join (filter.rs is membership
+    only); this is pipeline surface beyond it.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql.window import Window
+    tau = int(round(threshold * 1000))
+    d = token_sets(df, col, id_col)
+    t = d.select("_id", "_n", F.explode("_ts").alias("_tok"))
+    freq = t.groupBy("_tok").agg(F.count("*").alias("_df"))
+    tf = t.join(freq, "_tok")
+    w = Window.partitionBy("_id").orderBy("_df", "_tok")
+    # prefix length p = n − ceil(τ·n/1000) + 1, all-integer arithmetic
+    p = F.col("_n") - F.expr(f"(({tau} * _n + 999) div 1000)") + F.lit(1)
+    prefix = (tf.withColumn("_pos", F.row_number().over(w))
+              .filter(F.col("_pos") <= p)
+              .select("_tok", "_id", "_n"))
+    a = prefix.select("_tok", F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    b = prefix.select("_tok", F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    cand = (a.join(b, "_tok")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.col("_nb") * 1000 >= F.col("_na") * tau)
+                    & (F.col("_na") * 1000 >= F.col("_nb") * tau))
+            .select("id_a", "id_b").distinct())
+    fa = d.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_tsa"),
+                  F.col("_n").alias("_na"))
+    fb = d.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_tsb"),
+                  F.col("_n").alias("_nb"))
+    ver = cand.join(fa, "id_a").join(fb, "id_b")
+    inter = F.size(F.array_intersect("_tsa", "_tsb")).cast("long")
+    return (ver.withColumn("n_inter", inter)
+            .withColumn("n_union", (F.col("_na") + F.col("_nb") - inter).cast("long"))
+            .filter(F.col("n_inter") * 1000 >= F.col("n_union") * F.lit(tau))
+            .select("id_a", "id_b", "n_inter", "n_union"))
+
+
+def set_sim_doc_stats(df: DataFrame, col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold: float = 0.8) -> DataFrame:
+    """Per-document exact near-neighbor accounting over
+    :func:`set_sim_pairs` — the linear-output corpus-scale form (one row
+    per document that has ≥1 similar neighbor): ``(doc_id, n_neighbors,
+    sum_inter)``.  This is the number a dedup policy acts on ("drop docs
+    with > k τ-similar peers"), without materializing the pair list."""
+    pairs = set_sim_pairs(df, col, id_col, threshold)
+    both = (pairs.select(F.col("id_a").alias("doc_id"), "n_inter")
+            .unionAll(pairs.select(F.col("id_b").alias("doc_id"), "n_inter")))
+    return (both.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_neighbors"),
+                 F.sum("n_inter").cast("long").alias("sum_inter")))

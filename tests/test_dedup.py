@@ -386,3 +386,77 @@ def test_kgram_exact_mode_rejects_sampling(spark):
     df = spark.createDataFrame([(1, "abcdefghij" * 10)], "doc_id long, text string")
     with _pytest.raises(ValueError, match="sample_mod > 1 requires"):
         kgram_dup_stats(df, "text", "doc_id", gram_key="exact", sample_mod=8)
+
+
+# ---------------------------------------------------------------- set-sim join
+
+def _brute_set_sim(rows, threshold):
+    """All-pairs exact token-set Jaccard via Python sets (the spec)."""
+    import re
+    tau = round(threshold * 1000)
+    sets = {}
+    for i, text in rows:
+        toks = set(re.split(r"\s+", text.strip().lower())) if text.strip() else set()
+        if toks:
+            sets[i] = toks
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            union = len(a | b)
+            if inter * 1000 >= tau * union:
+                out.add((ids[x], ids[y], inter, union))
+    return out
+
+
+def test_set_sim_pairs_matches_bruteforce(spark):
+    from sparksketch.dedup import set_sim_pairs
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(1, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    rows += [(100, ""), (101, "   "),                      # empty sets drop
+             (102, "alpha beta gamma"), (103, "Alpha  BETA gamma"),  # identical after norm
+             (104, "alpha beta delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for tau in (0.5, 0.8, 1.0):
+        got = {tuple(r) for r in set_sim_pairs(df, "text", "doc_id", tau).collect()}
+        exp = _brute_set_sim(rows, tau)
+        assert got == exp, f"tau={tau}: {len(got)} vs {len(exp)}"
+    # the normalized-identical pair is found at tau=1.0
+    got1 = {tuple(r)[:2] for r in set_sim_pairs(df, "text", "doc_id", 1.0).collect()}
+    assert (102, 103) in got1
+
+
+def test_set_sim_threshold_boundary_is_integer_exact(spark):
+    # 3-of-5 tokens shared: J = 3/7 ≈ 0.42857 — in at τ=0.428, out at τ=0.429
+    from sparksketch.dedup import set_sim_pairs
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")], "doc_id long, text string")
+    assert set_sim_pairs(df, threshold=0.428).count() == 1
+    assert set_sim_pairs(df, threshold=0.429).count() == 0
+
+
+def test_set_sim_doc_stats(spark):
+    from sparksketch.dedup import set_sim_doc_stats
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c d"), (4, "zz qq")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_neighbors"], r["sum_inter"])
+            for r in set_sim_doc_stats(df, threshold=0.7).collect()}
+    # 1-2 identical (J=1), 1-3 and 2-3 J=3/4 ≥ 0.7; doc 4 isolated
+    assert rows == {1: (2, 6), 2: (2, 6), 3: (2, 6)}
+
+
+def test_set_sim_pairs_rejects_bad_threshold(spark):
+    from sparksketch.dedup import set_sim_pairs
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        set_sim_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        set_sim_pairs(df, threshold=1.5)
