@@ -966,6 +966,16 @@ def _bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(docs, ["hash", "join", "vector"], k=10)
 
 
+def _lm_bigram_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # self-trained MLE bigram LM score per document (the perplexity-style
+    # quality filter), engine-exact: each bigram position contributes the
+    # integer cell (1e6·c_ab) div c_a (Spark `div` ≡ DuckDB `//` on
+    # non-negative longs) and the doc score is a BIGINT sum — no ln, no
+    # order-dependent float accumulation
+    from sparksketch.textstats import lm_bigram_score
+    return lm_bigram_score(_T(spark, sf, "documents"), "text", "doc_id")
+
+
 def _top_terms_docs(spark: SparkSession, sf: str) -> DataFrame:
     # per-doc top-3 distinguishing terms; idf='ratio' so the rank key uses
     # only IEEE-exact ops (*, /) and cross-engine ranking cannot flip
@@ -1923,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _fingerprint_documents,
         "stratified_sample_docs": _stratified_sample_docs,
         "bm25_topk_docs": _bm25_topk_docs,
+        "lm_bigram_docs": _lm_bigram_docs,
         "top_terms_docs": _top_terms_docs,
         "quota_sample_docs": _quota_sample_docs,
         "uniform_sample_docs": _uniform_sample_docs,
@@ -2181,6 +2192,24 @@ def oracle_sql() -> dict[str, str]:
             "AS score FROM base, st) "
             "SELECT doc_id, round(score, 4) AS score FROM s "
             "ORDER BY score DESC, doc_id LIMIT 10"),
+        "lm_bigram_docs": (
+            # full MLE bigram model recomputed from scratch; integer cells
+            # (1000000 * c_ab) // c_a — DuckDB // on non-negative BIGINTs ==
+            # Spark div, and the doc score is an order-independent BIGINT sum
+            "WITH d AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+            "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts FROM documents), "
+            "bp AS (SELECT doc_id, ts[i] AS a, ts[i+1] AS b "
+            "FROM d, unnest(range(1, len(ts))) AS u(i)), "
+            "dp AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM bp GROUP BY 1, 2, 3), "
+            "cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bp GROUP BY 1, 2), "
+            "ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1), "
+            "sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(cnt * coalesce((1000000 * c_ab) // c_a, 0)) AS BIGINT) AS lm_score "
+            "FROM dp LEFT JOIN cab USING (a, b) LEFT JOIN ca USING (a) GROUP BY doc_id) "
+            "SELECT doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(lm_score, 0) AS BIGINT) AS lm_score "
+            "FROM documents LEFT JOIN sc USING (doc_id)"),
         "top_terms_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

@@ -404,3 +404,78 @@ def bm25_topk(df: DataFrame, query_terms: list[str], col: str = "text",
                                  / F.lit(avglen))))
     return (base.select(F.col(id_col), F.round(score, 4).alias("score"))
             .orderBy(F.desc("score"), id_col).limit(k))
+
+
+def _bigrams_col(toks: Column) -> Column:
+    """``array<struct<a,b>>`` of adjacent token pairs; <2 tokens → empty.
+    Array indexing is O(1) per access (unlike the substring-in-transform
+    trap — see kgram notes), so this stays a linear JVM expression."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(F.element_at(toks, i + 1).alias("a"),
+                                       F.element_at(toks, i + 2).alias("b"))),
+    ).otherwise(F.expr("CAST(array() AS array<struct<a:string,b:string>>)"))
+
+
+def bigram_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-token-pair counts ``(a, b, c_ab)`` — the
+    sufficient statistic of an MLE bigram language model.  One map-side-
+    combined aggregation over exploded (a, b) pairs; shuffle volume is the
+    distinct-bigram set, never documents."""
+    toks = tokens_col(F.lower(F.col(col)))
+    return (df.select(F.explode(_bigrams_col(toks)).alias("_bg"))
+            .select(F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+            .groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab")))
+
+
+def lm_bigram_score(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                    train_df: DataFrame | None = None,
+                    scale: int = 1_000_000) -> DataFrame:
+    """Bigram-LM quality score per document — the perplexity-style filter a
+    training pipeline runs over a crawl (score against a trusted corpus,
+    drop the tail), with an **engine-exact integer formulation**: no ``ln``,
+    no cross-row float sums (both are how LM scores usually go
+    oracle-unverifiable; cf. ``top_terms`` idf='ratio').
+
+    The model is MLE: ``p(b|a) = c_ab / c_a`` with ``c_a = Σ_b c_ab``
+    (predecessor mass, so probabilities normalize), trained on
+    ``train_df`` (default: ``df`` itself — self-perplexity).  Each bigram
+    position contributes the integer cell ``(scale·c_ab) div c_a`` — Spark
+    ``div`` ≡ DuckDB ``//`` on non-negative longs, so the floor is
+    bit-identical in any engine — and a document's ``lm_score`` is the
+    plain BIGINT sum of its cells (order-independent, unlike float sums).
+    Unseen bigrams/predecessors contribute 0.  Returns one row per input
+    document: ``(doc_id, n_bigrams, lm_score)``; callers rank by the exact
+    ratio ``lm_score / (scale·n_bigrams)`` (mean transition probability;
+    higher = more predictable text).
+
+    Plan shape (100 TB story): bigram extraction is a linear JVM
+    ``transform`` (array indexing, not the O(len²) substring trap); doc
+    pairs collapse to ``(doc_id, a, b, cnt)`` BEFORE joining (map-side
+    combine bounds the join fanout by distinct-bigrams-per-doc); the model
+    is two map-side-combined aggregations; scoring is one (a, b)-keyed
+    shuffle join — bigram keys are finer than unigrams, so stopword skew
+    is bounded — plus one a-keyed join of the far smaller predecessor
+    table, then one doc_id aggregation.  Nothing shuffles document text.
+    Reference parity: beyond the reference (filter.rs is membership only);
+    standard pipeline surface (quality filtering, Wenzek et al. 2020
+    CCNet's LM filter, here with an exactly-checkable score)."""
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    toks = tokens_col(F.lower(F.col(col)))
+    doc_pairs = (df.select(F.col(id_col), F.explode(_bigrams_col(toks)).alias("_bg"))
+                 .select(id_col, F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+                 .groupBy(id_col, "a", "b").agg(F.count("*").cast("long").alias("_cnt")))
+    cab = bigram_counts(train_df if train_df is not None else df, col)
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    cell = F.expr(f"({scale} * c_ab) div c_a")
+    scored = (doc_pairs.join(cab, ["a", "b"], "left").join(ca, ["a"], "left")
+              .groupBy(id_col)
+              .agg(F.sum("_cnt").cast("long").alias("n_bigrams"),
+                   F.sum(F.col("_cnt") * F.coalesce(cell, F.lit(0)))
+                   .cast("long").alias("lm_score")))
+    return (df.select(id_col).join(scored, [id_col], "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+                    F.coalesce("lm_score", F.lit(0)).cast("long").alias("lm_score")))

@@ -234,3 +234,68 @@ def test_bm25_plan_is_jvm_only(spark):
     digest = plan_digest(bm25_topk(df, ["hash", "scan"], k=5))
     assert digest.n_python_evals == 0
     assert digest.has_take_ordered
+
+
+# ---------------------------------------------------------------- bigram LM
+
+def _brute_lm(rows, scale=1_000_000, train_rows=None):
+    """Single-node spec: MLE bigram model, integer-floor cells."""
+    import re
+    from collections import Counter
+
+    def bigrams(text):
+        toks = re.split(r"\s+", text.strip().lower()) if text.strip() else []
+        return list(zip(toks, toks[1:]))
+
+    cab = Counter(bg for _, t in (train_rows or rows) for bg in bigrams(t))
+    ca = Counter()
+    for (a, _), c in cab.items():
+        ca[a] += c
+    out = {}
+    for i, t in rows:
+        bgs = bigrams(t)
+        score = sum((scale * cab[bg]) // ca[bg[0]] if bg in cab else 0
+                    for bg in bgs)
+        out[i] = (len(bgs), score)
+    return out
+
+
+def test_lm_bigram_score_matches_bruteforce(spark):
+    from sparksketch.textstats import lm_bigram_score
+    import random
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+            for i in range(50)]
+    rows += [(100, ""), (101, "  "), (102, "solo"), (103, "The  THE the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in lm_bigram_score(df).collect()}
+    assert got == _brute_lm(rows)
+    # self-trained repeated bigram: "the the" appears twice; c(the,the)=2,
+    # c_a(the) counts both positions → cell = 1e6 * 2 // c_a
+    assert got[103][0] == 2
+    # empty / single-token docs present with zeros
+    assert got[100] == (0, 0) and got[102] == (0, 0)
+
+
+def test_lm_bigram_score_external_train(spark):
+    from sparksketch.textstats import lm_bigram_score
+    train = [(0, "a b a b a c")]          # c(a,b)=2 c(b,a)=2 c(a,c)=1 → c_a(a)=3, c_a(b)=2
+    score = [(1, "a b"), (2, "a c"), (3, "x y"), (4, "b a")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in lm_bigram_score(sdf, train_df=tdf).collect()}
+    assert got == _brute_lm(score, train_rows=train)
+    assert got[1] == (1, 2_000_000 // 3)   # p(b|a) = 2/3
+    assert got[3] == (1, 0)                # fully OOV
+    assert got[4] == (1, 1_000_000)        # p(a|b) = 2/2
+
+
+def test_lm_bigram_score_rejects_bad_scale(spark):
+    from sparksketch.textstats import lm_bigram_score
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        lm_bigram_score(df, scale=0)
