@@ -966,6 +966,34 @@ def _bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(docs, ["hash", "join", "vector"], k=10)
 
 
+def _bpe_train_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # distributed BPE tokenizer training certificate: the oracle recomputes
+    # step 1 exactly in SQL (weighted char-pair argmax with the same
+    # (-count, a, b) binary-order tie-break) plus the total initial symbol
+    # count; later steps are certified by the pytest brute-parity suite and
+    # the encode_ok invariant — per-doc token counts (explode + join path)
+    # must total exactly the weighted word-table segmentation total, two
+    # independently-computed BIGINTs.  n_merges pins full 8-step completion
+    # at every SF (non-degeneracy: the corpus never exhausts pairs early).
+    from sparksketch.bpe import (bpe_segment_words, bpe_token_counts,
+                                 bpe_train, word_counts)
+    docs = _T(spark, sf, "documents")
+    model = bpe_train(docs, "text", n_merges=8, min_count=2)
+    wc = word_counts(docs)
+    word_side = bpe_segment_words(wc, model).agg(
+        F.sum(F.col("cnt") * F.size("toks")).cast("long").alias("t")).first().t
+    doc_side = bpe_token_counts(docs, model, "text", "doc_id").agg(
+        F.sum("n_bpe_tokens").cast("long").alias("t")).first().t
+    first_l, first_r = model.merges[0]
+    return spark.createDataFrame(
+        [Row(n_merges=len(model.merges), first_left=first_l,
+             first_right=first_r, first_count=int(model.merge_counts[0]),
+             init_symbols=int(model.init_symbols),
+             encode_ok=bool(int(word_side) == int(doc_side)))],
+        "n_merges long, first_left string, first_right string, "
+        "first_count long, init_symbols long, encode_ok boolean")
+
+
 def _lm_bigram_docs(spark: SparkSession, sf: str) -> DataFrame:
     # self-trained MLE bigram LM score per document (the perplexity-style
     # quality filter), engine-exact: each bigram position contributes the
@@ -1934,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _stratified_sample_docs,
         "bm25_topk_docs": _bm25_topk_docs,
         "lm_bigram_docs": _lm_bigram_docs,
+        "bpe_train_docs": _bpe_train_docs,
         "top_terms_docs": _top_terms_docs,
         "quota_sample_docs": _quota_sample_docs,
         "uniform_sample_docs": _uniform_sample_docs,
@@ -2192,6 +2221,24 @@ def oracle_sql() -> dict[str, str]:
             "AS score FROM base, st) "
             "SELECT doc_id, round(score, 4) AS score FROM s "
             "ORDER BY score DESC, doc_id LIMIT 10"),
+        "bpe_train_docs": (
+            # step-1 exactness: the weighted char-pair argmax over the word
+            # table, same (-count, a, b) binary tie-break; init_symbols =
+            # total weighted char count; n_merges/encode_ok pinned
+            "WITH w AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt FROM "
+            "(SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN [] "
+            "ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS t "
+            "FROM documents) GROUP BY t), "
+            "init AS (SELECT CAST(sum(cnt * length(word)) AS BIGINT) "
+            "AS init_symbols FROM w), "
+            "p AS (SELECT word[i:i] AS a, word[i+1:i+1] AS b, cnt "
+            "FROM w, unnest(range(1, length(word))) AS u(i)), "
+            "pc AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c "
+            "FROM p GROUP BY a, b), "
+            "best AS (SELECT a, b, c FROM pc ORDER BY c DESC, a, b LIMIT 1) "
+            "SELECT CAST(8 AS BIGINT) AS n_merges, a AS first_left, "
+            "b AS first_right, c AS first_count, init_symbols, "
+            "TRUE AS encode_ok FROM best, init"),
         "lm_bigram_docs": (
             # full MLE bigram model recomputed from scratch; integer cells
             # (1000000 * c_ab) // c_a — DuckDB // on non-negative BIGINTs ==
