@@ -966,6 +966,22 @@ def _bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(docs, ["hash", "join", "vector"], k=10)
 
 
+def _mix_budget_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # data-mixture composition: 3 sources at 47/31/5.7% of a 3x-corpus row
+    # budget — deliberately non-dividing so the partial-epoch md5-threshold
+    # path is exercised (full epochs are exact replication; the thresholds
+    # derive in exact integer arithmetic on both engines)
+    from sparksketch.decontam import mix_to_budget
+    docs = _T(spark, sf, "documents")
+    budget = 3 * docs.count()
+    mixed = mix_to_budget(docs, {"src0": 0.47, "src1": 0.31, "src2": 0.057},
+                          budget)
+    return mixed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows_out"),
+        F.countDistinct("doc_id").cast("long").alias("n_keys"),
+        F.max("epoch").cast("long").alias("max_epoch"))
+
+
 def _bpe_train_docs(spark: SparkSession, sf: str) -> DataFrame:
     # distributed BPE tokenizer training certificate: the oracle recomputes
     # step 1 exactly in SQL (weighted char-pair argmax with the same
@@ -1963,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": _bm25_topk_docs,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
+        "mix_budget_docs": _mix_budget_docs,
         "top_terms_docs": _top_terms_docs,
         "quota_sample_docs": _quota_sample_docs,
         "uniform_sample_docs": _uniform_sample_docs,
@@ -2221,6 +2238,30 @@ def oracle_sql() -> dict[str, str]:
             "AS score FROM base, st) "
             "SELECT doc_id, round(score, 4) AS score FROM s "
             "ORDER BY score DESC, doc_id LIMIT 10"),
+        "mix_budget_docs": (
+            # full mixture recomputation: per-source integer targets in
+            # HUGEINT (exact like the driver's Python ints), epoch
+            # replication via lateral range, identical md5-prefix partial
+            "WITH pr(source, ppm) AS (VALUES ('src0', 470000), "
+            "('src1', 310000), ('src2', 57000)), "
+            "b AS (SELECT 3 * count(*) AS budget FROM documents), "
+            "av AS (SELECT source, CAST(count(*) AS BIGINT) AS a "
+            "FROM documents GROUP BY source), "
+            "pl AS (SELECT pr.source, a, CAST((CAST(budget AS HUGEINT) * ppm) "
+            "// 1000000 AS BIGINT) AS target FROM pr JOIN av USING (source), b), "
+            "pl2 AS (SELECT source, a, target // a AS n_full, "
+            "lower(lpad(to_hex((CAST(target - (target // a) * a AS HUGEINT) "
+            "* 4294967296) // a), 8, '0')) AS thr FROM pl), "
+            "kept AS (SELECT d.source, d.doc_id, e.epoch "
+            "FROM documents d JOIN pl2 p USING (source), "
+            "unnest(range(0, p.n_full + 1)) AS e(epoch) "
+            "WHERE e.epoch < p.n_full OR "
+            "substring(md5(d.source || '|mixbudget|' || "
+            "CAST(d.doc_id AS VARCHAR)), 1, 8) < p.thr) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_rows_out, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys, "
+            "CAST(max(epoch) AS BIGINT) AS max_epoch "
+            "FROM kept GROUP BY source"),
         "bpe_train_docs": (
             # step-1 exactness: the weighted char-pair argmax over the word
             # table, same (-count, a, b) binary tie-break; init_symbols =

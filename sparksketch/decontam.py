@@ -405,3 +405,75 @@ def pps_sql_pred(weight_col: str, key_col: str, rate: float,
     return (f"CASE WHEN {weight_col} IS NULL OR {w} <= 0 THEN FALSE "
             f"WHEN {w} * {rate!r} >= 1.0 THEN TRUE "
             f"ELSE {prefix} < {thr} END")
+
+
+# ====================================================================
+# data-mixture composition (budget + epochs)
+# ====================================================================
+
+def mix_to_budget(df: DataFrame, proportions: dict[str, float], budget: int,
+                  source_col: str = "source", key_col: str = "doc_id",
+                  weight_col: str | None = None, salt: str = "mixbudget",
+                  epoch_col: str = "epoch") -> DataFrame:
+    """Compose a training mixture: materialize each listed source at its
+    target share of a total ``budget`` (rows, or ``weight_col`` units such
+    as tokens), REPEATING under-represented sources across epochs — the
+    mixing step of an LLM data pipeline ("web 60%, code 25%, books 15% of
+    a 2T-token budget", where books may need 3 epochs).
+
+    Deterministic and engine-exact, no RNG state: for each source,
+    ``target = (budget·ppm) div 10^6`` (proportions quantized to ppm),
+    ``n_full = target div avail`` whole epochs pass through unconditionally,
+    and the one partial epoch keeps rows by the repo's md5-prefix idiom —
+    threshold ``(rem·2^32) div avail`` as fixed-width hex, computed in
+    EXACT integer arithmetic (driver-side Python here, HUGEINT in the
+    DuckDB oracle), so the keep set is reproducible bit-for-bit in any
+    engine.  With ``weight_col`` the partial epoch hits the token target in
+    expectation (row granularity); rows-mode likewise.  Sources absent from
+    ``proportions`` (or absent from the data) are dropped.
+
+    Returns ``df``'s rows replicated with an ``epoch`` column (0-based).
+    Plan shape at 100 TB: one tiny per-source aggregate (the only driver
+    scalar), then a single scan with a JVM ``explode(sequence)`` + pushed
+    filter — no shuffle of data rows at all.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    for s, p in proportions.items():
+        if p < 0:
+            raise ValueError(f"proportion for {s!r} negative: {p}")
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    avail_rows = (df.groupBy(source_col).agg(F.sum(w).alias("a")).collect())
+    avail = {r[0]: int(r.a) for r in avail_rows if r[0] is not None and r.a}
+    plan: dict[str, tuple[int, str]] = {}
+    for s, p in proportions.items():
+        a = avail.get(s, 0)
+        ppm = round(p * 1_000_000)
+        if a <= 0 or ppm <= 0:
+            continue
+        target = (budget * ppm) // 1_000_000
+        n_full = target // a
+        rem = target - n_full * a
+        plan[s] = (n_full, f"{(rem << 32) // a:08x}")
+    if not plan:
+        return (df.withColumn(epoch_col, F.lit(0).cast("long"))
+                .filter(F.lit(False)))
+    nf = None
+    thr = None
+    for s, (n_full, thr_hex) in plan.items():
+        cond = F.col(source_col) == s
+        nf = F.when(cond, n_full) if nf is None else nf.when(cond, n_full)
+        thr = F.when(cond, thr_hex) if thr is None else thr.when(cond, thr_hex)
+    sc = F.coalesce(F.col(source_col).cast("string"), F.lit(""))
+    kc = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    prefix = F.substring(
+        F.md5(F.encode(F.concat(sc, F.lit(f"|{salt}|"), kc), "UTF-8")), 1, 8)
+    out = (df.filter(F.col(source_col).isin(list(plan)))
+           .withColumn("_nf", nf.cast("long"))
+           .withColumn("_thr", thr)
+           .withColumn(epoch_col,
+                       F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nf"))))
+           .filter((F.col(epoch_col) < F.col("_nf")) | (prefix < F.col("_thr")))
+           .drop("_nf", "_thr"))
+    return out

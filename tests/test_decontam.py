@@ -276,3 +276,81 @@ def test_pps_sample(spark):
     assert pps_sample(nulls, "w", "id", rate).count() == 0
     with pytest.raises(ValueError, match="rate"):
         pps_sample(df, "w", "id", 0.0)
+
+
+# ---------------------------------------------------------------- mixture
+
+def _brute_mix(rows, proportions, budget, salt="mixbudget"):
+    """Spec: rows = (key, source, w); returns {(key, epoch), ...}."""
+    from hashlib import md5 as _md5
+    avail = {}
+    for k, s, w in rows:
+        avail[s] = avail.get(s, 0) + w
+    out = set()
+    for s, p in proportions.items():
+        a = avail.get(s, 0)
+        ppm = round(p * 1_000_000)
+        if a <= 0 or ppm <= 0:
+            continue
+        target = (budget * ppm) // 1_000_000
+        n_full = target // a
+        thr = f"{((target - n_full * a) << 32) // a:08x}"
+        for k, src, w in rows:
+            if src != s:
+                continue
+            pre = _md5(f"{s}|{salt}|{k}".encode()).hexdigest()[:8]
+            for e in range(n_full):
+                out.add((k, e))
+            if pre < thr:
+                out.add((k, n_full))
+    return out
+
+
+def test_mix_to_budget_matches_spec(spark):
+    from sparksketch.decontam import mix_to_budget
+    rows = [(i, f"s{i % 3}", 1) for i in range(90)] + [(1000, "other", 1)]
+    df = spark.createDataFrame([(k, s) for k, s, _ in rows],
+                               "doc_id long, source string")
+    props = {"s0": 0.6, "s1": 0.3, "s2": 0.05, "missing": 0.05}
+    budget = 450  # s0 target 270 over 30 rows -> 9 epochs
+    got = {(r.doc_id, r.epoch)
+           for r in mix_to_budget(df, props, budget).collect()}
+    assert got == _brute_mix(rows, props, budget)
+    assert max(e for _, e in got) >= 8        # epochs really replicate
+    assert not any(k == 1000 for k, _ in got)  # unlisted source dropped
+
+
+def test_mix_to_budget_weighted(spark):
+    from sparksketch.decontam import mix_to_budget
+    rows = [(i, "a" if i < 20 else "b", 10 + (i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    props = {"a": 0.7, "b": 0.3}
+    budget = 2000
+    got = {(r.doc_id, r.epoch)
+           for r in mix_to_budget(df, props, budget,
+                                  weight_col="n_tok").collect()}
+    # spec with weighted avail
+    assert got == _brute_mix(rows, props, budget)
+    # achieved token mass is near target in expectation terms: full epochs
+    # are exact, so at minimum n_full * avail tokens per source are present
+    w = {k: t for k, _, t in rows}
+    tok_a = sum(w[k] for k, e in got if k < 20)
+    assert tok_a >= (budget * 700000 // 1000000 // sum(
+        t for i, s, t in rows if s == "a")) * sum(
+        t for i, s, t in rows if s == "a")
+
+
+def test_mix_to_budget_edges(spark):
+    from sparksketch.decontam import mix_to_budget
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    assert mix_to_budget(df, {"zzz": 1.0}, 100).count() == 0  # no listed source present
+    assert mix_to_budget(df, {"a": 1.0}, 0).count() == 0      # zero budget
+    assert mix_to_budget(df, {}, 100).count() == 0            # empty plan
+    with _pytest.raises(ValueError):
+        mix_to_budget(df, {"a": -0.1}, 100)
+    with _pytest.raises(ValueError):
+        mix_to_budget(df, {"a": 1.0}, -1)
+    # budget == avail exactly: one full epoch, no partial
+    got = mix_to_budget(df, {"a": 1.0}, 1).collect()
+    assert [(r.doc_id, r.epoch) for r in got] == [(1, 0)]
