@@ -124,3 +124,32 @@ def test_bpe_encode_unseen_words(spark):
     # "zzz" unseen: segmented by the same merges (no z merges -> 3 chars)
     _, _, syms, _, _ = _brute_bpe(["hello hello world"], 3, min_count=1)
     assert got == {1: len(syms["hello"]) + 3}
+
+
+def test_bpe_long_word_chunk_guard(spark):
+    # one 10k-char junk run (the web-crawl case): with max_word_chars=16
+    # the distinct-word table carries only <=16-char chunks, init_symbols
+    # is preserved exactly, and encode counts the word as the sum over its
+    # chunks' segmentations
+    junk = "z" * 10_000
+    df = spark.createDataFrame(
+        [(1, f"hi {junk} hi"), (2, junk)], "doc_id long, text string")
+    wc = {r.word: r.cnt for r in word_counts(df, max_word_chars=16).collect()}
+    assert wc == {"hi": 2, "z" * 16: 2 * 625}
+    model = bpe_train(df, n_merges=3, min_count=1, max_word_chars=16)
+    # pair (z,z): 15 per chunk * 1250 chunks; then (zz,zz), (zzzz,zzzz)
+    assert model.merges[0] == ("z", "z")
+    assert model.merge_counts[0] == 15 * 1250
+    assert model.init_symbols == 2 * 2 + 2 * 10_000
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_counts(df, model, max_word_chars=16).collect()}
+    # chunk "z"*16 under 3 z-doubling merges -> 16/8 = 2 tokens; "hi" -> 2
+    # (h,i never merged: count 2 loses the (-count,left,right) argmax or
+    # follows z merges; with n_merges=3 all picks are z pairs)
+    assert got == {1: 2 * 2 + 625 * 2, 2: 625 * 2}
+    # and the unguarded path on short words is identical to the guarded one
+    short = spark.createDataFrame([(1, "abab abab ab")],
+                                  "doc_id long, text string")
+    m_g = bpe_train(short, n_merges=2, min_count=1, max_word_chars=16)
+    m_u = bpe_train(short, n_merges=2, min_count=1, max_word_chars=None)
+    assert m_g == m_u
