@@ -2283,9 +2283,12 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_docs": (
             # full MLE bigram model recomputed from scratch; integer cells
             # (1000000 * c_ab) // c_a — DuckDB // on non-negative BIGINTs ==
-            # Spark div, and the doc score is an order-independent BIGINT sum
+            # Spark div, and the doc score is an order-independent BIGINT sum;
+            # t[1:4096] mirrors the max_word_chars key-size guard (no-op on
+            # this corpus: max word length is 8)
             "WITH d AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
-            "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts FROM documents), "
+            "ELSE list_transform(string_split_regex(trim(lower(text)), '\\s+'), "
+            "t -> t[1:4096]) END AS ts FROM documents), "
             "bp AS (SELECT doc_id, ts[i] AS a, ts[i+1] AS b "
             "FROM d, unnest(range(1, len(ts))) AS u(i)), "
             "dp AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS cnt "

@@ -29,7 +29,10 @@ logical plan linearly and re-run all prior steps per pair count).
 Encoding reuses the same kernel: applying the learned merges in rank order
 to the distinct-word table yields the word → subword map, and per-document
 BPE token counts are a word-keyed join + sum — no per-document iterative
-work, which is what makes the encode side 100-TB-shaped.
+work, which is what makes the encode side 100-TB-shaped.  Encode needs no
+per-step synchronization, so ALL merges apply inside one ``mapInArrow``
+pass (no job/checkpoint chain — training's per-step argmax is the only
+iterative part).
 
 Known limitation (documented): Spark's ``split(w, '')`` splits into UTF-16
 code units, so astral-plane characters (≥ U+10000) become two surrogate
@@ -56,7 +59,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparksketch.textstats import tokens_col
+from sparksketch.textstats import MAX_WORD_CHARS, tokens_col
 
 MERGE_ID_BASE = 0x110000  # first id above any Unicode codepoint
 _TIE_K = 4096  # per-step TakeOrdered width; ties beyond it trigger a 2nd pass
@@ -70,9 +73,6 @@ class BpeModel:
     init_symbols: int                         # Σ word_cnt · chars(word)
     n_words: int                              # distinct trained words
     merge_ids: tuple[tuple[int, int, int], ...] = ()  # (left, right, new) ids
-
-
-MAX_WORD_CHARS = 4096  # default over-long-token guard (web junk)
 
 
 def _chunk_expr(max_word_chars: int):
@@ -260,22 +260,39 @@ def bpe_train(df: DataFrame, col: str = "text", n_merges: int = 32,
 def _segment_ids(words: DataFrame, model: BpeModel,
                  keep_word: bool) -> DataFrame:
     """Apply the learned merges in rank order over the word table; returns
-    the id symbol table (optionally carrying the word string through)."""
-    cur = _id_symbol_table(words, keep_word=keep_word) \
-        .localCheckpoint(eager=True)
-    for left, right, new_id in model.merge_ids:
-        nxt = _apply_merge(cur, left, right, new_id) \
-            .localCheckpoint(eager=True)
-        cur.unpersist()
-        cur = nxt
-    return cur
+    the id symbol table (optionally carrying the word string through).
+
+    Unlike training (which must synchronize on a global argmax between
+    steps), encoding applies ALL merges inside ONE ``mapInArrow`` pass —
+    the kernel loops the rank-ordered merge list per batch, so there is no
+    per-step job, shuffle, or checkpoint at all."""
+    df = _id_symbol_table(words, keep_word=keep_word)
+    merge_list = list(model.merge_ids)
+    if not merge_list:
+        return df
+    schema = df.schema
+    idx = df.columns.index("syms")
+
+    def fn(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            cols = batch.columns
+            arr = cols[idx]
+            for left, right, new_id in merge_list:
+                arr = _merge_arrays(arr, left, right, new_id)
+            cols[idx] = arr
+            yield pa.RecordBatch.from_arrays(cols, names=batch.schema.names)
+
+    return df.mapInArrow(fn, schema)
 
 
 def bpe_segment_words(words: DataFrame, model: BpeModel) -> DataFrame:
     """``(word, toks array<string>, cnt)`` — each distinct word segmented by
     applying the learned merges in rank order (per-word BPE merge order and
     rank-order application agree: a merge never splits a symbol, so steps
-    commute across words).  k id-kernel passes over the WORD table, then
+    commute across words).  ONE id-kernel pass over the WORD table (all
+    merges loop inside the batch kernel — see :func:`_segment_ids`), then
     ONE decode pass (per-batch unique-id dictionary — the symbol alphabet
     is chars + merges, far smaller than the value buffer)."""
     ids = _segment_ids(words, model, keep_word=True)

@@ -408,30 +408,56 @@ def bm25_topk(df: DataFrame, query_terms: list[str], col: str = "text",
 
 def _bigrams_col(toks: Column) -> Column:
     """``array<struct<a,b>>`` of adjacent token pairs; <2 tokens → empty.
-    Array indexing is O(1) per access (unlike the substring-in-transform
-    trap — see kgram notes), so this stays a linear JVM expression."""
+
+    ``arrays_zip(slice(toks, 1, n-1), slice(toks, 2, n-1))`` — TWO row-level
+    array copies + one zip, not a per-element lambda: higher-order functions
+    (``transform`` + ``struct`` + ``element_at``) run INTERPRETED per
+    element in Spark, and the lambda formulation measured 33 s vs 2.4 s for
+    this zip over 17.5M bigrams at 500k pages (round-5 lesson, same family
+    as the substring-in-transform trap)."""
+    n = F.size(toks)
     return F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.struct(F.element_at(toks, i + 1).alias("a"),
-                                       F.element_at(toks, i + 2).alias("b"))),
+        n >= 2,
+        F.arrays_zip(F.slice(toks, 1, n - 1).alias("a"),
+                     F.slice(toks, 2, n - 1).alias("b")),
     ).otherwise(F.expr("CAST(array() AS array<struct<a:string,b:string>>)"))
 
 
-def bigram_counts(df: DataFrame, col: str = "text") -> DataFrame:
+MAX_WORD_CHARS = 4096  # over-long-token guard shared with sparksketch.bpe
+
+
+def _cap_str(c: Column, max_word_chars: int | None) -> Column:
+    """Truncate a scalar token column to ``max_word_chars`` — real crawls
+    carry MB-scale unbroken runs, and an uncapped token becomes an
+    MB-sized SHUFFLE KEY in every n-gram table.  Applied post-explode on
+    the scalar (whole-stage codegen), never as a per-element array lambda
+    (interpreted).  ``substring(t, 1, k)`` from position 1 is one O(k)
+    scan, not the O(len²) mid-string trap.  No-op at or under the cap."""
+    if not max_word_chars:
+        return c
+    return F.substring(c, 1, int(max_word_chars))
+
+
+def bigram_counts(df: DataFrame, col: str = "text",
+                  max_word_chars: int = MAX_WORD_CHARS) -> DataFrame:
     """Corpus-wide adjacent-token-pair counts ``(a, b, c_ab)`` — the
     sufficient statistic of an MLE bigram language model.  One map-side-
     combined aggregation over exploded (a, b) pairs; shuffle volume is the
-    distinct-bigram set, never documents."""
+    distinct-bigram set, never documents.  Tokens truncate to
+    ``max_word_chars`` pre-shuffle (:func:`_cap_str` — keeps junk runs
+    from becoming MB-sized shuffle keys; documented deviation, exactly
+    mirrored by the oracle's ``t[1:k]``)."""
     toks = tokens_col(F.lower(F.col(col)))
     return (df.select(F.explode(_bigrams_col(toks)).alias("_bg"))
-            .select(F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+            .select(_cap_str(F.col("_bg.a"), max_word_chars).alias("a"),
+                    _cap_str(F.col("_bg.b"), max_word_chars).alias("b"))
             .groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab")))
 
 
 def lm_bigram_score(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                     train_df: DataFrame | None = None,
-                    scale: int = 1_000_000) -> DataFrame:
+                    scale: int = 1_000_000,
+                    max_word_chars: int = MAX_WORD_CHARS) -> DataFrame:
     """Bigram-LM quality score per document — the perplexity-style filter a
     training pipeline runs over a crawl (score against a trusted corpus,
     drop the tail), with an **engine-exact integer formulation**: no ``ln``,
@@ -457,7 +483,10 @@ def lm_bigram_score(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     is two map-side-combined aggregations; scoring is one (a, b)-keyed
     shuffle join — bigram keys are finer than unigrams, so stopword skew
     is bounded — plus one a-keyed join of the far smaller predecessor
-    table, then one doc_id aggregation.  Nothing shuffles document text.
+    table, then one doc_id aggregation.  Nothing shuffles document text,
+    and tokens truncate to ``max_word_chars`` pre-shuffle (:func:`_cap_str`)
+    so junk runs cannot become MB-sized shuffle keys — the oracle mirrors
+    the truncation with ``t[1:k]``.
     Reference parity: beyond the reference (filter.rs is membership only);
     standard pipeline surface (quality filtering, Wenzek et al. 2020
     CCNet's LM filter, here with an exactly-checkable score)."""
@@ -465,9 +494,12 @@ def lm_bigram_score(df: DataFrame, col: str = "text", id_col: str = "doc_id",
         raise ValueError(f"scale must be positive, got {scale}")
     toks = tokens_col(F.lower(F.col(col)))
     doc_pairs = (df.select(F.col(id_col), F.explode(_bigrams_col(toks)).alias("_bg"))
-                 .select(id_col, F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+                 .select(id_col,
+                         _cap_str(F.col("_bg.a"), max_word_chars).alias("a"),
+                         _cap_str(F.col("_bg.b"), max_word_chars).alias("b"))
                  .groupBy(id_col, "a", "b").agg(F.count("*").cast("long").alias("_cnt")))
-    cab = bigram_counts(train_df if train_df is not None else df, col)
+    cab = bigram_counts(train_df if train_df is not None else df, col,
+                        max_word_chars=max_word_chars)
     ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
     cell = F.expr(f"({scale} * c_ab) div c_a")
     scored = (doc_pairs.join(cab, ["a", "b"], "left").join(ca, ["a"], "left")
