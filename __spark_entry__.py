@@ -966,6 +966,20 @@ def _bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(docs, ["hash", "join", "vector"], k=10)
 
 
+def _pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    # host-authority ranking: deterministic synthetic host link graph from
+    # documents (squared-mix skew hubs, top tenth of hosts dangling), then
+    # THREE engine-exact integer PageRank iterations — every cell is
+    # +,·,div,% on non-negative BIGINTs, so the DuckDB unrolled-CTE mirror
+    # reproduces each rank bit-for-bit; top-20 by (rank desc, host)
+    from sparksketch.graph import derive_host_edges, pagerank_int
+    docs = _T(spark, sf, "documents")
+    ranks = pagerank_int(derive_host_edges(docs), iters=3)
+    return (ranks.orderBy(F.desc("rank"), "node").limit(20)
+            .select(F.col("node").cast("long").alias("node"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def _mix_budget_docs(spark: SparkSession, sf: str) -> DataFrame:
     # data-mixture composition: 3 sources at 47/31/5.7% of a 3x-corpus row
     # budget — deliberately non-dividing so the partial-epoch md5-threshold
@@ -1977,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _fingerprint_documents,
         "stratified_sample_docs": _stratified_sample_docs,
         "bm25_topk_docs": _bm25_topk_docs,
+        "pagerank_hosts": _pagerank_hosts,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2128,6 +2143,7 @@ def _hash_split_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sparksketch.decontam import uniform_sample_sql
+    from sparksketch.graph import derive_host_edges_sql, pagerank_int_sql
     from sparksketch.packing import pack_sequences_sql
     qrows = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q, TRUE AS ok" for q in _QS
@@ -2219,6 +2235,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(len(embedding)) AS INT) AS dim, TRUE AS ok "
             "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = "
             "(SELECT max(len(embedding)) FROM embeddings)"),
+        # full integer PageRank recomputed in DuckDB: identical edge
+        # derivation + 3 unrolled power-iteration CTEs, every cell
+        # +,·,//,% on BIGINTs — bit-exact vs sparksketch.graph.pagerank_int
+        "pagerank_hosts": pagerank_int_sql(
+            derive_host_edges_sql(), iters=3, top_k=20),
         "bm25_topk_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

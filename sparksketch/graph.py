@@ -1,0 +1,294 @@
+"""Host-graph centrality: distributed PageRank over a link graph.
+
+A web-scale training pipeline ranks *hosts* (crawl prioritization, spam
+demotion, quality weighting — the link-authority signal behind curated
+crawls) from the page link graph.  This module ships two formulations:
+
+- :func:`pagerank_int` — an **engine-exact integer** power iteration: every
+  arithmetic step is +,·,``div``,``%`` on non-negative BIGINTs, so a DuckDB
+  oracle (unrolled CTEs) reproduces each rank bit-for-bit.  Same rationale
+  as ``textstats.lm_bigram_score``: float PageRank sums in engine-dependent
+  order and is unverifiable; the integer form is order-independent.
+- :func:`pagerank` — the textbook float64 variant (for callers who want the
+  classical values), certified in pytest against a numpy power iteration.
+
+Plan shape (100-TB story): edges are joined with out-degrees ONCE and
+checkpointed; each iteration is one ``src``-keyed join (ranks are small —
+one row per host, not per page), one ``dst``-keyed map-side-combined sum
+(skewed hub in-degrees partial-aggregate before the shuffle), and one
+broadcast one-row dangling-mass aggregate — no driver collect inside the
+loop, so all ``iters`` rounds run under a single action.  Ranks ``localCheckpoint`` per
+iteration — the iterative-lineage lesson from ``dedup.connected_components``
+(self-referencing plans grow ~16×/round and OOM the planner first).
+
+Reference parity: beyond the reference (``/root/reference/src/filter.rs``
+is membership only); standard pipeline surface (Page et al. 1999;
+Common-Crawl-style host ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# mixing constants for the deterministic synthetic host graph — arbitrary
+# well-known odd multipliers; P is the Mersenne prime 2^31 - 1 so every
+# product below stays under 2^63 on BIGINTs (see derive_host_edges).
+_MIX_A = 1315423911
+_MIX_B = 2654435761
+_MIX_C = 97531
+_MIX_P = 2147483647
+
+
+def derive_host_edges(df: DataFrame, id_col: str = "doc_id",
+                      links: int = 3, hosts_per_docs: int = 50,
+                      min_hosts: int = 20) -> DataFrame:
+    """Deterministic synthetic host link graph from a document table —
+    the test/bench stand-in for a real ``(src_host, dst_host)`` edge set
+    (the sandbox corpus has no link column; a real crawl derives edges
+    from hrefs with ``webtext.canonical_url``).
+
+    Every step is integer +,·,``div``,``%`` so any engine derives the
+    IDENTICAL edge set (mirror: :func:`derive_host_edges_sql`):
+
+    - ``h`` hosts = ``max(n_docs div hosts_per_docs, min_hosts)``;
+    - each doc hashes to one source host in the first 90% of the host
+      space (``u_0 % (h - h div 10)``) — the top tenth of hosts is
+      dst-only, i.e. **dangling**, so the redistribution path is live;
+    - each doc emits ``links`` destination hosts via the squared-mix skew
+      map ``((u_k² div P) · h) div P`` — the density ∝ 1/√x of ``u² div P``
+      makes low-id hosts hubs (realistic skewed in-degree);
+    - self-loops drop, parallel edges collapse (``distinct``).
+
+    ``u_k = ((id % P)·A + k·B + C) % P`` keeps every product < 2^63 even
+    at 10^12-row ids."""
+    n_docs = df.count()
+    h = max(n_docs // hosts_per_docs, min_hosts)
+    hs = h - h // 10  # source-host space; hosts [hs, h) are dangling
+    m = f"(CAST({id_col} AS BIGINT) % {_MIX_P})"
+    src = f"(({m} * {_MIX_A} + {_MIX_C}) % {_MIX_P}) % {hs}"
+    outs = []
+    for k in range(1, links + 1):
+        u = f"(({m} * {_MIX_A} + {k} * {_MIX_B} + {_MIX_C}) % {_MIX_P})"
+        dst = f"((({u} * {u}) div {_MIX_P}) * {h}) div {_MIX_P}"
+        outs.append(F.expr(f"named_struct('src', {src}, 'dst', {dst})"))
+    edges = (df.select(F.explode(F.array(*outs)).alias("_e"))
+             .select(F.col("_e.src").cast("long").alias("src"),
+                     F.col("_e.dst").cast("long").alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    return edges
+
+
+def derive_host_edges_sql(table: str = "documents", id_col: str = "doc_id",
+                          links: int = 3, hosts_per_docs: int = 50,
+                          min_hosts: int = 20) -> str:
+    """DuckDB mirror of :func:`derive_host_edges` — a CTE body (named
+    ``edges``) deriving the identical edge set (``//`` ≡ Spark ``div`` on
+    non-negative longs).  ``hh`` carries the data-driven host counts."""
+    m = f"(CAST({id_col} AS BIGINT) % {_MIX_P})"
+    arms = []
+    for k in range(1, links + 1):
+        u = f"(({m} * {_MIX_A} + {k} * {_MIX_B} + {_MIX_C}) % {_MIX_P})"
+        arms.append(
+            f"SELECT (({m} * {_MIX_A} + {_MIX_C}) % {_MIX_P}) % hh.hs AS src, "
+            f"((({u} * {u}) // {_MIX_P}) * hh.h) // {_MIX_P} AS dst "
+            f"FROM {table}, hh")
+    union = " UNION ALL ".join(arms)
+    return (
+        f"hh AS (SELECT h, h - h // 10 AS hs FROM (SELECT "
+        f"greatest(count(*) // {hosts_per_docs}, {min_hosts}) AS h "
+        f"FROM {table})), "
+        f"edges AS (SELECT DISTINCT src, dst FROM ({union}) WHERE src <> dst)")
+
+
+def _validate_edges(edges: DataFrame) -> None:
+    cols = set(edges.columns)
+    if not {"src", "dst"} <= cols:
+        raise ValueError(f"edges needs (src, dst) columns, got {sorted(cols)}")
+
+
+def pagerank_int(edges: DataFrame, iters: int = 3, scale: int = 10 ** 12,
+                 damping_num: int = 85, damping_den: int = 100) -> DataFrame:
+    """Engine-exact integer PageRank over ``(src, dst)`` edges.
+
+    Rank unit: ``scale`` = total initial mass.  Update rule (all BIGINT,
+    all non-negative, order-independent — bit-identical in any engine)::
+
+        r_0(v)     = scale div N
+        D_t        = Σ_{outdeg(u)=0} r_t(u)                 (dangling mass)
+        r_{t+1}(v) = (scale·(den−num)) div (den·N)
+                     + (num · (Σ_{u→v} r_t(u) div outdeg(u) + D_t div N))
+                       div den
+
+    The floors shed ≤ N per division, so Σr stays within
+    ``iters·(2N + den)`` of ``scale`` (pytest asserts the brute-force
+    integer simulation EXACTLY, not just the bound).  Parallel edges must
+    be pre-collapsed (``derive_host_edges`` does) — each distinct edge
+    carries one ``r div outdeg`` share.
+
+    Returns ``(node, rank)``; rank is the scaled BIGINT.  100-TB plan: per
+    iteration one src-keyed join (ranks ≪ edges), one map-side-combined
+    dst sum, one scalar dangling aggregate; ranks are checkpointed so the
+    logical plan stays O(1) across iterations."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < damping_num < damping_den:
+        raise ValueError("need 0 < damping_num < damping_den")
+    _validate_edges(edges)
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    odeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("od"))
+    # edges ⋈ outdeg once, reused every iteration (checkpoint cuts lineage
+    # and keeps the per-iter plan from re-deriving the distinct + agg)
+    e_od = (edges.join(odeg, edges.src == odeg.node)
+            .select("src", "dst", "od").localCheckpoint(eager=False))
+    dangling = nodes.join(odeg, ["node"], "left_anti")
+    base = (scale * (damping_den - damping_num)) // (damping_den * n)
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(iters):
+        # dangling mass rides along as a broadcast ONE-ROW cross join (a
+        # scalar — always broadcast-safe) instead of a driver collect, so
+        # the whole iteration chain materializes in a single action; lazy
+        # localCheckpoints still cut the lineage as each round computes
+        d_mass = (dangling.join(ranks, ["node"])
+                  .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                       .cast("long").alias("_d")))
+        contrib = (e_od.join(ranks, e_od.src == ranks.node)
+                   .select(F.col("dst").alias("node"),
+                           F.expr("rank div od").alias("c"))
+                   .groupBy("node").agg(F.sum("c").cast("long").alias("m")))
+        ranks = (nodes.join(contrib, ["node"], "left")
+                 .crossJoin(F.broadcast(d_mass))
+                 .select("node", (F.lit(base) + F.expr(
+                     f"({damping_num} * (coalesce(m, CAST(0 AS BIGINT)) "
+                     f"+ _d div {n})) div {damping_den}"))
+                     .cast("long").alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks
+
+
+def pagerank_int_sql(edges_cte: str, iters: int = 3, scale: int = 10 ** 12,
+                     damping_num: int = 85, damping_den: int = 100,
+                     top_k: int | None = None) -> str:
+    """DuckDB mirror of :func:`pagerank_int`: a full query string whose
+    ``WITH`` head is ``edges_cte`` (must define ``edges(src, dst)``), with
+    the power iteration UNROLLED one CTE pair per step.  Sums are wrapped
+    ``CAST(... AS BIGINT)`` (DuckDB promotes SUM(BIGINT) to HUGEINT, which
+    breaks the driver's value hash).  Emits ``(node, rank)``; with
+    ``top_k`` adds the deterministic ``ORDER BY rank DESC, node LIMIT k``."""
+    num, den = damping_num, damping_den
+    parts = [
+        edges_cte,
+        "nd AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nd)",
+        "og AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od "
+        "FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank "
+        f"FROM nd, nn)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"d{t} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS d "
+            f"FROM r{t} r LEFT JOIN og ON og.node = r.node "
+            f"WHERE og.od IS NULL)")
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS node, "
+            f"CAST(sum(r.rank // o.od) AS BIGINT) AS m "
+            f"FROM edges e JOIN r{t} r ON r.node = e.src "
+            f"JOIN og o ON o.node = e.src GROUP BY e.dst)")
+        parts.append(
+            f"r{t + 1} AS (SELECT nd.node, CAST(({scale} * {den - num}) "
+            f"// ({den} * nn.n) + ({num} * (coalesce(c{t}.m, 0) "
+            f"+ d{t}.d // nn.n)) // {den} AS BIGINT) AS rank "
+            f"FROM nd CROSS JOIN nn CROSS JOIN d{t} "
+            f"LEFT JOIN c{t} ON c{t}.node = nd.node)")
+    tail = f"SELECT node, rank FROM r{iters}"
+    if top_k is not None:
+        tail += f" ORDER BY rank DESC, node LIMIT {top_k}"
+    return "WITH " + ", ".join(parts) + " " + tail
+
+
+def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
+             tol: float | None = None) -> DataFrame:
+    """Classical float64 PageRank (Page et al. 1999) — same distributed
+    shape as :func:`pagerank_int` (one src join + one dst sum + one scalar
+    dangling aggregate per iteration, checkpointed ranks), values in
+    [0, 1] summing to ~1.  ``tol`` stops early when the driver-observed L1
+    delta drops below it (costs one extra scalar aggregate per iteration).
+    Float sums are engine/order-dependent — use :func:`pagerank_int` for
+    anything that must verify across engines."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    _validate_edges(edges)
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    odeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("double").alias("od"))
+    e_od = (edges.join(odeg, edges.src == odeg.node)
+            .select("src", "dst", "od").localCheckpoint(eager=False))
+    dangling = nodes.join(odeg, ["node"], "left_anti")
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        d_mass = (dangling.join(ranks, ["node"])
+                  .agg((F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n)))
+                       .alias("_d")))
+        contrib = (e_od.join(ranks, e_od.src == ranks.node)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("od")).alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("m")))
+        new = (nodes.join(contrib, ["node"], "left")
+               .crossJoin(F.broadcast(d_mass))
+               .select("node", (F.lit(base) + F.lit(damping)
+                                * (F.coalesce("m", F.lit(0.0)) + F.col("_d")))
+                       .alias("rank"))
+               .localCheckpoint(eager=False))
+        if tol is not None:
+            delta = (new.join(ranks.withColumnRenamed("rank", "_prev"),
+                              ["node"])
+                     .agg(F.sum(F.abs(F.col("rank") - F.col("_prev")))
+                          .alias("l1")).first().l1)
+            ranks = new
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new
+    return ranks
+
+
+def pagerank_int_numpy(edges: list[tuple[int, int]], iters: int = 3,
+                       scale: int = 10 ** 12, damping_num: int = 85,
+                       damping_den: int = 100) -> dict[int, int]:
+    """Single-node exact-integer reference simulation of
+    :func:`pagerank_int` (Python ints — no overflow, no float) for brute
+    parity in tests."""
+    edges = sorted(set((int(s), int(d)) for s, d in edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    od: dict[int, int] = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = (scale * (damping_den - damping_num)) // (damping_den * n)
+    for _ in range(iters):
+        d_share = sum(r[v] for v in nodes if v not in od) // n
+        m = {v: 0 for v in nodes}
+        for s, t in edges:
+            m[t] += r[s] // od[s]
+        r = {v: base + (damping_num * (m[v] + d_share)) // damping_den
+             for v in nodes}
+    return r

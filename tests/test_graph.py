@@ -1,0 +1,133 @@
+"""Host-graph PageRank: engine-exact integer parity, float parity,
+derivation mirror, determinism, iterative-plan hygiene."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparksketch.graph import (
+    derive_host_edges,
+    derive_host_edges_sql,
+    pagerank,
+    pagerank_int,
+    pagerank_int_numpy,
+    pagerank_int_sql,
+)
+
+# a fixed small graph with a hub (0), a chain, parallel-free edges and
+# TWO dangling nodes (7 and 9 have no out-edges)
+EDGES = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 4), (4, 5), (5, 0),
+         (6, 0), (6, 7), (8, 9), (2, 9), (3, 7)]
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_int_matches_exact_simulation(spark):
+    got = {r.node: r.rank
+           for r in pagerank_int(_edges_df(spark, EDGES), iters=4).collect()}
+    want = pagerank_int_numpy(EDGES, iters=4)
+    assert got == want
+    # dangling nodes exist and got redistributed mass (above base-only)
+    n = len(want)
+    scale = 10 ** 12
+    base = (scale * 15) // (100 * n)
+    assert want[9] > base  # in-edges from 8 and 2
+    # total mass conserved up to the documented floor loss
+    assert abs(sum(want.values()) - scale) <= 4 * (2 * n + 100)
+
+
+def test_pagerank_int_partitioning_invariant(spark):
+    df = _edges_df(spark, EDGES)
+    a = {r.node: r.rank for r in pagerank_int(df, iters=3).collect()}
+    b = {r.node: r.rank
+         for r in pagerank_int(df.repartition(13), iters=3).collect()}
+    assert a == b
+
+
+def test_pagerank_int_duckdb_mirror(spark):
+    """The unrolled-CTE SQL reproduces every rank bit-for-bit."""
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    edges = derive_host_edges(docs)
+    got = {r.node: r.rank for r in pagerank_int(edges, iters=3).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT range AS doc_id "
+                "FROM range(400)")
+    sql = pagerank_int_sql(derive_host_edges_sql(), iters=3)
+    want = {int(n): int(r) for n, r in con.execute(sql).fetchall()}
+    assert got == want
+    # numpy triple-check
+    e = [(r.src, r.dst) for r in edges.collect()]
+    assert got == pagerank_int_numpy(e, iters=3)
+
+
+def test_derive_host_edges_shape(spark):
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    edges = derive_host_edges(docs, hosts_per_docs=10)
+    rows = edges.collect()
+    srcs = {r.src for r in rows}
+    dsts = {r.dst for r in rows}
+    h = 1000 // 10  # 100 hosts, top 10 dst-only
+    hs = h - h // 10
+    assert max(srcs) < hs
+    assert max(dsts) < h
+    assert not any(r.src == r.dst for r in rows)
+    assert len(rows) == len({(r.src, r.dst) for r in rows})  # distinct
+    # squared-mix skew (P(dst < h/2) = sqrt(1/2) per link): the low half
+    # of the host space receives clearly more than half the in-edges —
+    # needs an UNSATURATED pair space, hence 100 hosts for 3000 links
+    low = sum(1 for r in rows if r.dst < h // 2)
+    assert low > int(0.55 * len(rows))
+
+
+def test_pagerank_float_matches_numpy_power_iteration(spark):
+    df = _edges_df(spark, EDGES)
+    got = {r.node: r.rank for r in pagerank(df, iters=25).collect()}
+    # dense float64 reference
+    nodes = sorted({s for s, _ in EDGES} | {d for _, d in EDGES})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    od = {}
+    for s, _ in EDGES:
+        od[s] = od.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        m = np.zeros(n)
+        d = sum(r[idx[v]] for v in nodes if v not in od) / n
+        for s, t in EDGES:
+            m[idx[t]] += r[idx[s]] / od[s]
+        r = (1.0 - 0.85) / n + 0.85 * (m + d)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_float_tol_early_stop(spark):
+    df = _edges_df(spark, EDGES)
+    loose = {r.node: r.rank for r in pagerank(df, iters=50, tol=1e-12).collect()}
+    assert sum(loose.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_plan_stays_bounded(spark):
+    """localCheckpoint per iteration keeps the logical plan O(1) — the
+    connected-components lineage lesson applied here."""
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    edges = derive_host_edges(docs)
+    r3 = pagerank_int(edges, iters=2)
+    r8 = pagerank_int(edges, iters=7)
+    plan3 = r3._jdf.queryExecution().optimizedPlan().toString()
+    plan8 = r8._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan8) < 2 * len(plan3) + 2000
+
+
+def test_pagerank_validation(spark):
+    df = _edges_df(spark, EDGES)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_int(df, iters=0)
+    with pytest.raises(ValueError, match="src, dst"):
+        pagerank_int(df.withColumnRenamed("src", "u"))
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_int(df, damping_num=0)
