@@ -980,6 +980,39 @@ def _pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("rank").cast("long").alias("rank")))
 
 
+def _bm25_index_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # persisted-inverted-index BM25 (the repeated-query scale path: a
+    # bucket-partitioned postings table answers from |terms|/n_buckets of
+    # the index, never rescanning the corpus): build the index, query it,
+    # and certify ROW-FOR-ROW equality with the direct scorer — shared
+    # _bm25_score_expr chain makes the scores bit-identical, so the oracle
+    # is the direct DuckDB ranking + ok pinned TRUE.  The index lands in a
+    # fresh tmp dir the returned (lazy) DataFrame keeps reading from.
+    import tempfile
+
+    from pyspark.sql import Window
+    from sparksketch.textstats import (bm25_index_topk, bm25_topk,
+                                       write_bm25_index)
+    docs = _T(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="sk_bm25_gate_")
+    write_bm25_index(docs, path, n_buckets=16)
+    terms = ["hash", "join", "vector"]
+    via = bm25_index_topk(spark, path, terms, n_buckets=16, k=10)
+    direct = bm25_topk(docs, terms, k=10)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    a = via.withColumn("_rn", F.row_number().over(w))
+    b = direct.withColumn("_rn", F.row_number().over(w)).select(
+        F.col("_rn").alias("_rn2"), F.col("doc_id").alias("_d2"),
+        F.col("score").alias("_s2"))
+    ok = (a.join(b, a._rn == b._rn2, "full_outer")
+          .agg(F.coalesce(
+              F.bool_and(F.coalesce(
+                  (F.col("doc_id") == F.col("_d2"))
+                  & (F.col("score") == F.col("_s2")), F.lit(False))),
+              F.lit(False)).alias("ok")))
+    return a.select("doc_id", "score").crossJoin(F.broadcast(ok))
+
+
 def _mix_budget_docs(spark: SparkSession, sf: str) -> DataFrame:
     # data-mixture composition: 3 sources at 47/31/5.7% of a 3x-corpus row
     # budget — deliberately non-dividing so the partial-epoch md5-threshold
@@ -1991,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _fingerprint_documents,
         "stratified_sample_docs": _stratified_sample_docs,
         "bm25_topk_docs": _bm25_topk_docs,
+        "bm25_index_docs": _bm25_index_docs,
         "pagerank_hosts": _pagerank_hosts,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
@@ -2151,7 +2185,7 @@ def oracle_sql() -> dict[str, str]:
     cos = ("round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) / "
            "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
            "sqrt(list_dot_product(qv, qv))), 4)")
-    return {
+    out = {
         "bloom_zero_fn": "SELECT count(*) AS n_keys, CAST(0 AS BIGINT) AS false_negatives FROM customer",
         "bloom_partkey_screen": ("SELECT DISTINCT p_partkey FROM part "
                                  "WHERE p_partkey NOT IN (SELECT c_custkey FROM customer)"),
@@ -2259,6 +2293,11 @@ def oracle_sql() -> dict[str, str]:
             "AS score FROM base, st) "
             "SELECT doc_id, round(score, 4) AS score FROM s "
             "ORDER BY score DESC, doc_id LIMIT 10"),
+        # index path == direct path row-for-row (shared score chain), so
+        # the oracle is the SAME direct ranking with ok pinned TRUE; the
+        # subquery is filled in after the dict literal (reuses the
+        # bm25_topk_docs SQL verbatim)
+        "bm25_index_docs": "__BM25_INDEX_PLACEHOLDER__",
         "mix_budget_docs": (
             # full mixture recomputation: per-source integer targets in
             # HUGEINT (exact like the driver's Python ints), epoch
@@ -2850,3 +2889,6 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY 1"),
     }
+    out["bm25_index_docs"] = ("SELECT doc_id, score, TRUE AS ok FROM ("
+                              + out["bm25_topk_docs"] + ")")
+    return out

@@ -355,6 +355,9 @@ def top_terms(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                     F.col("_rn").cast("int").alias("rank")))
 
 
+MAX_WORD_CHARS = 4096  # over-long-token guard shared with sparksketch.bpe
+
+
 def bm25_topk(df: DataFrame, query_terms: list[str], col: str = "text",
               id_col: str = "doc_id", k: int = 10, k1: float = 1.2,
               b: float = 0.75, idf: str = "ratio") -> DataFrame:
@@ -391,19 +394,158 @@ def bm25_topk(df: DataFrame, query_terms: list[str], col: str = "text",
           for i, t in enumerate(terms)]).first()
     n = int(stats.n)
     avglen = float(stats.total_len) / n if n else 1.0
+    dfs = {t: int(stats[f"df_{i}"]) for i, t in enumerate(terms)}
+    def _tf(term: str):
+        # NB: F.filter dispatches on lambda ARITY (2 params = element+index),
+        # so bind the term via a closure, never a default argument
+        return F.size(F.filter("_t", lambda x: x == F.lit(term))).cast("double")
+
+    tfs = [_tf(t) for t in terms]
+    score = _bm25_score_expr(terms, tfs, F.col("_dl").cast("double"),
+                             n, avglen, dfs, k1, b, idf)
+    return (base.select(F.col(id_col), F.round(score, 4).alias("score"))
+            .orderBy(F.desc("score"), id_col).limit(k))
+
+
+def _bm25_score_expr(terms: list[str], tfs: list, dl, n: int, avglen: float,
+                     dfs: dict[str, int], k1: float, b: float, idf: str):
+    """The fixed per-term BM25 accumulation chain, shared by the direct
+    scorer (:func:`bm25_topk`) and the persisted-index scorer
+    (:func:`bm25_index_topk`) so both produce the IDENTICAL float64
+    expression tree — same literals, same term order, same +,·,/ sequence —
+    and therefore bit-identical scores.  ``tfs`` are double Columns aligned
+    with the sorted ``terms``; ``dl`` is the double doc-length Column."""
     score = F.lit(0.0)
-    for i, t in enumerate(terms):
-        dft = int(stats[f"df_{i}"])
-        ratio = (n - dft + 0.5) / (dft + 0.5)
+    for t, tf in zip(terms, tfs):
+        ratio = (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
         w = ratio if idf == "ratio" else math.log1p(ratio)
-        tf = F.size(F.filter("_t", lambda x: x == F.lit(t))).cast("double")
         score = score + F.lit(float(w)) * (
             tf * F.lit(k1 + 1.0)
             / (tf + F.lit(k1) * (F.lit(1.0 - b)
-                                 + F.lit(b) * F.col("_dl").cast("double")
-                                 / F.lit(avglen))))
-    return (base.select(F.col(id_col), F.round(score, 4).alias("score"))
-            .orderBy(F.desc("score"), id_col).limit(k))
+                                 + F.lit(b) * dl / F.lit(avglen))))
+    return score
+
+
+def write_bm25_index(df: DataFrame, path: str, col: str = "text",
+                     id_col: str = "doc_id", n_buckets: int = 64,
+                     max_word_chars: int = MAX_WORD_CHARS) -> dict[str, int]:
+    """Persist an inverted index for repeated BM25 retrieval — the scale
+    path when MANY query-term sets run against the same corpus: the direct
+    :func:`bm25_topk` scans every document per query batch, the index
+    answers from ``|terms|/n_buckets`` of a 30-50× smaller postings table.
+
+    Layout under ``path``:
+
+    - ``postings/`` — ``(term, doc_id, tf)`` partitioned by
+      ``bucket = pmod(xxhash64(term), n_buckets)``: a query reads ONLY its
+      terms' buckets (``PartitionFilters`` prune the rest unread);
+    - ``doclens/`` — ``(doc_id, dl)`` (dl = whitespace token count);
+    - ``stats/`` — one row ``(n, total_len)``.
+
+    Terms truncate to ``max_word_chars`` pre-shuffle (the n-gram shuffle-key
+    guard; real query terms are far shorter, so scores for them are
+    unaffected).  Build cost: one explode + one (id, term) map-side-combined
+    count — the same shuffle a tf-idf pass already pays.  Returns
+    ``{"n": ..., "total_len": ..., "n_buckets": ...}``."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    toks = tokens_col(F.lower(F.col(col)))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"),
+                     F.size(toks).alias("dl"))
+    stats = base.agg(F.count("*").cast("long").alias("n"),
+                     F.sum("dl").cast("long").alias("total_len")).first()
+    spark = df.sparkSession
+    spark.createDataFrame([(int(stats.n), int(stats.total_len or 0))],
+                          "n long, total_len long").write.mode(
+        "overwrite").parquet(f"{path}/stats")
+    base.select("doc_id", F.col("dl").cast("long").alias("dl")).write.mode(
+        "overwrite").parquet(f"{path}/doclens")
+    postings = (base.select("doc_id", F.explode("_t").alias("_w"))
+                .select("doc_id", _cap_str(F.col("_w"), max_word_chars).alias("term"))
+                .groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+                .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                             F.lit(n_buckets)).cast("int")))
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings")
+    return {"n": int(stats.n), "total_len": int(stats.total_len or 0),
+            "n_buckets": n_buckets}
+
+
+def bm25_index_topk(spark, path: str, query_terms: list[str],
+                    n_buckets: int = 64, k: int = 10, k1: float = 1.2,
+                    b: float = 0.75, idf: str = "ratio") -> DataFrame:
+    """BM25 top-k from a persisted :func:`write_bm25_index` — bit-identical
+    scores to :func:`bm25_topk` over the same corpus (shared
+    :func:`_bm25_score_expr` chain; pytest asserts row-for-row equality),
+    but the scan is ONLY the query terms' postings buckets.
+
+    Plan shape: postings read carries ``bucket IN (...)`` as a partition
+    filter (pruned at file listing, nothing else read) + ``term IN (...)``
+    pushed to parquet; per-term document frequencies come from the same
+    pruned read; matched docs pivot to per-term tf columns via conditional
+    aggregation, join doclens (id-keyed, only matched ids), score in
+    codegen, TakeOrdered.  When fewer than ``k`` docs match any term, the
+    remaining slots fill with zero-score docs (smallest ids) exactly like
+    the direct ranking's tail."""
+    if idf not in ("ratio", "log"):
+        raise ValueError(f"idf must be 'ratio' or 'log', got {idf!r}")
+    if not query_terms:
+        raise ValueError("bm25_index_topk needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    st = spark.read.parquet(f"{path}/stats").first()
+    n = int(st.n)
+    avglen = float(st.total_len) / n if n else 1.0
+    doclens = spark.read.parquet(f"{path}/doclens")
+    post = _read_postings(spark, path, terms, n_buckets)
+    dfs = {r.term: int(r.df) for r in
+           post.groupBy("term").agg(F.count("*").alias("df")).collect()}
+    pivoted = post.groupBy("doc_id").agg(
+        *[F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
+                     F.lit(0)).cast("double").alias(f"_tf_{i}")
+          for i, t in enumerate(terms)])
+    tfs = [F.col(f"_tf_{i}") for i in range(len(terms))]
+    score = _bm25_score_expr(terms, tfs, F.col("dl").cast("double"),
+                             n, avglen, dfs, k1, b, idf)
+    matched = (pivoted.join(doclens, ["doc_id"])
+               .select("doc_id", F.round(score, 4).alias("score"))
+               .orderBy(F.desc("score"), "doc_id").limit(k))
+    rows = matched.collect()  # ≤ k rows — the TakeOrdered result itself
+    if len(rows) < k or any(r.score <= 0.0 for r in rows):
+        # zero-score tail: the direct ranking orders ALL zero-score docs by
+        # doc_id, so pool the k smallest non-matched ids alongside the
+        # matched rows (a matched score can round to 0.0000 and then
+        # tie-break by id against non-matched docs) and re-rank the pool —
+        # the true top-k is provably inside it
+        zeros = (doclens.join(post.select("doc_id").distinct(),
+                              ["doc_id"], "left_anti")
+                 .select("doc_id", F.lit(0.0).alias("score"))
+                 .orderBy("doc_id").limit(k))
+        matched = matched.union(zeros)
+    return matched.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def _read_postings(spark, path: str, terms: list[str],
+                   n_buckets: int) -> DataFrame:
+    """The pruned postings read: ``bucket IN (...)`` is a PARTITION filter
+    (unmatched buckets never listed, let alone read) and ``term IN (...)``
+    pushes to the parquet scan.  Factored out so the plan property is
+    directly testable."""
+    buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
+    return (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(terms)))
+
+
+def _term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side mirror of ``pmod(xxhash64(term), n_buckets)`` via the
+    shared pure-Python XXH64 replica — bucket routing must match what the
+    build wrote.  Spark reports the hash SIGNED; Python ``%`` on the
+    sign-converted value is exactly ``pmod``."""
+    from sparksketch.hashing import spark_xxhash64
+    h = spark_xxhash64(term)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h % n_buckets
 
 
 def _bigrams_col(toks: Column) -> Column:
@@ -421,9 +563,6 @@ def _bigrams_col(toks: Column) -> Column:
         F.arrays_zip(F.slice(toks, 1, n - 1).alias("a"),
                      F.slice(toks, 2, n - 1).alias("b")),
     ).otherwise(F.expr("CAST(array() AS array<struct<a:string,b:string>>)"))
-
-
-MAX_WORD_CHARS = 4096  # over-long-token guard shared with sparksketch.bpe
 
 
 def _cap_str(c: Column, max_word_chars: int | None) -> Column:

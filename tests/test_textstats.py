@@ -299,3 +299,67 @@ def test_lm_bigram_score_rejects_bad_scale(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         lm_bigram_score(df, scale=0)
+
+
+def test_bm25_index_equals_direct(spark, tmp_path):
+    """The persisted inverted index reproduces the direct scorer's top-k
+    row-for-row (shared _bm25_score_expr chain), including the absent-term
+    and zero-fill tails."""
+    from sparksketch.textstats import bm25_index_topk, bm25_topk, write_bm25_index
+    docs = [(i, ["hash join scan", "vector index probe", "the quick fox",
+                 "hash hash vector", "join", ""][i % 6] + f" tail{i % 7}")
+            for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    info = write_bm25_index(df, path, n_buckets=8)
+    assert info["n"] == 120
+    for terms, k in ((["hash", "join", "vector"], 10), (["absent"], 5),
+                     (["tail3"], 30), (["the", "probe"], 120)):
+        direct = [(r.doc_id, r.score) for r in bm25_topk(df, terms, k=k).collect()]
+        via = [(r.doc_id, r.score) for r in
+               bm25_index_topk(spark, path, terms, n_buckets=8, k=k).collect()]
+        assert via == direct, terms
+
+
+def test_bm25_index_log_idf_and_validation(spark, tmp_path):
+    import pytest as _pt
+    from sparksketch.textstats import bm25_index_topk, bm25_topk, write_bm25_index
+    df = spark.createDataFrame(
+        [(0, "rare term here"), (1, "common common"), (2, "common")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_bm25_index(df, path, n_buckets=4)
+    direct = [(r.doc_id, r.score) for r in bm25_topk(df, ["rare", "common"], k=3, idf="log").collect()]
+    via = [(r.doc_id, r.score) for r in
+           bm25_index_topk(spark, path, ["rare", "common"], n_buckets=4, k=3, idf="log").collect()]
+    assert via == direct
+    with _pt.raises(ValueError, match="at least one"):
+        bm25_index_topk(spark, path, [], n_buckets=4)
+    with _pt.raises(ValueError, match="idf"):
+        bm25_index_topk(spark, path, ["x"], n_buckets=4, idf="bad")
+    with _pt.raises(ValueError, match="n_buckets"):
+        write_bm25_index(df, path, n_buckets=0)
+
+
+def test_bm25_index_partition_pruning(spark, tmp_path):
+    """bucket IN (...) reaches the scan as a PartitionFilter: only the query
+    terms' buckets are listed/read — the I/O win that makes the index the
+    repeated-query scale path."""
+    import re
+    from sparksketch.textstats import _read_postings, _term_bucket, write_bm25_index
+    df = spark.createDataFrame(
+        [(i, f"term{i % 50} filler common") for i in range(200)],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_bm25_index(df, path, n_buckets=16)
+    post = _read_postings(spark, path, ["term3", "term17"], 16)
+    plan = post._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan)
+    assert "PushedFilters: " in plan and "term" in plan
+    # and the bucket routing mirror matches the engine's pmod(xxhash64)
+    from pyspark.sql import functions as F
+    eng = {r.t: r.b for r in spark.createDataFrame(
+        [("term3",), ("term17",), ("",), ("ünïcode",)], "t string").select(
+        "t", F.pmod(F.xxhash64("t"), F.lit(16)).cast("int").alias("b")).collect()}
+    for t, b in eng.items():
+        assert _term_bucket(t, 16) == b
