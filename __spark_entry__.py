@@ -980,6 +980,16 @@ def _pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("rank").cast("long").alias("rank")))
 
 
+def _pmi_pairs_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # top-20 adjacent-word collocations by PMI, ranked engine-exactly via
+    # the raw lift ratio (c_ab·T)/(c_a·c_b) — ·,/ on doubles cast from
+    # exact BIGINTs (no ln), so the DuckDB mirror reproduces the ranking
+    # bit-for-bit; min_count=5 drops unreliable rare pairs
+    from sparksketch.textstats import pmi_top_pairs
+    docs = _T(spark, sf, "documents")
+    return pmi_top_pairs(docs, k=20, min_count=5)
+
+
 def _bm25_index_docs(spark: SparkSession, sf: str) -> DataFrame:
     # persisted-inverted-index BM25 (the repeated-query scale path: a
     # bucket-partitioned postings table answers from |terms|/n_buckets of
@@ -2025,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _stratified_sample_docs,
         "bm25_topk_docs": _bm25_topk_docs,
         "bm25_index_docs": _bm25_index_docs,
+        "pmi_pairs_docs": _pmi_pairs_docs,
         "pagerank_hosts": _pagerank_hosts,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
@@ -2340,6 +2351,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(8 AS BIGINT) AS n_merges, a AS first_left, "
             "b AS first_right, c AS first_count, init_symbols, "
             "TRUE AS encode_ok FROM best, init"),
+        "pmi_pairs_docs": (
+            # same bigram extraction mirror as lm_bigram_docs; lift is the
+            # identical double chain (BIGINT casts, one · then /), rounded
+            # to 6 before the (lift desc, a, b) ordering on both engines
+            "WITH d AS (SELECT CASE WHEN trim(lower(text)) = '' THEN [] "
+            "ELSE list_transform(string_split_regex(trim(lower(text)), '\\s+'), "
+            "t -> t[1:4096]) END AS ts FROM documents), "
+            "bp AS (SELECT ts[i] AS a, ts[i+1] AS b "
+            "FROM d, unnest(range(1, len(ts))) AS u(i)), "
+            "cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bp GROUP BY 1, 2), "
+            "ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1), "
+            "cb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1), "
+            "tt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t FROM cab) "
+            "SELECT a, b, c_ab, round((CAST(c_ab AS DOUBLE) * CAST(t AS DOUBLE)) "
+            "/ (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)), 6) AS lift "
+            "FROM cab JOIN ca USING (a) JOIN cb USING (b), tt "
+            "WHERE c_ab >= 5 "
+            "ORDER BY lift DESC, a, b LIMIT 20"),
         "lm_bigram_docs": (
             # full MLE bigram model recomputed from scratch; integer cells
             # (1000000 * c_ab) // c_a — DuckDB // on non-negative BIGINTs ==

@@ -369,6 +369,39 @@ def main() -> int:
         "v", "w").quantile(0.5))
 
     # --- relational surface ---
+    # --- host-graph PageRank: derive the host link graph from the page ids
+    # embedded in the corpus urls, 3 engine-exact integer iterations ---
+    from sparksketch.graph import derive_host_edges, pagerank_int
+
+    def pr_run():
+        ids = wp.select(F.regexp_extract("url", r"/p(\d+)", 1)
+                        .cast("long").alias("doc_id"))
+        ranks = pagerank_int(derive_host_edges(ids), iters=3)
+        return ranks.orderBy(F.desc("rank"), "node").limit(20).collect()
+
+    top_hosts = bench("pagerank_hosts_corpus", pr_run, repeats=3)
+    extras["pagerank_top_host"] = int(top_hosts[0].node)
+
+    # --- persisted BM25 inverted index: build (bucket-clustered postings
+    # write) + one partition-pruned 3-term query ---
+    import shutil
+
+    from sparksketch.textstats import bm25_index_topk, write_bm25_index
+    wp50 = ensure_webpages(spark, 50_000)
+    idx_path = os.path.join(DATA_DIR, "bm25_index_bench")
+
+    def idx_build():
+        shutil.rmtree(idx_path, ignore_errors=True)
+        docs50 = wp50.select(F.regexp_extract("url", r"/p(\d+)", 1)
+                             .cast("long").alias("doc_id"), "text")
+        return write_bm25_index(docs50, idx_path, n_buckets=64)
+
+    bench("bm25_index_build_50k", idx_build)
+    qtop = bench("bm25_index_query", lambda: bm25_index_topk(
+        spark, idx_path, ["world", "state", "people"],
+        n_buckets=64, k=10).collect(), repeats=3)
+    extras["bm25_index_top_doc"] = int(qtop[0].doc_id)
+
     bench("q1_pricing", lambda: lineitem
           .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
           .groupBy("l_returnflag", "l_linestatus")

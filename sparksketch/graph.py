@@ -121,9 +121,11 @@ def pagerank_int(edges: DataFrame, iters: int = 3, scale: int = 10 ** 12,
                      + (num · (Σ_{u→v} r_t(u) div outdeg(u) + D_t div N))
                        div den
 
-    The floors shed ≤ N per division, so Σr stays within
-    ``iters·(2N + den)`` of ``scale`` (pytest asserts the brute-force
-    integer simulation EXACTLY, not just the bound).  Parallel edges must
+    Mass bound: contribution floors shed at most one unit per EDGE
+    (``od·(r div od) > r − od``), the ``div den`` and dangling floors at
+    most one per node, so Σr stays within ``iters·(E + 2N + den) + N`` of
+    ``scale`` (pytest asserts the brute-force integer simulation EXACTLY;
+    the scale script certifies this bound at 48M edges).  Parallel edges must
     be pre-collapsed (``derive_host_edges`` does) — each distinct edge
     carries one ``r div outdeg`` share.
 
@@ -136,7 +138,11 @@ def pagerank_int(edges: DataFrame, iters: int = 3, scale: int = 10 ** 12,
     if not 0 < damping_num < damping_den:
         raise ValueError("need 0 < damping_num < damping_den")
     _validate_edges(edges)
-    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    # checkpoint the (possibly expensive) edge derivation ONCE — nodes,
+    # out-degrees and the reused edge⋈outdeg table each scan it, and
+    # without the cut every scan re-runs the upstream plan from source
+    edges = (edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+             .localCheckpoint(eager=False))
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint(eager=False))
@@ -145,10 +151,14 @@ def pagerank_int(edges: DataFrame, iters: int = 3, scale: int = 10 ** 12,
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     odeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("od"))
-    # edges ⋈ outdeg once, reused every iteration (checkpoint cuts lineage
-    # and keeps the per-iter plan from re-deriving the distinct + agg)
+    # edges ⋈ outdeg once, then PERSIST repartitioned+sorted by src — NOT
+    # localCheckpoint, which drops partitioning/ordering metadata and
+    # forces a full re-shuffle AND re-sort of the big edge table in every
+    # iteration's join; with the cache each iteration only moves the small
+    # ranks table (one row per node) to meet the edge partitioning
     e_od = (edges.join(odeg, edges.src == odeg.node)
-            .select("src", "dst", "od").localCheckpoint(eager=False))
+            .select("src", "dst", "od")
+            .repartition("src").sortWithinPartitions("src").persist())
     dangling = nodes.join(odeg, ["node"], "left_anti")
     base = (scale * (damping_den - damping_num)) // (damping_den * n)
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
@@ -171,6 +181,8 @@ def pagerank_int(edges: DataFrame, iters: int = 3, scale: int = 10 ** 12,
                      f"+ _d div {n})) div {damping_den}"))
                      .cast("long").alias("rank"))
                  .localCheckpoint(eager=False))
+    ranks.count()  # materialize the final checkpoint, then drop the cache
+    e_od.unpersist()
     return ranks
 
 
@@ -237,7 +249,8 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
     odeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("double").alias("od"))
     e_od = (edges.join(odeg, edges.src == odeg.node)
-            .select("src", "dst", "od").localCheckpoint(eager=False))
+            .select("src", "dst", "od")
+            .repartition("src").sortWithinPartitions("src").persist())
     dangling = nodes.join(odeg, ["node"], "left_anti")
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -265,6 +278,8 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
                 break
         else:
             ranks = new
+    ranks.count()  # materialize the final checkpoint, then drop the cache
+    e_od.unpersist()
     return ranks
 
 

@@ -36,8 +36,9 @@ def test_pagerank_int_matches_exact_simulation(spark):
     scale = 10 ** 12
     base = (scale * 15) // (100 * n)
     assert want[9] > base  # in-edges from 8 and 2
-    # total mass conserved up to the documented floor loss
-    assert abs(sum(want.values()) - scale) <= 4 * (2 * n + 100)
+    # total mass conserved up to the documented floor loss:
+    # iters·(E + 2N + den) + N
+    assert abs(sum(want.values()) - scale) <= 4 * (len(EDGES) + 2 * n + 100) + n
 
 
 def test_pagerank_int_partitioning_invariant(spark):

@@ -363,3 +363,44 @@ def test_bm25_index_partition_pruning(spark, tmp_path):
         "t", F.pmod(F.xxhash64("t"), F.lit(16)).cast("int").alias("b")).collect()}
     for t, b in eng.items():
         assert _term_bucket(t, 16) == b
+
+
+def test_pmi_top_pairs_hand_computation(spark):
+    """Lift ratio vs a plain-python computation on a corpus with one
+    planted collocation ('new york' always adjacent, its parts never
+    elsewhere) that must rank first."""
+    from sparksketch.textstats import pmi_top_pairs
+    rows = [(i, "new york " + "the of the of" if i % 2 == 0
+             else "the quick fox of the") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_top_pairs(df, k=5, min_count=3).collect()
+    # exact reference
+    from collections import Counter
+    cab = Counter()
+    for _, t in rows:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            cab[(a, b)] += 1
+    T = sum(cab.values())
+    ca = Counter(); cb = Counter()
+    for (a, b), c in cab.items():
+        ca[a] += c; cb[b] += c
+    want = sorted(
+        ((a, b, c, round((float(c) * float(T)) / (float(ca[a]) * float(cb[b])), 6))
+         for (a, b), c in cab.items() if c >= 3),
+        key=lambda r: (-r[3], r[0], r[1]))[:5]
+    assert [(r.a, r.b, r.c_ab, r.lift) for r in got] == want
+    assert (got[0].a, got[0].b) == ("new", "york")  # the planted collocation
+
+
+def test_pmi_validation(spark):
+    import pytest as _pt
+    from sparksketch.textstats import pmi_top_pairs
+    df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="k must"):
+        pmi_top_pairs(df, k=0)
+    with _pt.raises(ValueError, match="min_count"):
+        pmi_top_pairs(df, min_count=0)
+    # min_count filters: only pairs with >= min_count occurrences survive
+    got = pmi_top_pairs(df, k=10, min_count=2).collect()
+    assert [(r.a, r.b) for r in got] == [("a", "b")]
