@@ -90,15 +90,18 @@ def main() -> int:
     lo, hi = LEVELS[0], LEVELS[-1]
     assert results[lo]["top5"] == results[hi]["top5"], \
         "parallelism changed the exact integer ranks"
-    eff = (results[hi]["edges_per_sec_per_iter"]
-           / results[lo]["edges_per_sec_per_iter"] / (hi / lo))
+    effs = {}
+    for a, b in zip(LEVELS, LEVELS[1:]):
+        effs[f"{a}_to_{b}"] = round(
+            results[b]["edges_per_sec_per_iter"]
+            / results[a]["edges_per_sec_per_iter"] / (b / a), 3)
     summary = {
         "docs": N_DOCS, "edges": results[hi]["edges"],
         "hosts": results[hi]["hosts"], "iters": ITERS,
         "throughput_edges_per_sec_per_iter": {
             str(c): results[c]["edges_per_sec_per_iter"] for c in LEVELS},
         "sec": {str(c): results[c]["sec"] for c in LEVELS},
-        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        "scaling_efficiency": effs,
         "mass_ok_at_scale": all(results[c]["mass_ok"] for c in LEVELS),
         "top5_identical_across_levels": True,
         "methodology": ("same derived edge set (pure function of ids), fresh "
