@@ -997,14 +997,15 @@ def _bm25_index_docs(spark: SparkSession, sf: str) -> DataFrame:
     # and certify ROW-FOR-ROW equality with the direct scorer — shared
     # _bm25_score_expr chain makes the scores bit-identical, so the oracle
     # is the direct DuckDB ranking + ok pinned TRUE.  The index lands in a
-    # fresh tmp dir the returned (lazy) DataFrame keeps reading from.
-    import tempfile
+    # DETERMINISTIC per-sf tmp dir (overwritten on rebuild, never
+    # accumulated) the returned lazy DataFrame keeps reading from.
+    import hashlib
 
     from pyspark.sql import Window
     from sparksketch.textstats import (bm25_index_topk, bm25_topk,
                                        write_bm25_index)
     docs = _T(spark, sf, "documents")
-    path = tempfile.mkdtemp(prefix="sk_bm25_gate_")
+    path = f"/tmp/sk_bm25_gate_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
     write_bm25_index(docs, path, n_buckets=16)
     terms = ["hash", "join", "vector"]
     via = bm25_index_topk(spark, path, terms, n_buckets=16, k=10)

@@ -68,7 +68,9 @@ spark.stop()
 
 
 def main() -> int:
-    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")) and not os.path.exists(CORPUS):
+    # _SUCCESS alone: a killed generation leaves a partial dir that must
+    # regenerate, not silently feed truncated numbers into the evidence
+    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         from sparksketch.session import get_spark
         from sparksketch.webtext import webpages
         spark = get_spark("pagerank-scale-gen", cores=32, shuffle_partitions=32)

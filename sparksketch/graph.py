@@ -60,10 +60,17 @@ def derive_host_edges(df: DataFrame, id_col: str = "doc_id",
       makes low-id hosts hubs (realistic skewed in-degree);
     - self-loops drop, parallel edges collapse (``distinct``).
 
-    ``u_k = ((id % P)·A + k·B + C) % P`` keeps every product < 2^63 even
-    at 10^12-row ids."""
+    ``u_k = ((id % P)·A + k·B + C) % P`` keeps the mixing products < 2^63
+    at ANY id; the skew map's ``(u² div P)·h`` product additionally bounds
+    the HOST count to ``(2^63−1) div P`` ≈ 4.29e9 (≈ 2.1e11 docs at the
+    default ratio) — guarded with a ValueError rather than an engine
+    overflow."""
     n_docs = df.count()
     h = max(n_docs // hosts_per_docs, min_hosts)
+    if h * _MIX_P >= 2 ** 63:
+        raise ValueError(
+            f"host count {h} overflows the int64 skew map "
+            f"(max {(2 ** 63 - 1) // _MIX_P}); raise hosts_per_docs")
     hs = h - h // 10  # source-host space; hosts [hs, h) are dangling
     m = f"(CAST({id_col} AS BIGINT) % {_MIX_P})"
     src = f"(({m} * {_MIX_A} + {_MIX_C}) % {_MIX_P}) % {hs}"
@@ -133,10 +140,43 @@ def pagerank_int(edges: DataFrame, iters: int = 3, scale: int = 10 ** 12,
     iteration one src-keyed join (ranks ≪ edges), one map-side-combined
     dst sum, one scalar dangling aggregate; ranks are checkpointed so the
     logical plan stays O(1) across iterations."""
-    if iters < 1:
-        raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0 < damping_num < damping_den:
         raise ValueError("need 0 < damping_num < damping_den")
+    num, den = damping_num, damping_den
+
+    def update(n: int):
+        base = (scale * (den - num)) // (den * n)
+        return (F.lit(base) + F.expr(
+            f"({num} * (coalesce(m, CAST(0 AS BIGINT)) "
+            f"+ _d div {n})) div {den}")).cast("long")
+
+    return _pagerank_run(
+        edges, iters,
+        od_type="long",
+        empty_rank=F.lit(0).cast("long"),
+        init_rank=lambda n: F.lit(scale // n).cast("long"),
+        d_mass=lambda n: F.coalesce(F.sum("rank"), F.lit(0)).cast("long"),
+        contrib=F.expr("rank div od"),
+        fold_c=F.sum("c").cast("long"),
+        update=update)
+
+
+def _pagerank_run(edges: DataFrame, iters: int, *, od_type: str,
+                  empty_rank, init_rank, d_mass, contrib, fold_c, update,
+                  tol: float | None = None) -> DataFrame:
+    """Shared distributed power-iteration driver for the integer and float
+    PageRank variants — identical scaffold (node set, out-degrees, eagerly
+    checkpointed edge⋈outdeg table, dangling anti-join, per-iteration
+    broadcast dangling mass + checkpointed ranks); the variants differ only
+    in cell arithmetic, passed as Column builders.
+
+    The returned ranks are EAGERLY materialized: the final localCheckpoint
+    truncates lineage, so every intermediate checkpoint (including the big
+    e_od table) becomes unreferenced when this returns and the
+    ContextCleaner can reclaim its blocks — without it a long session
+    accumulates dead cached RDDs across repeated calls."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     _validate_edges(edges)
     # checkpoint the (possibly expensive) edge derivation ONCE — nodes,
     # out-degrees and the reused edge⋈outdeg table each scan it, and
@@ -148,41 +188,45 @@ def pagerank_int(edges: DataFrame, iters: int = 3, scale: int = 10 ** 12,
              .distinct().localCheckpoint(eager=False))
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
+        return nodes.withColumn("rank", empty_rank)
     odeg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("long").alias("od"))
-    # edges ⋈ outdeg once, then PERSIST repartitioned+sorted by src — NOT
-    # localCheckpoint, which drops partitioning/ordering metadata and
-    # forces a full re-shuffle AND re-sort of the big edge table in every
-    # iteration's join; with the cache each iteration only moves the small
-    # ranks table (one row per node) to meet the edge partitioning
+        F.count("*").cast(od_type).alias("od"))
+    # edges ⋈ outdeg once, EAGERLY checkpointed: materializing the big
+    # table up front lets AQE plan every iteration's join from real sizes
+    # (measured at 48M edges / local[32]: eager 19.3 s vs lazy-checkpoint
+    # 84 s vs persist 73 s vs repartitioned+sorted persist 36 s for 3
+    # iterations — the lazy variants replan each stage against
+    # defaultSizeInBytes and keep the big side on the shuffled path)
     e_od = (edges.join(odeg, edges.src == odeg.node)
-            .select("src", "dst", "od")
-            .repartition("src").sortWithinPartitions("src").persist())
+            .select("src", "dst", "od").localCheckpoint(eager=True))
     dangling = nodes.join(odeg, ["node"], "left_anti")
-    base = (scale * (damping_den - damping_num)) // (damping_den * n)
-    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
-    for _ in range(iters):
+    ranks = nodes.select("node", init_rank(n).alias("rank"))
+    for it in range(iters):
         # dangling mass rides along as a broadcast ONE-ROW cross join (a
         # scalar — always broadcast-safe) instead of a driver collect, so
         # the whole iteration chain materializes in a single action; lazy
         # localCheckpoints still cut the lineage as each round computes
-        d_mass = (dangling.join(ranks, ["node"])
-                  .agg(F.coalesce(F.sum("rank"), F.lit(0))
-                       .cast("long").alias("_d")))
-        contrib = (e_od.join(ranks, e_od.src == ranks.node)
-                   .select(F.col("dst").alias("node"),
-                           F.expr("rank div od").alias("c"))
-                   .groupBy("node").agg(F.sum("c").cast("long").alias("m")))
-        ranks = (nodes.join(contrib, ["node"], "left")
-                 .crossJoin(F.broadcast(d_mass))
-                 .select("node", (F.lit(base) + F.expr(
-                     f"({damping_num} * (coalesce(m, CAST(0 AS BIGINT)) "
-                     f"+ _d div {n})) div {damping_den}"))
-                     .cast("long").alias("rank"))
-                 .localCheckpoint(eager=False))
-    ranks.count()  # materialize the final checkpoint, then drop the cache
-    e_od.unpersist()
+        dm = (dangling.join(ranks, ["node"])
+              .agg(d_mass(n).alias("_d")))
+        cb = (e_od.join(ranks, e_od.src == ranks.node)
+              .select(F.col("dst").alias("node"), contrib.alias("c"))
+              .groupBy("node").agg(fold_c.alias("m")))
+        new = (nodes.join(cb, ["node"], "left")
+               .crossJoin(F.broadcast(dm))
+               .select("node", update(n).alias("rank"))
+               .localCheckpoint(eager=(tol is None and it == iters - 1)))
+        if tol is not None:
+            delta = (new.join(ranks.withColumnRenamed("rank", "_prev"),
+                              ["node"])
+                     .agg(F.sum(F.abs(F.col("rank") - F.col("_prev")))
+                          .alias("l1")).first().l1)
+            ranks = new
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new
+    if tol is not None:
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -236,51 +280,18 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
     delta drops below it (costs one extra scalar aggregate per iteration).
     Float sums are engine/order-dependent — use :func:`pagerank_int` for
     anything that must verify across engines."""
-    if iters < 1:
-        raise ValueError(f"iters must be >= 1, got {iters}")
-    _validate_edges(edges)
-    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=False))
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    odeg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("double").alias("od"))
-    e_od = (edges.join(odeg, edges.src == odeg.node)
-            .select("src", "dst", "od")
-            .repartition("src").sortWithinPartitions("src").persist())
-    dangling = nodes.join(odeg, ["node"], "left_anti")
-    base = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
-        d_mass = (dangling.join(ranks, ["node"])
-                  .agg((F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n)))
-                       .alias("_d")))
-        contrib = (e_od.join(ranks, e_od.src == ranks.node)
-                   .select(F.col("dst").alias("node"),
-                           (F.col("rank") / F.col("od")).alias("c"))
-                   .groupBy("node").agg(F.sum("c").alias("m")))
-        new = (nodes.join(contrib, ["node"], "left")
-               .crossJoin(F.broadcast(d_mass))
-               .select("node", (F.lit(base) + F.lit(damping)
-                                * (F.coalesce("m", F.lit(0.0)) + F.col("_d")))
-                       .alias("rank"))
-               .localCheckpoint(eager=False))
-        if tol is not None:
-            delta = (new.join(ranks.withColumnRenamed("rank", "_prev"),
-                              ["node"])
-                     .agg(F.sum(F.abs(F.col("rank") - F.col("_prev")))
-                          .alias("l1")).first().l1)
-            ranks = new
-            if delta is not None and delta < tol:
-                break
-        else:
-            ranks = new
-    ranks.count()  # materialize the final checkpoint, then drop the cache
-    e_od.unpersist()
-    return ranks
+    return _pagerank_run(
+        edges, iters,
+        od_type="double",
+        empty_rank=F.lit(0.0),
+        init_rank=lambda n: F.lit(1.0 / n),
+        d_mass=lambda n: (F.coalesce(F.sum("rank"), F.lit(0.0))
+                          / F.lit(float(n))),
+        contrib=F.col("rank") / F.col("od"),
+        fold_c=F.sum("c"),
+        update=lambda n: (F.lit((1.0 - damping) / n) + F.lit(damping)
+                          * (F.coalesce("m", F.lit(0.0)) + F.col("_d"))),
+        tol=tol)
 
 
 def pagerank_int_numpy(edges: list[tuple[int, int]], iters: int = 3,
@@ -288,8 +299,11 @@ def pagerank_int_numpy(edges: list[tuple[int, int]], iters: int = 3,
                        damping_den: int = 100) -> dict[int, int]:
     """Single-node exact-integer reference simulation of
     :func:`pagerank_int` (Python ints — no overflow, no float) for brute
-    parity in tests."""
-    edges = sorted(set((int(s), int(d)) for s, d in edges))
+    parity in tests.  Parallel edges are kept, matching the distributed
+    semantics (out-degree counts ROWS; each edge row carries one
+    ``r div od`` share) — collapse duplicates upstream if that is what
+    the distributed call sees."""
+    edges = sorted((int(s), int(d)) for s, d in edges)
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     if not nodes:
         return {}

@@ -444,23 +444,18 @@ def write_bm25_index(df: DataFrame, path: str, col: str = "text",
 
     Terms truncate to ``max_word_chars`` pre-shuffle (the n-gram shuffle-key
     guard; real query terms are far shorter, so scores for them are
-    unaffected).  Build cost: one explode + one (id, term) map-side-combined
-    count — the same shuffle a tf-idf pass already pays.  Returns
+    unaffected).  Build cost: the corpus is TOKENIZED ONCE (the postings
+    pass); doclens derive from the written postings (``dl = Σ tf`` — every
+    token contributes exactly one posting occurrence) left-joined to a
+    column-pruned id scan so zero-token docs keep ``dl = 0``, and the
+    stats row aggregates the tiny doclens table.  Returns
     ``{"n": ..., "total_len": ..., "n_buckets": ...}``."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    toks = tokens_col(F.lower(F.col(col)))
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"),
-                     F.size(toks).alias("dl"))
-    stats = base.agg(F.count("*").cast("long").alias("n"),
-                     F.sum("dl").cast("long").alias("total_len")).first()
     spark = df.sparkSession
-    spark.createDataFrame([(int(stats.n), int(stats.total_len or 0))],
-                          "n long, total_len long").write.mode(
-        "overwrite").parquet(f"{path}/stats")
-    base.select("doc_id", F.col("dl").cast("long").alias("dl")).write.mode(
-        "overwrite").parquet(f"{path}/doclens")
-    postings = (base.select("doc_id", F.explode("_t").alias("_w"))
+    toks = tokens_col(F.lower(F.col(col)))
+    postings = (df.select(F.col(id_col).alias("doc_id"),
+                          F.explode(toks).alias("_w"))
                 .select("doc_id", _cap_str(F.col("_w"), max_word_chars).alias("term"))
                 .groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
                 .withColumn("bucket", F.pmod(F.xxhash64("term"),
@@ -471,6 +466,18 @@ def write_bm25_index(df: DataFrame, path: str, col: str = "text",
     # caps at n_buckets — size n_buckets ≥ cluster parallelism at scale.
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket").parquet(f"{path}/postings")
+    tok_sums = (spark.read.parquet(f"{path}/postings")
+                .groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")))
+    (df.select(F.col(id_col).alias("doc_id"))
+     .join(tok_sums, ["doc_id"], "left")
+     .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+     .write.mode("overwrite").parquet(f"{path}/doclens"))
+    stats = (spark.read.parquet(f"{path}/doclens")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum("dl").cast("long").alias("total_len")).first())
+    spark.createDataFrame([(int(stats.n), int(stats.total_len or 0))],
+                          "n long, total_len long").write.mode(
+        "overwrite").parquet(f"{path}/stats")
     return {"n": int(stats.n), "total_len": int(stats.total_len or 0),
             "n_buckets": n_buckets}
 

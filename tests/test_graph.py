@@ -132,3 +132,21 @@ def test_pagerank_validation(spark):
         pagerank_int(df.withColumnRenamed("src", "u"))
     with pytest.raises(ValueError, match="damping"):
         pagerank_int(df, damping_num=0)
+
+
+def test_pagerank_int_parallel_edges_weighted(spark):
+    """Out-degree counts ROWS: a duplicated edge carries two shares, and
+    the numpy reference simulates the same multi-edge semantics."""
+    multi = EDGES + [(0, 1), (0, 1), (6, 0)]
+    got = {r.node: r.rank
+           for r in pagerank_int(_edges_df(spark, multi), iters=3).collect()}
+    assert got == pagerank_int_numpy(multi, iters=3)
+    # and it genuinely differs from the collapsed graph (weighting matters)
+    assert got != pagerank_int_numpy(sorted(set(multi)), iters=3)
+
+
+def test_derive_host_edges_overflow_guard(spark):
+    import pytest as _pt
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    with _pt.raises(ValueError, match="overflows"):
+        derive_host_edges(docs, hosts_per_docs=1, min_hosts=2 ** 33)
