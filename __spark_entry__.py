@@ -990,6 +990,20 @@ def _pmi_pairs_docs(spark: SparkSession, sf: str) -> DataFrame:
     return pmi_top_pairs(docs, k=20, min_count=5)
 
 
+def _zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # Morton codes for a 2-d (length-bucket, source-id) z-order layout —
+    # the write-time clustering that makes parquet row-group min/max tight
+    # on BOTH dimensions (sparksketch/layout.py; pruning payoff measured in
+    # tests/test_layout.py + scripts/zorder_scale.py).  Every z-value is
+    # pure non-negative integer bit arithmetic, so the DuckDB //-and-%
+    # mirror reproduces the full column hash-exactly.
+    from sparksketch.layout import det_bucket, zvalue
+    docs = _T(spark, sf, "documents")
+    b_chars = det_bucket("n_chars", 0, 1023, 10)
+    b_src = F.substring("source", 4, 8).cast("long")  # 'srcN' -> N (< 32)
+    return docs.select("doc_id", zvalue([b_chars, b_src], bits=10).alias("zval"))
+
+
 def _bm25_index_docs(spark: SparkSession, sf: str) -> DataFrame:
     # persisted-inverted-index BM25 (the repeated-query scale path: a
     # bucket-partitioned postings table answers from |terms|/n_buckets of
@@ -2038,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_docs": _bm25_index_docs,
         "pmi_pairs_docs": _pmi_pairs_docs,
         "pagerank_hosts": _pagerank_hosts,
+        "zorder_docs": _zorder_docs,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2141,6 +2156,17 @@ def _quality_sql() -> str:
         f"+ (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.2 "
         f"+ (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 0.1 ELSE 0.0 END), 4) "
         f"AS quality_score FROM g")
+
+
+def _zorder_sql_query() -> str:
+    """DuckDB mirror of _zorder_docs: identical bucket + Morton-interleave
+    integer arithmetic, generated by sparksketch.layout's own SQL
+    generators so Spark and the oracle share one spec."""
+    from sparksketch.layout import det_bucket_sql, zvalue_sql
+    b_chars = det_bucket_sql("n_chars", 0, 1023, 10)
+    b_src = "(CAST(substring(source, 4) AS BIGINT) % 1024)"
+    return ("SELECT doc_id, " + zvalue_sql([b_chars, b_src], bits=10)
+            + " AS zval FROM documents")
 
 
 def _scrub_pii_sql_query() -> str:
@@ -2286,6 +2312,10 @@ def oracle_sql() -> dict[str, str]:
         # +,·,//,% on BIGINTs — bit-exact vs sparksketch.graph.pagerank_int
         "pagerank_hosts": pagerank_int_sql(
             derive_host_edges_sql(), iters=3, top_k=20),
+        # Morton interleave mirrored with //-and-% integer arithmetic —
+        # generated by the SAME module (layout.zvalue_sql) as the Spark
+        # bit expression, one spec for both engines
+        "zorder_docs": _zorder_sql_query(),
         "bm25_topk_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

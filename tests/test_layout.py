@@ -1,0 +1,133 @@
+"""Z-order layout: Morton-code exactness vs a scalar reference, the
+DuckDB arithmetic mirror, bucketing semantics, and the actual payoff —
+parquet row-group pruning on BOTH dimensions of a 2-d box predicate."""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.layout import (det_bucket, det_bucket_sql, pruned_fraction,
+                                rowgroup_ranges, zorder_by, zvalue,
+                                zvalue_sql)
+
+
+def ref_morton(vals: list[int], bits: int) -> int:
+    z = 0
+    for d, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for b in range(bits):
+            z += ((v >> b) & 1) << (b * len(vals) + d)
+    return z
+
+
+def test_zvalue_matches_scalar_reference(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << 16, 200).tolist()
+    ys = rng.integers(0, 1 << 16, 200).tolist()
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = [r.z for r in df.select(zvalue(["x", "y"], bits=16).alias("z"))
+           .collect()]
+    assert got == [ref_morton([x, y], 16) for x, y in zip(xs, ys)]
+
+
+def test_zvalue_three_dims_and_masking(spark):
+    # out-of-range input bits are masked, not an error; 3 dims interleave
+    df = spark.createDataFrame([(5, 3, 6), (1 << 40, 0, 0)], "a long, b long, c long")
+    got = [r.z for r in df.select(zvalue(["a", "b", "c"], bits=4).alias("z")).collect()]
+    assert got == [ref_morton([5, 3, 6], 4), ref_morton([1 << 40, 0, 0], 4)]
+
+
+def test_zvalue_sql_mirrors_spark(spark):
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 1 << 10, 300).tolist()
+    ys = rng.integers(0, 1 << 10, 300).tolist()
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                 + ",".join(f"({x},{y})" for x, y in zip(xs, ys))
+                 + ") v(x, y)")
+    got = [r[0] for r in duck.execute(
+        f"SELECT {zvalue_sql(['x', 'y'], bits=10)} FROM t").fetchall()]
+    assert got == [ref_morton([x, y], 10) for x, y in zip(xs, ys)]
+
+
+def test_det_bucket_clamps_and_mirrors(spark):
+    # range 0..999 into 4 bits -> shift 6: bucket = clamped // 64
+    vals = [-5, 0, 63, 64, 500, 999, 2000]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r.b for r in df.select(det_bucket("v", 0, 999, 4).alias("b")).collect()]
+    expect = [min(max(v, 0), 999) // 64 for v in vals]
+    assert got == expect
+    assert all(0 <= b < 16 for b in got)
+    duck = duckdb.connect()
+    sql_got = [r[0] for r in duck.execute(
+        "SELECT " + det_bucket_sql("v", 0, 999, 4) + " FROM (VALUES "
+        + ",".join(f"({v})" for v in vals) + ") t(v)").fetchall()]
+    assert sql_got == expect
+
+
+def test_det_bucket_exact_power_of_two_range(spark):
+    # 0..1023 into 10 bits is the identity (shift 0)
+    df = spark.createDataFrame([(0,), (1,), (1023,)], "v long")
+    got = [r.b for r in df.select(det_bucket("v", 0, 1023, 10).alias("b")).collect()]
+    assert got == [0, 1, 1023]
+
+
+def test_zvalue_rejects_too_many_bits():
+    with pytest.raises(ValueError):
+        zvalue(["a", "b"], bits=32)  # 64 > 62
+
+
+@pytest.fixture(scope="module")
+def layout_corpus(spark):
+    # 200k rows over a 256x256 bucketed key space, uncorrelated dims
+    rng_free = F.col("id")
+    df = (spark.range(200_000)
+          .withColumn("bx", F.pmod(F.xxhash64(rng_free, F.lit(1)), F.lit(256)))
+          .withColumn("by", F.pmod(F.xxhash64(rng_free, F.lit(2)), F.lit(256)))
+          .withColumn("payload", F.md5(F.col("id").cast("string"))))
+    return df
+
+
+def _write(df, path):
+    (df.write.mode("overwrite")
+       .option("parquet.block.size", 64 * 1024)  # many small row groups
+       .parquet(path))
+
+
+def test_zorder_prunes_both_dims(spark, layout_corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("zorder"))
+    df = layout_corpus
+    box = {"bx": (0, 15), "by": (0, 15)}  # 1/16 of each dim, ~1/256 of rows
+
+    p_lin = os.path.join(base, "by_bx")  # single-key sort
+    _write(df.repartitionByRange(32, "bx").sortWithinPartitions("bx"), p_lin)
+    p_z = os.path.join(base, "zorder")
+    _write(zorder_by(df, [det_bucket("bx", 0, 255, 8),
+                          det_bucket("by", 0, 255, 8)], bits=8, n_parts=32), p_z)
+
+    lin = pruned_fraction(p_lin, box)
+    zo = pruned_fraction(p_z, box)
+    # granularity check: the comparison is only meaningful with many groups
+    assert zo["row_groups"] >= 64 and lin["row_groups"] >= 64
+    # single-key sort prunes on bx only (~15/16 of rows); z-order prunes on
+    # both dims — require a decisive, seed-stable margin over both that
+    # ceiling and the single-key layout's realized fraction
+    assert zo["rows_skipped"] / zo["rows_total"] > 0.98
+    assert lin["rows_skipped"] / lin["rows_total"] < 0.97
+    assert zo["pruned_frac"] > lin["pruned_frac"]
+    # and the layouts hold identical data
+    assert (spark.read.parquet(p_z).agg(F.sum("bx"), F.sum("by")).first()
+            == spark.read.parquet(p_lin).agg(F.sum("bx"), F.sum("by")).first())
+
+
+def test_rowgroup_ranges_reads_footers(spark, layout_corpus, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("rg")) + "/t"
+    _write(zorder_by(layout_corpus, [det_bucket("bx", 0, 255, 8),
+                                     det_bucket("by", 0, 255, 8)],
+                     bits=8, n_parts=4), p)
+    groups = rowgroup_ranges(p, ["bx", "by"])
+    assert sum(g["n_rows"] for g in groups) == 200_000
+    assert all(0 <= g["bx_min"] <= g["bx_max"] <= 255 for g in groups)
