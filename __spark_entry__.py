@@ -1004,6 +1004,17 @@ def _zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", zvalue([b_chars, b_src], bits=10).alias("zval"))
 
 
+def _chi2_drift_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # source x lang chi-square contingency cells (sparksketch/profile.py
+    # chi2_cells) — the corpus-slice drift/independence screen.  One corpus
+    # groupBy; totals are window sums over the small cell table; every
+    # double is a fixed-order IEEE chain ((r*k)/t, (o-e)^2/e) that DuckDB
+    # reproduces bit-for-bit.
+    from sparksketch.profile import chi2_cells
+    docs = _T(spark, sf, "documents")
+    return chi2_cells(docs, "source", "lang")
+
+
 def _bm25_index_docs(spark: SparkSession, sf: str) -> DataFrame:
     # persisted-inverted-index BM25 (the repeated-query scale path: a
     # bucket-partitioned postings table answers from |terms|/n_buckets of
@@ -2053,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs_docs": _pmi_pairs_docs,
         "pagerank_hosts": _pagerank_hosts,
         "zorder_docs": _zorder_docs,
+        "chi2_drift_docs": _chi2_drift_docs,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2316,6 +2328,19 @@ def oracle_sql() -> dict[str, str]:
         # generated by the SAME module (layout.zvalue_sql) as the Spark
         # bit expression, one spec for both engines
         "zorder_docs": _zorder_sql_query(),
+        # chi-square cells: exact-int counts until the fixed-order IEEE
+        # chain (r*k)/t then (o-e)^2/e — bit-exact across engines; the
+        # inner CAST(... AS BIGINT) defuses DuckDB's HUGEINT SUM promotion
+        "chi2_drift_docs": (
+            "WITH cells AS (SELECT source, lang, COUNT(*) AS o "
+            "FROM documents GROUP BY source, lang), "
+            "w AS (SELECT source, lang, o, "
+            "(CAST(CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS DOUBLE)"
+            " * CAST(CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE))"
+            " / CAST(CAST(SUM(o) OVER () AS BIGINT) AS DOUBLE) AS e FROM cells) "
+            "SELECT source, lang, o, e, "
+            "((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e AS contrib "
+            "FROM w"),
         "bm25_topk_docs": (
             "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
             "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents), "

@@ -77,3 +77,64 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     schema = ("column string, n_rows long, n_nulls long, null_frac double, "
               "ndv_est double, min string, max string, avg_len double")
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def chi2_cells(df: DataFrame, group_col: str, cat_col: str,
+               min_expected: float = 0.0) -> DataFrame:
+    """Chi-square contingency cells between two categoricals — the
+    distribution-drift / independence screen for corpus slices ("is source
+    X's language mix shifting?", "does the new crawl's length profile match
+    last month's?").  Returns one row per ``(group, cat)`` cell:
+
+        group_col, cat_col, o (observed count), e (expected under
+        independence = row_total·col_total/grand_total), contrib
+        ((o−e)²/e — the cell's chi-square term)
+
+    Large ``contrib`` cells ARE the drift diagnosis (which slice, which
+    category); the scalar statistic is :func:`chi2_stat`.  Cells with
+    ``e < min_expected`` can be dropped (the classic validity rule of
+    thumb is 5).
+
+    Scale shape: ONE groupBy shuffle on the (group, cat) pair reduces the
+    corpus to the cell table; row/column/grand totals are window sums over
+    THAT table (bounded by the category cardinalities G·C, not the corpus
+    — re-aggregating through joins instead would recompute the corpus
+    groupBy per total: Spark's ReuseExchange does not fire across the
+    broadcast subtrees, measured 4 scans).  The unpartitioned grand-total
+    window is a single-task sort of G·C rows — fine for categoricals,
+    which is what a contingency table is; this is not a high-cardinality
+    operator.  Every arithmetic step is exact-int until the single
+    ``(r·k)/T`` division and the ``(o−e)²/e`` chain, each an IEEE op in a
+    fixed order — so an independent SQL engine reproduces the doubles
+    bit-for-bit (the driver-gate oracle relies on this).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(group_col, cat_col).agg(F.count("*").alias("o"))
+    r = F.sum("o").over(Window.partitionBy(group_col)).cast("double")
+    k = F.sum("o").over(Window.partitionBy(cat_col)).cast("double")
+    t = F.sum("o").over(Window.partitionBy()).cast("double")
+    d = F.col("o").cast("double") - F.col("e")
+    out = (cells.withColumn("e", (r * k) / t)
+           .withColumn("contrib", (d * d) / F.col("e"))
+           .select(group_col, cat_col, "o", "e", "contrib"))
+    if min_expected > 0:
+        out = out.filter(F.col("e") >= float(min_expected))
+    return out
+
+
+def chi2_stat(df: DataFrame, group_col: str, cat_col: str) -> tuple[float, int]:
+    """Scalar chi-square statistic and degrees of freedom
+    ``(G−1)·(C−1)`` for the :func:`chi2_cells` table.  The cell table is
+    small (category cardinalities), so the sum happens driver-side in a
+    DETERMINISTIC order (sorted by group, cat) — a distributed ``SUM`` over
+    doubles has engine-dependent addend order and is not reproducible."""
+    rows = (chi2_cells(df, group_col, cat_col)
+            .orderBy(group_col, cat_col).collect())
+    groups = {r[0] for r in rows}
+    cats = {r[1] for r in rows}
+    stat = 0.0
+    for row in rows:
+        stat += row["contrib"]
+    dof = (len(groups) - 1) * (len(cats) - 1)
+    return stat, dof
