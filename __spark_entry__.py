@@ -1004,6 +1004,17 @@ def _zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", zvalue([b_chars, b_src], bits=10).alias("zval"))
 
 
+def _triangles_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    # exact per-host triangle counts over the deterministic host graph
+    # (sparksketch/graph.py triangle_counts — degree-ordered wedge join,
+    # every step an integer equi-join, so the DuckDB oracle reproduces
+    # (node, deg, tri) hash-exactly; 1122 triangles at the small SFs, so
+    # the result can't go vacuous).
+    from sparksketch.graph import derive_host_edges, triangle_counts
+    docs = _T(spark, sf, "documents")
+    return triangle_counts(derive_host_edges(docs))
+
+
 def _chi2_drift_docs(spark: SparkSession, sf: str) -> DataFrame:
     # source x lang chi-square contingency cells (sparksketch/profile.py
     # chi2_cells) — the corpus-slice drift/independence screen.  One corpus
@@ -2065,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _pagerank_hosts,
         "zorder_docs": _zorder_docs,
         "chi2_drift_docs": _chi2_drift_docs,
+        "triangles_hosts": _triangles_hosts,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2227,7 +2239,8 @@ def _hash_split_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sparksketch.decontam import uniform_sample_sql
-    from sparksketch.graph import derive_host_edges_sql, pagerank_int_sql
+    from sparksketch.graph import (derive_host_edges_sql, pagerank_int_sql,
+                                   triangle_counts_sql)
     from sparksketch.packing import pack_sequences_sql
     qrows = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q, TRUE AS ok" for q in _QS
@@ -2324,6 +2337,9 @@ def oracle_sql() -> dict[str, str]:
         # +,·,//,% on BIGINTs — bit-exact vs sparksketch.graph.pagerank_int
         "pagerank_hosts": pagerank_int_sql(
             derive_host_edges_sql(), iters=3, top_k=20),
+        # exact triangle counts: identical degree orientation + wedge +
+        # closure equi-joins on BIGINTs (graph.triangle_counts_sql)
+        "triangles_hosts": triangle_counts_sql(derive_host_edges_sql()),
         # Morton interleave mirrored with //-and-% integer arithmetic —
         # generated by the SAME module (layout.zvalue_sql) as the Spark
         # bit expression, one spec for both engines

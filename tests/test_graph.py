@@ -150,3 +150,66 @@ def test_derive_host_edges_overflow_guard(spark):
     docs = spark.range(10).select(F.col("id").alias("doc_id"))
     with _pt.raises(ValueError, match="overflows"):
         derive_host_edges(docs, hosts_per_docs=1, min_hosts=2 ** 33)
+
+
+# -- triangle counting ---------------------------------------------------
+
+def _brute_triangles(edges):
+    from itertools import combinations
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per = {v: 0 for v in adj}
+    for v, ns in adj.items():
+        for x, y in combinations(sorted(ns), 2):
+            if (min(x, y), max(x, y)) in und:
+                per[v] += 1
+    return {v: (len(adj[v]), t) for v, t in per.items()}
+
+
+def test_triangles_k4_and_isolated_path(spark):
+    from sparksketch.graph import triangle_counts
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = {r.node: (r.deg, r.tri)
+           for r in triangle_counts(_edges_df(spark, k4 + [(4, 5)])).collect()}
+    assert all(out[v] == (3, 3) for v in range(4))  # K4: every vertex in 3
+    assert out[4] == (1, 0) and out[5] == (1, 0)    # pendant edge: none
+
+
+def test_triangles_brute_parity_and_direction_invariance(spark):
+    from sparksketch.graph import triangle_counts
+    # deterministic pseudo-random graph with hubs, reciprocal edges,
+    # self-loops and parallel duplicates
+    edges = [((i * 7919) % 23, (i * i * 104729 + i) % 23) for i in range(160)]
+    edges += edges[:20] + [(5, 5), (0, 0)]
+    want = _brute_triangles(edges)
+    got = {r.node: (r.deg, r.tri)
+           for r in triangle_counts(_edges_df(spark, edges)).collect()}
+    assert got == want
+    rev = {r.node: (r.deg, r.tri)
+           for r in triangle_counts(
+               _edges_df(spark, [(b, a) for a, b in edges])).collect()}
+    assert rev == got  # undirected: orientation of the input is irrelevant
+
+
+def test_triangles_sql_mirror_and_host_graph(spark):
+    from sparksketch.graph import triangle_counts, triangle_counts_sql
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted((r.node, r.deg, r.tri)
+                 for r in triangle_counts(derive_host_edges(docs)).collect())
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(map(tuple, con.sql(
+        triangle_counts_sql(derive_host_edges_sql())).fetchall()))
+    assert got == want
+    assert sum(t for _, _, t in got) > 0  # non-vacuous on the host graph
+
+
+def test_triangles_validation(spark):
+    from sparksketch.graph import triangle_counts
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="src"):
+        triangle_counts(df)
