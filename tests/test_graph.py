@@ -213,3 +213,39 @@ def test_triangles_validation(spark):
     df = spark.createDataFrame([(1, 2)], "x long, y long")
     with pytest.raises(ValueError, match="src"):
         triangle_counts(df)
+
+
+def test_triangle_estimate_full_rate_equals_exact(spark):
+    from sparksketch.graph import triangle_counts, triangle_estimate
+    edges = _edges_df(spark, [(a, b) for a in range(6) for b in range(6) if a < b])
+    r = triangle_estimate(edges, keep_ppm=10 ** 6).first()
+    exact = triangle_counts(edges).agg(F.expr("sum(tri) div 3")).first()[0]
+    assert r.n_kept == r.n_edges == 15
+    assert r.tri_sampled == exact == 20  # K6: C(6,3)
+    assert r.est == 20.0
+
+
+def test_triangle_estimate_sampled_scaling_and_mirror(spark):
+    import duckdb as _dk
+    from sparksketch.graph import triangle_estimate, triangle_estimate_sql
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = triangle_estimate(derive_host_edges(docs), keep_ppm=500000).first()
+    # estimate is exactly the fixed chain tri * 2 * 2 * 2 at p = 1/2
+    assert got.est == ((got.tri_sampled * 1e6 / 500000) * 1e6 / 500000) \
+        * 1e6 / 500000
+    assert 0 < got.n_kept < got.n_edges  # the sample genuinely sampled
+    con = _dk.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.sql(triangle_estimate_sql(
+        derive_host_edges_sql(), keep_ppm=500000)).fetchone()
+    assert (got.n_edges, got.n_kept, got.tri_sampled, got.est) == want
+
+
+def test_triangle_estimate_validation(spark):
+    from sparksketch.graph import triangle_estimate
+    df = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="keep_ppm"):
+        triangle_estimate(df, keep_ppm=0)
+    with pytest.raises(ValueError, match="keep_ppm"):
+        triangle_estimate(df, keep_ppm=10 ** 6 + 1)
