@@ -1015,6 +1015,16 @@ def _triangles_hosts(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts(derive_host_edges(docs))
 
 
+def _lpa_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    # synchronous label-propagation communities, 3 rounds
+    # (sparksketch/graph.py label_propagation) — engine-exact: majority
+    # label with min tie-break is counts + min, both order-independent,
+    # so DuckDB reproduces every round bit-for-bit.
+    from sparksketch.graph import derive_host_edges, label_propagation
+    docs = _T(spark, sf, "documents")
+    return label_propagation(derive_host_edges(docs), iters=3)
+
+
 def _triangle_estimate_hosts(spark: SparkSession, sf: str) -> DataFrame:
     # DOULION sampled triangle count (graph.triangle_estimate): the md5
     # edge sample is deterministic, so n_edges/n_kept/tri_sampled/est are
@@ -2098,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift_docs": _chi2_drift_docs,
         "triangles_hosts": _triangles_hosts,
         "triangle_estimate_hosts": _triangle_estimate_hosts,
+        "lpa_hosts": _lpa_hosts,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2260,7 +2271,8 @@ def _hash_split_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sparksketch.decontam import uniform_sample_sql
-    from sparksketch.graph import (derive_host_edges_sql, pagerank_int_sql,
+    from sparksketch.graph import (derive_host_edges_sql,
+                                   label_propagation_sql, pagerank_int_sql,
                                    triangle_counts_sql, triangle_estimate_sql)
     from sparksketch.packing import pack_sequences_sql
     qrows = " UNION ALL ".join(
@@ -2361,6 +2373,9 @@ def oracle_sql() -> dict[str, str]:
         # exact triangle counts: identical degree orientation + wedge +
         # closure equi-joins on BIGINTs (graph.triangle_counts_sql)
         "triangles_hosts": triangle_counts_sql(derive_host_edges_sql()),
+        # 3 unrolled LPA rounds: majority-label-with-min-tie-break is
+        # counts + min — order-independent, bit-exact in any engine
+        "lpa_hosts": label_propagation_sql(derive_host_edges_sql(), iters=3),
         # DOULION estimate: identical md5 edge sample + sampled count +
         # fixed-order estimate chain; tri_exact recomputed in full and the
         # 25% band evaluated on identical doubles

@@ -523,3 +523,76 @@ def triangle_estimate_sql(edges_cte: str, keep_ppm: int = 500000,
         f"(((CAST(t.tri_sampled AS DOUBLE) * 1000000.0 / {keep_ppm}) "
         f"* 1000000.0 / {keep_ppm}) * 1000000.0 / {keep_ppm}) AS est "
         "FROM f, k, t")
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the undirected simple graph of ``(src, dst)`` — the third leg of
+    the web-graph suite next to PageRank and triangles (mirror farms and
+    template networks surface as dense same-label pockets).  Returns
+    ``(node, label)`` after ``iters`` rounds; connected same-label nodes
+    are one community.
+
+    Made ENGINE-EXACT by pinning the classic's two unspecified choices:
+    updates are synchronous (round t+1 reads only round t), and
+    ``label_{t+1}(v)`` = the most frequent label among v's neighbours with
+    ties to the SMALLEST label — counts and min are order-independent, so
+    any engine reproduces every round bit-for-bit
+    (:func:`label_propagation_sql`; same verifiability rationale as
+    ``pagerank_int``).  The argmax-with-tie-break is one aggregate,
+    ``min(struct(-count, label))`` — no window, so a label shared by a
+    node's every neighbour partial-aggregates map-side instead of landing
+    on one reducer.
+
+    Plan per round: one n-keyed join (labels are node-sized, ≪ edges —
+    AQE broadcasts them when small), one map-side-combined (v, label)
+    count, one map-side-combined argmax; labels ``localCheckpoint`` per
+    round (the iterative-lineage lesson).  Fixed ``iters`` bounds cost —
+    synchronous LPA can oscillate on bipartite structure rather than
+    converge, so a fixed horizon is the deterministic semantic, not a
+    shortcut."""
+    _validate_edges(edges)
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    sym = (und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+           .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+           ).localCheckpoint(eager=True)
+    labels = (sym.select(F.col("v").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(iters):
+        nbr = (sym.join(labels.withColumnRenamed("node", "n"), "n")
+               .select("v", "label"))
+        cnt = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (cnt.groupBy("v")
+                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                      F.col("label").alias("l"))).alias("m"))
+                  .select(F.col("v").alias("node"),
+                          F.col("m.l").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def label_propagation_sql(edges_cte: str, iters: int = 4) -> str:
+    """DuckDB mirror of :func:`label_propagation` — ``iters`` unrolled
+    rounds; the argmax-with-min-tie-break is a ``row_number() OVER
+    (ORDER BY c DESC, label ASC)`` window, a deterministic total order."""
+    parts = [
+        edges_cte,
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM edges WHERE src <> dst)",
+        "sym AS (SELECT a AS v, b AS n FROM und "
+        "UNION ALL SELECT b AS v, a AS n FROM und)",
+        "lab0 AS (SELECT DISTINCT v AS node, v AS label FROM sym)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"cnt{t} AS (SELECT s.v, l.label, CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM sym s JOIN lab{t - 1} l ON s.n = l.node GROUP BY s.v, l.label)")
+        parts.append(
+            f"lab{t} AS (SELECT v AS node, label FROM (SELECT v, label, "
+            f"row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) "
+            f"AS rn FROM cnt{t}) WHERE rn = 1)")
+    return "WITH " + ", ".join(parts) + f" SELECT node, label FROM lab{iters}"

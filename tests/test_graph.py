@@ -249,3 +249,74 @@ def test_triangle_estimate_validation(spark):
         triangle_estimate(df, keep_ppm=0)
     with pytest.raises(ValueError, match="keep_ppm"):
         triangle_estimate(df, keep_ppm=10 ** 6 + 1)
+
+
+# -- label propagation ---------------------------------------------------
+
+def _brute_lpa(edges, iters):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, ns in adj.items():
+            cnt = {}
+            for n in ns:
+                cnt[lab[n]] = cnt.get(lab[n], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    return lab
+
+
+def test_lpa_brute_parity_and_two_cliques(spark):
+    from sparksketch.graph import label_propagation
+    # two 5-cliques joined by one bridge edge
+    cl = [(a, b) for a in range(5) for b in range(5) if a < b]
+    cl += [(a + 10, b + 10) for a, b in cl] + [(4, 10)]
+    for iters in (1, 4):
+        want = _brute_lpa(cl, iters)
+        got = {r.node: r.label
+               for r in label_propagation(_edges_df(spark, cl), iters).collect()}
+        assert got == want
+    # after 4 rounds the cliques are internally uniform, distinct labels
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v + 10] for v in range(5)}) == 1
+    assert got[0] != got[10]
+
+
+def test_lpa_messy_graph_parity_and_determinism(spark):
+    from sparksketch.graph import label_propagation
+    edges = [((i * 7919) % 23, (i * i * 104729 + i) % 23) for i in range(120)]
+    edges += edges[:15] + [(3, 3)]
+    want = _brute_lpa(edges, 3)
+    df = _edges_df(spark, edges)
+    got = {r.node: r.label for r in label_propagation(df, 3).collect()}
+    assert got == want
+    rep = {r.node: r.label
+           for r in label_propagation(df.repartition(7), 3).collect()}
+    assert rep == got
+
+
+def test_lpa_sql_mirror_host_graph(spark):
+    from sparksketch.graph import label_propagation, label_propagation_sql
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted((r.node, r.label)
+                 for r in label_propagation(derive_host_edges(docs), 3).collect())
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(map(tuple, con.sql(
+        label_propagation_sql(derive_host_edges_sql(), 3)).fetchall()))
+    assert got == want
+    assert len({l for _, l in got}) >= 1 and len(got) == 20
+
+
+def test_lpa_validation(spark):
+    from sparksketch.graph import label_propagation
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(_edges_df(spark, [(0, 1)]), iters=0)
+    with pytest.raises(ValueError, match="src"):
+        label_propagation(spark.createDataFrame([(1, 2)], "x long, y long"))
