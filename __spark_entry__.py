@@ -1015,6 +1015,26 @@ def _triangles_hosts(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts(derive_host_edges(docs))
 
 
+def _json_quarantine_events(spark: SparkSession, sf: str) -> DataFrame:
+    # robust JSONL ingestion (sources.parse_json_robust): ~1% of the
+    # events props lines get a deterministic '{oops' corruption prefix
+    # (the repo's salting idiom — testdata is read-only), then the
+    # quarantine parse must flag exactly those and aggregate k over the
+    # good rows only.  DuckDB mirrors with json_valid + json_extract.
+    from sparksketch.sources import parse_json_robust
+    ev = _T(spark, sf, "events")
+    line = F.when(F.col("event_id") % 97 == 0,
+                  F.concat(F.lit("{oops"), F.col("props"))
+                  ).otherwise(F.col("props"))
+    feed = ev.select("event_type", line.alias("line"))
+    parsed = parse_json_robust(feed, "line", "k long")
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.when(F.col("is_bad"), 1).otherwise(0))
+                 .cast("long").alias("n_bad"),
+                 F.sum("rec.k").alias("sum_k_good")))
+
+
 def _lpa_hosts(spark: SparkSession, sf: str) -> DataFrame:
     # synchronous label-propagation communities, 3 rounds
     # (sparksketch/graph.py label_propagation) — engine-exact: majority
@@ -2109,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_hosts": _triangles_hosts,
         "triangle_estimate_hosts": _triangle_estimate_hosts,
         "lpa_hosts": _lpa_hosts,
+        "json_quarantine_events": _json_quarantine_events,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2373,6 +2394,17 @@ def oracle_sql() -> dict[str, str]:
         # exact triangle counts: identical degree orientation + wedge +
         # closure equi-joins on BIGINTs (graph.triangle_counts_sql)
         "triangles_hosts": triangle_counts_sql(derive_host_edges_sql()),
+        # robust-ingest quarantine: json_valid <-> from_json's in-schema
+        # corrupt-record flag on this feed (objects or '{oops'-prefixed)
+        "json_quarantine_events": (
+            "WITH feed AS (SELECT event_type, CASE WHEN event_id % 97 = 0 "
+            "THEN '{oops' || props ELSE props END AS line FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CASE WHEN NOT json_valid(line) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_bad, "
+            "CAST(SUM(CASE WHEN json_valid(line) THEN "
+            "CAST(json_extract_string(line, '$.k') AS BIGINT) END) "
+            "AS BIGINT) AS sum_k_good FROM feed GROUP BY event_type"),
         # 3 unrolled LPA rounds: majority-label-with-min-tie-break is
         # counts + min — order-independent, bit-exact in any engine
         "lpa_hosts": label_propagation_sql(derive_host_edges_sql(), iters=3),

@@ -114,3 +114,56 @@ def input_fingerprint(spark: SparkSession, source: str) -> str:
             return source
     files = sorted(load_table(spark, source).inputFiles())
     return f"{source}@{format(spark_xxhash64('|'.join(files), 3), '016x')}"
+
+
+def parse_json_robust(df: DataFrame, json_col: str, schema,
+                      out: str = "rec", bad_col: str = "is_bad") -> DataFrame:
+    """Quarantine-style JSON parsing of a string column — the crawl-ingest
+    primitive (real JSONL feeds always carry truncated/garbled lines, and
+    one of them must never kill a 100-TB job).
+
+    The corrupt-record column rides INSIDE the ``from_json`` schema
+    (``columnNameOfCorruptRecord``), which pins the strict semantics: a
+    truncated record like ``{"k": 7, "s`` is flagged bad with ALL fields
+    nulled — bare PERMISSIVE ``from_json`` without that column returns
+    the partial row ``(k=7, s=null)`` and silently accepts corrupt data
+    (measured; the pytest pins it).  This is also why the scan-level
+    ``spark.read.json`` + ``_corrupt_record`` route is avoided: filtering
+    that column requires caching the whole parsed input
+    (``AnalysisException`` otherwise) — a non-starter at 100 TB, while
+    the from_json expression is one codegen'd projection, and the raw
+    line is still present for the quarantine sink.
+
+    Semantics pinned by tests: NULL input → ``bad_col`` false (absent,
+    not corrupt) with NULL ``out``; valid JSON missing schema fields →
+    good, fields NULL; truncated / garbage / JSON ``null`` / non-object
+    → bad, all fields NULL.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    crpt = "_sparksketch_corrupt"
+    if isinstance(schema, str):
+        aug = f"{schema}, {crpt} string"
+    else:
+        aug = StructType(list(schema.fields)
+                         + [StructField(crpt, StringType())])
+    parsed = F.from_json(F.col(json_col), aug,
+                         {"columnNameOfCorruptRecord": crpt})
+    return (df.withColumn("_p", parsed)
+            .withColumn(bad_col, F.col(f"_p.{crpt}").isNotNull())
+            .withColumn(out, F.when(F.col(bad_col), F.lit(None))
+                        .otherwise(F.col("_p").dropFields(crpt)))
+            .drop("_p"))
+
+
+def read_jsonl_robust(spark: SparkSession, path: str, schema,
+                      line_col: str = "line", out: str = "rec",
+                      bad_col: str = "is_bad") -> DataFrame:
+    """Read a JSONL file/directory as raw text lines and parse with
+    :func:`parse_json_robust` — returns ``(line, rec, is_bad)`` rows; feed
+    ``.filter(bad_col)`` rows (raw lines intact) to a quarantine sink and
+    ``.filter(~bad_col).select(out + ".*")`` downstream."""
+    lines = spark.read.text(path).withColumnRenamed("value", line_col)
+    return parse_json_robust(lines, line_col, schema, out=out,
+                             bad_col=bad_col)

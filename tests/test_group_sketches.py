@@ -319,3 +319,47 @@ def test_register_sql_functions(spark):
     ]:
         vals = [r.v for r in spark.sql(sql).collect()]
         assert vals and all(v is not None and lo <= v <= hi for v in vals), sql
+
+
+# -- robust JSON ingestion -------------------------------------------------
+
+def test_parse_json_robust_semantics(spark):
+    from sparksketch.sources import parse_json_robust
+    rows = [
+        ("ok-full", '{"k": 7, "s": "x"}'),
+        ("ok-missing-field", '{"k": 9}'),
+        ("corrupt-truncated", '{"k": 7, "s'),
+        ("corrupt-garbage", 'not json at all'),
+        ("json-null", 'null'),
+        ("json-scalar", '42'),
+        ("absent", None),
+    ]
+    df = spark.createDataFrame(rows, "tag string, line string")
+    out = {r.tag: r for r in parse_json_robust(
+        df, "line", "k long, s string").collect()}
+    assert not out["ok-full"].is_bad and out["ok-full"].rec.k == 7 \
+        and out["ok-full"].rec.s == "x"
+    assert not out["ok-missing-field"].is_bad \
+        and out["ok-missing-field"].rec.s is None
+    for tag in ("corrupt-truncated", "corrupt-garbage", "json-null",
+                "json-scalar"):
+        assert out[tag].is_bad and out[tag].rec is None, tag
+    assert not out["absent"].is_bad and out["absent"].rec is None
+
+
+def test_read_jsonl_robust_quarantine_roundtrip(spark, tmp_path):
+    import json
+    from sparksketch.sources import read_jsonl_robust
+    p = tmp_path / "feed.jsonl"
+    good = [{"k": i, "s": f"v{i}"} for i in range(50)]
+    bad = ['{"k": 3, "s"', "<<<binary junk>>>"]
+    lines = [json.dumps(g) for g in good]
+    lines[10:10] = bad  # splice corruption mid-file
+    p.write_text("\n".join(lines) + "\n")
+    out = read_jsonl_robust(spark, str(p), "k long, s string")
+    assert out.filter("is_bad").count() == 2
+    # quarantined raw lines are byte-identical to what was fed in
+    assert sorted(r.line for r in out.filter("is_bad").collect()) == sorted(bad)
+    parsed = out.filter("NOT is_bad").select("rec.*")
+    assert parsed.count() == 50
+    assert parsed.agg({"k": "sum"}).first()[0] == sum(g["k"] for g in good)
