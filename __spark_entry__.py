@@ -1015,6 +1015,15 @@ def _triangles_hosts(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts(derive_host_edges(docs))
 
 
+def _bfs_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    # hop distance from seed hosts {0, 1} over the directed host graph
+    # (sparksketch/graph.py bfs_distances) — min-propagation rounds are
+    # order-independent, bit-exact in DuckDB via unrolled CTEs.
+    from sparksketch.graph import bfs_distances, derive_host_edges
+    docs = _T(spark, sf, "documents")
+    return bfs_distances(derive_host_edges(docs), [0, 1], max_hops=3)
+
+
 def _json_quarantine_events(spark: SparkSession, sf: str) -> DataFrame:
     # robust JSONL ingestion (sources.parse_json_robust): ~1% of the
     # events props lines get a deterministic '{oops' corruption prefix
@@ -2130,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_estimate_hosts": _triangle_estimate_hosts,
         "lpa_hosts": _lpa_hosts,
         "json_quarantine_events": _json_quarantine_events,
+        "bfs_hosts": _bfs_hosts,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2292,7 +2302,7 @@ def _hash_split_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sparksketch.decontam import uniform_sample_sql
-    from sparksketch.graph import (derive_host_edges_sql,
+    from sparksketch.graph import (bfs_distances_sql, derive_host_edges_sql,
                                    label_propagation_sql, pagerank_int_sql,
                                    triangle_counts_sql, triangle_estimate_sql)
     from sparksketch.packing import pack_sequences_sql
@@ -2405,6 +2415,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN json_valid(line) THEN "
             "CAST(json_extract_string(line, '$.k') AS BIGINT) END) "
             "AS BIGINT) AS sum_k_good FROM feed GROUP BY event_type"),
+        # 3 unrolled BFS min-propagation rounds from seeds {0, 1}
+        "bfs_hosts": bfs_distances_sql(
+            derive_host_edges_sql(),
+            "SELECT 0 AS node UNION ALL SELECT 1 AS node", max_hops=3),
         # 3 unrolled LPA rounds: majority-label-with-min-tie-break is
         # counts + min — order-independent, bit-exact in any engine
         "lpa_hosts": label_propagation_sql(derive_host_edges_sql(), iters=3),

@@ -596,3 +596,72 @@ def label_propagation_sql(edges_cte: str, iters: int = 4) -> str:
             f"row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) "
             f"AS rn FROM cnt{t}) WHERE rn = 1)")
     return "WITH " + ", ".join(parts) + f" SELECT node, label FROM lab{iters}"
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame | list[int],
+                  max_hops: int = 6, directed: bool = True) -> DataFrame:
+    """Hop distance from a seed set over ``(src, dst)`` edges — the crawl
+    frontier metric (how many link hops from the trusted/seed hosts is
+    each host? TrustRank-style spam triage caps crawl depth on it).
+    Returns ``(node, dist)`` for every node reached within ``max_hops``;
+    unreached nodes are absent (their distance is not 0 — a LEFT join
+    default would conflate them with seeds).
+
+    Engine-exact by construction: each round is
+    ``dist_t(v) = min(dist_{t-1}(v), 1 + min over in-neighbours)`` — min
+    and +1 are order-independent, so :func:`bfs_distances_sql` reproduces
+    every round bit-for-bit in any engine.  ``directed=False``
+    symmetrizes first.
+
+    Plan per round: one src-keyed join of the frontier-so-far against
+    edges (distances are node-sized, ≪ edges), one map-side-combined min
+    per dst, one union + min consolidation; distances ``localCheckpoint``
+    per round (iterative-lineage lesson).  ``max_hops`` bounds rounds —
+    web-graph diameters are small (the classic six-ish hops), and a fixed
+    horizon is what a crawl scheduler actually asks for."""
+    _validate_edges(edges)
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    if isinstance(seeds, list):
+        seeds = spark.createDataFrame([(int(s),) for s in seeds],
+                                      "node long")
+    dist = (seeds.select(F.col("node").cast("long"))
+            .distinct().withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    for _ in range(max_hops):
+        step = (e.join(dist.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionAll(step)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist
+
+
+def bfs_distances_sql(edges_cte: str, seeds_sql: str, max_hops: int = 6,
+                      directed: bool = True) -> str:
+    """DuckDB mirror of :func:`bfs_distances`; ``seeds_sql`` is a query
+    returning a ``node`` column (e.g. ``SELECT 0 AS node UNION ALL …``)."""
+    sym = ("eds AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges "
+           "UNION ALL SELECT dst AS src, src AS dst FROM edges) "
+           "WHERE src <> dst)" if not directed else
+           "eds AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)")
+    parts = [
+        edges_cte, sym,
+        f"d0 AS (SELECT DISTINCT CAST(node AS BIGINT) AS node, "
+        f"CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))",
+    ]
+    for t in range(1, max_hops + 1):
+        parts.append(
+            f"d{t} AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+            f"SELECT node, dist FROM d{t - 1} UNION ALL "
+            f"SELECT e.dst AS node, d.dist + 1 AS dist "
+            f"FROM eds e JOIN d{t - 1} d ON e.src = d.node) GROUP BY node)")
+    return "WITH " + ", ".join(parts) + \
+        f" SELECT node, dist FROM d{max_hops}"

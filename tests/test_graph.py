@@ -320,3 +320,64 @@ def test_lpa_validation(spark):
         label_propagation(_edges_df(spark, [(0, 1)]), iters=0)
     with pytest.raises(ValueError, match="src"):
         label_propagation(spark.createDataFrame([(1, 2)], "x long, y long"))
+
+
+# -- BFS seed distances ----------------------------------------------------
+
+def _brute_bfs(edges, seeds, max_hops, directed=True):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, max_hops + 1):
+        frontier = {n for v in frontier for n in adj.get(v, ())
+                    if n not in dist}
+        for n in frontier:
+            dist[n] = d
+    return dist
+
+
+def test_bfs_brute_parity_directed_and_not(spark):
+    from sparksketch.graph import bfs_distances
+    df = _edges_df(spark, EDGES)
+    for directed in (True, False):
+        for hops in (0, 2, 5):
+            want = _brute_bfs(EDGES, [6], hops, directed)
+            got = {r.node: r.dist for r in bfs_distances(
+                df, [6], max_hops=hops, directed=directed).collect()}
+            assert got == want, (directed, hops)
+    # node 8 is upstream of 6 in EDGES: only the undirected walk reaches it
+    assert 8 not in _brute_bfs(EDGES, [6], 5) and \
+        8 in _brute_bfs(EDGES, [6], 5, directed=False)
+
+
+def test_bfs_sql_mirror_host_graph(spark):
+    from sparksketch.graph import bfs_distances, bfs_distances_sql
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted((r.node, r.dist) for r in bfs_distances(
+        derive_host_edges(docs), [0, 1], max_hops=3).collect())
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(map(tuple, con.sql(bfs_distances_sql(
+        derive_host_edges_sql(),
+        "SELECT 0 AS node UNION ALL SELECT 1 AS node",
+        max_hops=3)).fetchall()))
+    assert got == want
+    assert {d for _, d in got} >= {0, 1}  # non-trivial frontier
+
+
+def test_bfs_seeds_df_and_validation(spark):
+    from sparksketch.graph import bfs_distances
+    df = _edges_df(spark, EDGES)
+    seeds = spark.createDataFrame([(6,), (6,)], "node long")
+    got = {r.node: r.dist
+           for r in bfs_distances(df, seeds, max_hops=1).collect()}
+    assert got == _brute_bfs(EDGES, [6], 1)
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(df, [0], max_hops=-1)
