@@ -1015,6 +1015,30 @@ def _triangles_hosts(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts(derive_host_edges(docs))
 
 
+def _crawl_diff_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # incremental-refresh diff (sources.table_diff): a deterministic "new
+    # crawl" drops doc_id%13 rows, rewrites text for doc_id%7, and adds
+    # shifted ids for doc_id%11 — the full-outer key join must classify
+    # every id added/removed/changed/unchanged; per-status count + key
+    # sum is the exact-integer evidence (all four statuses non-empty at
+    # every SF: ids are dense from 0).
+    from sparksketch.sources import table_diff
+    docs = _T(spark, sf, "documents")
+    new = (docs.filter(F.col("doc_id") % 13 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat(F.col("text"), F.lit(" [rev2]")))
+                       .otherwise(F.col("text"))))
+    added = (docs.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + F.lit(10 ** 9)).alias("doc_id"),
+                     "text", "lang", "source", "n_chars"))
+    d = table_diff(docs, new.unionByName(added), ["doc_id"],
+                   ["text", "source"])
+    return (d.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").cast("long").alias("key_sum")))
+
+
 def _bfs_hosts(spark: SparkSession, sf: str) -> DataFrame:
     # hop distance from seed hosts {0, 1} over the directed host graph
     # (sparksketch/graph.py bfs_distances) — min-propagation rounds are
@@ -2140,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_hosts": _lpa_hosts,
         "json_quarantine_events": _json_quarantine_events,
         "bfs_hosts": _bfs_hosts,
+        "crawl_diff_docs": _crawl_diff_docs,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2415,6 +2440,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN json_valid(line) THEN "
             "CAST(json_extract_string(line, '$.k') AS BIGINT) END) "
             "AS BIGINT) AS sum_k_good FROM feed GROUP BY event_type"),
+        # full-outer key diff: IS NOT DISTINCT FROM mirrors Spark's <=>
+        "crawl_diff_docs": (
+            "WITH o AS (SELECT doc_id, text, source FROM documents), "
+            "newt AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "text || ' [rev2]' ELSE text END AS text, source "
+            "FROM documents WHERE doc_id % 13 <> 0 "
+            "UNION ALL SELECT doc_id + 1000000000 AS doc_id, text, source "
+            "FROM documents WHERE doc_id % 11 = 0), "
+            "j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.text IS NOT DISTINCT FROM n.text "
+            "AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id) "
+            "SELECT status, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(doc_id) AS BIGINT) AS key_sum FROM j GROUP BY status"),
         # 3 unrolled BFS min-propagation rounds from seeds {0, 1}
         "bfs_hosts": bfs_distances_sql(
             derive_host_edges_sql(),

@@ -167,3 +167,53 @@ def read_jsonl_robust(spark: SparkSession, path: str, schema,
     lines = spark.read.text(path).withColumnRenamed("value", line_col)
     return parse_json_robust(lines, line_col, schema, out=out,
                              bad_col=bad_col)
+
+
+def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+               compare_cols: list[str] | None = None,
+               status_col: str = "status") -> DataFrame:
+    """Classify every key across two table versions as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` — the incremental-refresh
+    primitive (which pages did this crawl add, drop, or rewrite since the
+    last snapshot?  the ``changed`` set is what re-enters the dedup /
+    quality pipeline; ``removed`` drives tombstones).
+
+    One full-outer equi-join on the key (a shuffle per side, AQE-planned);
+    content equality is per-column null-safe ``<=>`` — direct comparison,
+    not a hash, so there are no collisions and the SQL mirror is plain
+    ``IS NOT DISTINCT FROM``.  ``compare_cols`` defaults to every shared
+    non-key column.  Presence is tracked with side literals rather than
+    key IS NULL tests, so NULL-valued keys still classify correctly.
+
+    Returns the key columns + ``status_col``; ``changed``/``unchanged``
+    rows exist on both sides, ``added`` only in ``new``, ``removed`` only
+    in ``old``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("table_diff needs at least one key column")
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns
+                        if c in set(new.columns) and c not in set(key_cols)]
+    missing = [c for c in list(key_cols) + list(compare_cols)
+               if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"columns absent from a side: {missing}")
+    o = old.select(*key_cols,
+                   *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+                   F.lit(True).alias("_in_old"))
+    n = new.select(*key_cols,
+                   *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+                   F.lit(True).alias("_in_new"))
+    j = o.join(n, list(key_cols), "full_outer")
+    same = reduce(lambda a, b: a & b,
+                  [F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+                   for c in compare_cols],
+                  F.lit(True))
+    status = (F.when(F.col("_in_old").isNull(), F.lit("added"))
+              .when(F.col("_in_new").isNull(), F.lit("removed"))
+              .when(same, F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(*key_cols, status.alias(status_col))

@@ -363,3 +363,30 @@ def test_read_jsonl_robust_quarantine_roundtrip(spark, tmp_path):
     parsed = out.filter("NOT is_bad").select("rec.*")
     assert parsed.count() == 50
     assert parsed.agg({"k": "sum"}).first()[0] == sum(g["k"] for g in good)
+
+
+def test_table_diff_classifies_all_statuses(spark):
+    from sparksketch.sources import table_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (5, "e", 50), (4, None, 40)],
+        "k long, s string, v long")
+    got = {r.k: r.status for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   5: "added", 4: "unchanged"}  # NULL <=> NULL is equal
+    # compare a subset of columns: v-only ignores the s change
+    got_v = {r.k: r.status
+             for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    assert got_v[2] == "unchanged"
+
+
+def test_table_diff_validation(spark):
+    import pytest as _pt
+    from sparksketch.sources import table_diff
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pt.raises(ValueError, match="key"):
+        table_diff(df, df, [])
+    with _pt.raises(ValueError, match="absent"):
+        table_diff(df, df, ["k"], ["nope"])
