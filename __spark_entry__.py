@@ -1015,6 +1015,22 @@ def _triangles_hosts(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts(derive_host_edges(docs))
 
 
+def _compact_roundtrip_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # small-files compaction (layout.compact_files) driven through a real
+    # sink: rewrite the documents table into ~4 target-sized files, read
+    # the compacted copy back and return (doc_id, n_chars) — the oracle
+    # reads the ORIGINAL table, so the hash match proves the rewrite is
+    # lossless row-for-row.
+    import os
+
+    from sparksketch.layout import compact_files, dir_bytes
+    src = os.path.join(sf, "documents.parquet")
+    dst = f"/tmp/sparksketch_gate/compact_{os.path.basename(sf.rstrip('/'))}"
+    target = max(1, round(dir_bytes(spark, src) / 2 ** 20 / 4))
+    compact_files(spark, src, dst, target_mb=target)
+    return spark.read.parquet(dst).select("doc_id", "n_chars")
+
+
 def _crawl_diff_docs(spark: SparkSession, sf: str) -> DataFrame:
     # incremental-refresh diff (sources.table_diff): a deterministic "new
     # crawl" drops doc_id%13 rows, rewrites text for doc_id%7, and adds
@@ -2165,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_quarantine_events": _json_quarantine_events,
         "bfs_hosts": _bfs_hosts,
         "crawl_diff_docs": _crawl_diff_docs,
+        "compact_roundtrip_docs": _compact_roundtrip_docs,
         "lm_bigram_docs": _lm_bigram_docs,
         "bpe_train_docs": _bpe_train_docs,
         "mix_budget_docs": _mix_budget_docs,
@@ -2440,6 +2457,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN json_valid(line) THEN "
             "CAST(json_extract_string(line, '$.k') AS BIGINT) END) "
             "AS BIGINT) AS sum_k_good FROM feed GROUP BY event_type"),
+        # the Spark side round-trips through compact_files' sink; reading
+        # the original here proves the rewrite lossless
+        "compact_roundtrip_docs": "SELECT doc_id, n_chars FROM documents",
         # full-outer key diff: IS NOT DISTINCT FROM mirrors Spark's <=>
         "crawl_diff_docs": (
             "WITH o AS (SELECT doc_id, text, source FROM documents), "

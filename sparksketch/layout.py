@@ -171,3 +171,44 @@ def pruned_fraction(path: str, box: dict[str, tuple]) -> dict:
     return {"row_groups": len(groups), "skipped": skipped,
             "pruned_frac": round(skipped / max(len(groups), 1), 4),
             "rows_total": total_rows, "rows_skipped": rows_skipped}
+
+
+def dir_bytes(spark, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API — works on
+    local paths here and unchanged on HDFS/S3A (driver-side metadata)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_files(spark, src: str, dst: str, target_mb: int = 256,
+                  order_by: list[str] | None = None,
+                  mode: str = "overwrite") -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files — the
+    small-files compaction every long-running ingest needs (a streaming
+    sink or per-batch append leaves thousands of KB-scale files; each
+    costs a task, an open, a footer parse, so scans and listings crawl).
+    Returns the output file count.
+
+    File count = ``max(1, round(bytes / target))`` from the source's
+    actual on-disk size (compression survives the rewrite, so the on-disk
+    ratio carries over).  Plain compaction is one round-robin
+    ``repartition`` — a single balanced shuffle.  Pass ``order_by``
+    (e.g. the bucketed z-order dims) to compact WITHOUT destroying a
+    clustered layout: ``repartitionByRange`` + in-partition sort — the
+    same write shape as :func:`zorder_by`, because a round-robin shuffle
+    would scramble row-group min/max tightness that the layout paid for.
+    """
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be positive, got {target_mb}")
+    total = dir_bytes(spark, src)
+    n = max(1, round(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if order_by:
+        out = (df.repartitionByRange(n, *order_by)
+               .sortWithinPartitions(*order_by))
+    else:
+        out = df.repartition(n)
+    out.write.mode(mode).parquet(dst)
+    return n

@@ -131,3 +131,42 @@ def test_rowgroup_ranges_reads_footers(spark, layout_corpus, tmp_path_factory):
     groups = rowgroup_ranges(p, ["bx", "by"])
     assert sum(g["n_rows"] for g in groups) == 200_000
     assert all(0 <= g["bx_min"] <= g["bx_max"] <= 255 for g in groups)
+
+
+def test_compact_files_preserves_data_and_hits_target(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from sparksketch.layout import compact_files, dir_bytes
+
+    base = str(tmp_path_factory.mktemp("compact"))
+    src, dst, dstz = f"{base}/src", f"{base}/dst", f"{base}/dstz"
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.repartition(64).write.parquet(src)  # 64 tiny files
+
+    total_mb = dir_bytes(spark, src) / 2 ** 20
+    n = compact_files(spark, src, dst, target_mb=max(1, round(total_mb / 4)))
+    import os
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == n <= 8  # 64 small files became a handful
+    chk = lambda p: spark.read.parquet(p).agg(  # noqa: E731
+        F.expr("bit_xor(xxhash64(doc_id, n_chars, text))")).first()[0]
+    assert chk(dst) == chk(src)
+    assert spark.read.parquet(dst).count() == docs.count()
+
+    # order-preserving compaction keeps the sorted layout's pruning
+    n2 = compact_files(spark, src, dstz, target_mb=max(1, round(total_mb / 2)),
+                       order_by=["n_chars"])
+    assert chk(dstz) == chk(src) and n2 >= 1
+    from sparksketch.layout import rowgroup_ranges
+    rgs = rowgroup_ranges(dstz, ["n_chars"])
+    spans = sorted((g["n_chars_min"], g["n_chars_max"]) for g in rgs)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2 or lo1 == lo2  # disjoint-ish: range partitioned
+
+
+def test_compact_files_validation(spark, tmp_path_factory):
+    import pytest as _pt
+
+    from sparksketch.layout import compact_files
+    with _pt.raises(ValueError, match="target_mb"):
+        compact_files(spark, "/tmp", "/tmp/out", target_mb=0)
