@@ -382,6 +382,21 @@ def main() -> int:
     top_hosts = bench("pagerank_hosts_corpus", pr_run, repeats=3)
     extras["pagerank_top_host"] = int(top_hosts[0].node)
 
+    # --- DOULION sampled triangle count over the same host graph: the
+    # dense-graph scale path (p = 1/4 cuts the wedge probes ~16x; the
+    # exact counter on this 10k-host graph is ~10x the sampled time) ---
+    from sparksketch.graph import triangle_estimate
+
+    def tri_est():
+        ids = wp.select(F.regexp_extract("url", r"/p(\d+)", 1)
+                        .cast("long").alias("doc_id"))
+        return triangle_estimate(derive_host_edges(ids),
+                                 keep_ppm=250000).first()
+
+    tri = bench("triangle_est_hosts", tri_est)
+    assert tri.n_kept > 0 and tri.tri_sampled > 0  # sample can't go vacuous
+    extras["triangle_est"] = float(tri.est)
+
     # --- persisted BM25 inverted index: build (bucket-clustered postings
     # write) + one partition-pruned 3-term query ---
     import shutil
