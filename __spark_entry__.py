@@ -1088,10 +1088,17 @@ def _lpa_hosts(spark: SparkSession, sf: str) -> DataFrame:
     # synchronous label-propagation communities, 3 rounds
     # (sparksketch/graph.py label_propagation) — engine-exact: majority
     # label with min tie-break is counts + min, both order-independent,
-    # so DuckDB reproduces every round bit-for-bit.
+    # so DuckDB reproduces every round bit-for-bit.  The unfiltered host
+    # graph is so hub-dense that LPA floods it to ONE label (measured at
+    # every SF — a correct but degenerate driver row); restricting to
+    # same-residue-mod-4 edges plants 4 disconnected blocks, so the
+    # result always carries >= 4 distinct labels and the community
+    # semantics are genuinely exercised.
     from sparksketch.graph import derive_host_edges, label_propagation
     docs = _T(spark, sf, "documents")
-    return label_propagation(derive_host_edges(docs), iters=3)
+    edges = derive_host_edges(docs).filter(
+        F.col("src") % 4 == F.col("dst") % 4)
+    return label_propagation(edges, iters=3)
 
 
 def _triangle_estimate_hosts(spark: SparkSession, sf: str) -> DataFrame:
@@ -2483,7 +2490,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 0 AS node UNION ALL SELECT 1 AS node", max_hops=3),
         # 3 unrolled LPA rounds: majority-label-with-min-tie-break is
         # counts + min — order-independent, bit-exact in any engine
-        "lpa_hosts": label_propagation_sql(derive_host_edges_sql(), iters=3),
+        "lpa_hosts": label_propagation_sql(
+            derive_host_edges_sql()
+            + ", edges_b AS (SELECT src, dst FROM edges "
+            "WHERE src % 4 = dst % 4)",
+            iters=3, edges_table="edges_b"),
         # DOULION estimate: identical md5 edge sample + sampled count +
         # fixed-order estimate chain; tri_exact recomputed in full and the
         # 25% band evaluated on identical doubles

@@ -575,14 +575,17 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     return labels
 
 
-def label_propagation_sql(edges_cte: str, iters: int = 4) -> str:
+def label_propagation_sql(edges_cte: str, iters: int = 4,
+                          edges_table: str = "edges") -> str:
     """DuckDB mirror of :func:`label_propagation` — ``iters`` unrolled
     rounds; the argmax-with-min-tie-break is a ``row_number() OVER
-    (ORDER BY c DESC, label ASC)`` window, a deterministic total order."""
+    (ORDER BY c DESC, label ASC)`` window, a deterministic total order.
+    ``edges_table`` lets the caller chain a filtered CTE after the base
+    edge derivation."""
     parts = [
         edges_cte,
         "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
-        "FROM edges WHERE src <> dst)",
+        f"FROM {edges_table} WHERE src <> dst)",
         "sym AS (SELECT a AS v, b AS n FROM und "
         "UNION ALL SELECT b AS v, a AS n FROM und)",
         "lab0 AS (SELECT DISTINCT v AS node, v AS label FROM sym)",
