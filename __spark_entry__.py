@@ -1004,6 +1004,15 @@ def _zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", zvalue([b_chars, b_src], bits=10).alias("zval"))
 
 
+def _diversity_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # per-source language-mix concentration (profile.diversity_by_group):
+    # sumsq is an exact integer, hhi/gini one fixed IEEE chain — bit-exact
+    # in DuckDB.
+    from sparksketch.profile import diversity_by_group
+    docs = _T(spark, sf, "documents")
+    return diversity_by_group(docs, "source", "lang")
+
+
 def _triangles_hosts(spark: SparkSession, sf: str) -> DataFrame:
     # exact per-host triangle counts over the deterministic host graph
     # (sparksketch/graph.py triangle_counts — degree-ordered wedge join,
@@ -2182,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _pagerank_hosts,
         "zorder_docs": _zorder_docs,
         "chi2_drift_docs": _chi2_drift_docs,
+        "diversity_docs": _diversity_docs,
         "triangles_hosts": _triangles_hosts,
         "triangle_estimate_hosts": _triangle_estimate_hosts,
         "lpa_hosts": _lpa_hosts,
@@ -2453,6 +2463,17 @@ def oracle_sql() -> dict[str, str]:
         # exact triangle counts: identical degree orientation + wedge +
         # closure equi-joins on BIGINTs (graph.triangle_counts_sql)
         "triangles_hosts": triangle_counts_sql(derive_host_edges_sql()),
+        # integer sum-of-squares, then the identical hhi/gini IEEE chain
+        "diversity_docs": (
+            "WITH cells AS (SELECT source, lang, COUNT(*) AS _cnt "
+            "FROM documents GROUP BY source, lang), "
+            "per AS (SELECT source, CAST(SUM(_cnt) AS BIGINT) AS n, "
+            "CAST(SUM(_cnt * _cnt) AS BIGINT) AS sumsq "
+            "FROM cells GROUP BY source) "
+            "SELECT source, n, sumsq, "
+            "CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) "
+            "AS hhi, 1.0 - (CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * "
+            "CAST(n AS DOUBLE))) AS gini FROM per"),
         # robust-ingest quarantine: json_valid <-> from_json's in-schema
         # corrupt-record flag on this feed (objects or '{oops'-prefixed)
         "json_quarantine_events": (

@@ -138,3 +138,33 @@ def chi2_stat(df: DataFrame, group_col: str, cat_col: str) -> tuple[float, int]:
         stat += row["contrib"]
     dof = (len(groups) - 1) * (len(cats) - 1)
     return stat, dof
+
+
+def diversity_by_group(df: DataFrame, group_col: str,
+                       cat_col: str) -> DataFrame:
+    """Concentration / diversity of a categorical mix per group — the
+    complement of :func:`chi2_cells` ("how one-sided is source X's
+    language mix?").  Returns per group:
+
+        n (rows), sumsq (Σ c² over category counts — exact BIGINT),
+        hhi (Herfindahl index Σ share² = sumsq/n², ∈ (0, 1]),
+        gini (impurity 1 − hhi, 0 = single category)
+
+    Engine-exactness is the design driver: Σ share² as a float SUM would
+    be addend-order-dependent and unverifiable; Σ c² is an INTEGER sum
+    (order-independent), and hhi/gini are then a fixed 3-op IEEE chain —
+    bit-identical in any engine.  Overflow note: a single (group,
+    category) cell above ~3.04e9 rows overflows c² on int64 — ANSI mode
+    raises rather than wrapping; pre-shard such groups.
+
+    Plan: one (group, cat) groupBy on the corpus, one group-level
+    re-aggregation of the small cell table — both map-side combined."""
+    cells = (df.groupBy(group_col, cat_col)
+             .agg(F.count(F.lit(1)).alias("_cnt")))
+    per = (cells.groupBy(group_col)
+           .agg(F.sum("_cnt").alias("n"),
+                F.sum(F.col("_cnt") * F.col("_cnt")).alias("sumsq")))
+    hhi = (F.col("sumsq").cast("double")
+           / (F.col("n").cast("double") * F.col("n").cast("double")))
+    return (per.withColumn("hhi", hhi)
+            .withColumn("gini", F.lit(1.0) - F.col("hhi")))

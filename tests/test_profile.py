@@ -111,3 +111,28 @@ def test_chi2_scans_corpus_once(spark):
     out.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_diversity_by_group_exact(spark):
+    from collections import Counter
+
+    from sparksketch.profile import diversity_by_group
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = [(r.source, r.lang)
+             for r in docs.select("source", "lang").collect()]
+    cnt = Counter(pairs)
+    got = {r.source: r for r in
+           diversity_by_group(docs, "source", "lang").collect()}
+    groups = {g for g, _ in pairs}
+    assert set(got) == groups
+    for g in groups:
+        cs = [v for (gg, _), v in cnt.items() if gg == g]
+        n, sumsq = sum(cs), sum(c * c for c in cs)
+        hhi = float(sumsq) / (float(n) * float(n))
+        r = got[g]
+        assert (r.n, r.sumsq) == (n, sumsq)
+        assert r.hhi == hhi and r.gini == 1.0 - hhi  # bit-exact chain
+    # single-category group has gini exactly 0
+    one = spark.createDataFrame([("g", "x")] * 5, "g string, c string")
+    row = diversity_by_group(one, "g", "c").first()
+    assert row.gini == 0.0 and row.hhi == 1.0
