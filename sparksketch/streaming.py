@@ -141,13 +141,16 @@ def stream_bloom(stream_df: DataFrame, col: str, cfg: BloomConfig, state_dir: st
 
 def stream_sketch(stream_df: DataFrame, col: str, factory: Callable, *,
                   seeds: tuple[int, ...] | None = None, numeric: bool = False,
+                  keyed: bool = False,
                   state_dir: str, checkpoint_dir: str | None = None):
-    """Same fold for any sketch of the library (HLL/CMS/t-digest/KLL)."""
+    """Same fold for any sketch of the library (HLL/CMS/t-digest/KLL;
+    ``keyed=True`` for raw-key sketches like Misra-Gries trending keys)."""
     store = SketchStateStore(state_dir)
     cls = type(factory(0))
 
     def build_partial(batch_df: DataFrame) -> bytes:
-        return build_sketch(batch_df, col, factory, seeds=seeds, numeric=numeric).to_bytes()
+        return build_sketch(batch_df, col, factory, seeds=seeds,
+                            numeric=numeric, keyed=keyed).to_bytes()
 
     def merge_blobs_fn(a: bytes, b: bytes) -> bytes:
         return cls.from_bytes(a).merge(cls.from_bytes(b)).to_bytes()
@@ -182,7 +185,8 @@ def _read_window_file(path: str) -> tuple[bytes | None, int]:
 
 def windowed_fold_handler(store: SketchStateStore, state_dir: str, factory: Callable,
                           ts_col: str, col: str, window: str,
-                          seeds: tuple[int, ...] | None, numeric: bool):
+                          seeds: tuple[int, ...] | None, numeric: bool,
+                          keyed: bool = False):
     """The per-window epoch-idempotent ``foreachBatch`` handler (exposed for
     crash-replay tests).  Idempotency: every window file records the last
     epoch folded into it; a crash between window writes and the global
@@ -210,9 +214,10 @@ def windowed_fold_handler(store: SketchStateStore, state_dir: str, factory: Call
                 f"epoch {epoch_id}: this state belongs to a different "
                 f"checkpoint lineage — clear the state_dir or reuse the "
                 f"original checkpointLocation")
-        keyed = batch_df.withColumn(
+        win = batch_df.withColumn(
             "_w", F.window(F.col(ts_col), window)["start"].cast("string"))
-        partials = sketch_by_group(keyed, "_w", col, factory, seeds=seeds, numeric=numeric)
+        partials = sketch_by_group(win, "_w", col, factory, seeds=seeds,
+                                   numeric=numeric, keyed=keyed)
         # bounded collect: one blob-sized row per event-time window present
         # in THIS micro-batch (not per input row)
         for row in partials.collect():
@@ -235,6 +240,7 @@ def windowed_fold_handler(store: SketchStateStore, state_dir: str, factory: Call
 def stream_windowed_sketch(stream_df: DataFrame, ts_col: str, col: str,
                            factory: Callable, *, window: str = "1 hour",
                            seeds: tuple[int, ...] | None = None, numeric: bool = False,
+                           keyed: bool = False,
                            state_dir: str, checkpoint_dir: str | None = None):
     """Per-event-time-window sketches over a stream: each micro-batch's rows
     are sketched per window (map-side combine via sketch_by_group keyed on
@@ -252,7 +258,7 @@ def stream_windowed_sketch(stream_df: DataFrame, ts_col: str, col: str,
     number of windows in the batch, not its row count."""
     store = SketchStateStore(state_dir)
     handle = windowed_fold_handler(store, state_dir, factory, ts_col, col,
-                                   window, seeds, numeric)
+                                   window, seeds, numeric, keyed)
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -409,3 +409,37 @@ def test_stream_pq_encode_matches_batch(spark, tmp_path):
             for r in pq_encode(df, "embedding", model, coarse=coarse,
                                keep=["vec_id"]).collect()}
     assert got == want and len(got) == 90
+
+
+def test_stream_windowed_trending_heavy_hitters(spark, tmp_path):
+    """Trending-keys surface: Misra-Gries through the windowed fold.  With
+    k >= the distinct-key count MG is exact, so every per-window top list
+    must EQUAL the batch groupBy counts; the fold order (micro-batches)
+    differing from the batch build's is exactly what the mergeable-sketch
+    guarantee has to absorb."""
+    from sparksketch.streaming import read_windowed_states, stream_windowed_sketch
+    from sparksketch.topk import MisraGries
+
+    out, src = _stream_dir(spark, tmp_path)
+    key = (F.col("user_id") % 8).cast("string").alias("key")
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .select("ts", key))
+    state_dir = str(tmp_path / "mg_state")
+    q = stream_windowed_sketch(stream, "ts", "key",
+                               lambda pid: MisraGries(16),
+                               window="7 days", keyed=True,
+                               state_dir=state_dir,
+                               checkpoint_dir=str(tmp_path / "mg_chk")).start()
+    q.processAllAvailable()
+    q.stop()
+    states = read_windowed_states(state_dir, MisraGries)
+    exact = {}
+    for r in (src.select(F.window("ts", "7 days")["start"].cast("string")
+                         .alias("w"), key)
+              .groupBy("w", "key").count().collect()):
+        exact.setdefault(str(r.w).replace(" ", "_"), {})[r.key] = r["count"]
+    assert set(states) == set(exact) and len(states) >= 2
+    for w, sk in states.items():
+        got = dict(sk.topk())
+        assert got == exact[w], w  # k=16 >= 8 distinct keys: exact
