@@ -1034,7 +1034,10 @@ def _compact_roundtrip_docs(spark: SparkSession, sf: str) -> DataFrame:
 
     from sparksketch.layout import compact_files, dir_bytes
     src = os.path.join(sf, "documents.parquet")
-    dst = f"/tmp/sparksketch_gate/compact_{os.path.basename(sf.rstrip('/'))}"
+    # pid-scoped sink: a concurrent gate run at the same SF (driver +
+    # check_oracle) must not race on one directory
+    dst = (f"/tmp/sparksketch_gate/compact_"
+           f"{os.path.basename(sf.rstrip('/'))}_{os.getpid()}")
     target = max(1, round(dir_bytes(spark, src) / 2 ** 20 / 4))
     compact_files(spark, src, dst, target_mb=target)
     return spark.read.parquet(dst).select("doc_id", "n_chars")
@@ -2364,6 +2367,7 @@ def oracle_sql() -> dict[str, str]:
     from sparksketch.graph import (bfs_distances_sql, derive_host_edges_sql,
                                    label_propagation_sql, pagerank_int_sql,
                                    triangle_counts_sql, triangle_estimate_sql)
+    from sparksketch.sources import json_bad_pred_sql
     from sparksketch.packing import pack_sequences_sql
     qrows = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q, TRUE AS ok" for q in _QS
@@ -2474,17 +2478,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) "
             "AS hhi, 1.0 - (CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * "
             "CAST(n AS DOUBLE))) AS gini FROM per"),
-        # robust-ingest quarantine: json_valid <-> from_json's in-schema
-        # corrupt-record flag on this feed (objects or '{oops'-prefixed)
+        # robust-ingest quarantine: sources.json_bad_pred_sql mirrors
+        # from_json's corrupt-record flag faithfully (object-ness and
+        # k-typing included — a parity pytest pins 14 edge shapes), not
+        # just json_valid, so a future testdata regen with non-object or
+        # mistyped props cannot silently diverge the two engines
         "json_quarantine_events": (
             "WITH feed AS (SELECT event_type, CASE WHEN event_id % 97 = 0 "
-            "THEN '{oops' || props ELSE props END AS line FROM events) "
+            "THEN '{oops' || props ELSE props END AS line FROM events), "
+            "flagged AS (SELECT event_type, line, "
+            + json_bad_pred_sql("line") + " AS bad FROM feed) "
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_lines, "
-            "CAST(SUM(CASE WHEN NOT json_valid(line) THEN 1 ELSE 0 END) "
-            "AS BIGINT) AS n_bad, "
-            "CAST(SUM(CASE WHEN json_valid(line) THEN "
-            "CAST(json_extract_string(line, '$.k') AS BIGINT) END) "
-            "AS BIGINT) AS sum_k_good FROM feed GROUP BY event_type"),
+            "CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad, "
+            "CAST(SUM(CASE WHEN NOT bad THEN "
+            "CAST(json_extract_string(TRY_CAST(line AS JSON), '$.k') "
+            "AS BIGINT) END) "
+            "AS BIGINT) AS sum_k_good FROM flagged GROUP BY event_type"),
         # the Spark side round-trips through compact_files' sink; reading
         # the original here proves the rewrite lossless
         "compact_roundtrip_docs": "SELECT doc_id, n_chars FROM documents",

@@ -84,7 +84,9 @@ def main() -> int:
               flush=True)
     lo, hi = LEVELS[0], LEVELS[-1]
     for k in ("lpa_digest", "bfs_digest"):
-        assert results[lo][k] == results[hi][k], f"{k} differs across levels"
+        for c in LEVELS[1:]:
+            assert results[lo][k] == results[c][k], \
+                f"{k} differs at local[{c}]"
     summary = {
         "docs": N_DOCS, "edges": results[hi]["edges"],
         "lpa_iters": 4, "bfs_max_hops": 4,

@@ -89,8 +89,9 @@ def main() -> int:
         print(f"local[{cores}]: {r['edges_per_sec']:.0f} edges/s "
               f"({r['sec']}s, {r['triangles']} triangles)", flush=True)
     lo, hi = LEVELS[0], LEVELS[-1]
-    assert results[lo]["digest"] == results[hi]["digest"], \
-        "parallelism changed the exact triangle counts"
+    for c in LEVELS[1:]:
+        assert results[LEVELS[0]]["digest"] == results[c]["digest"], \
+            f"parallelism changed the exact triangle counts at local[{c}]"
     assert all(r["tri_mod3_ok"] for r in results.values())
     effs = {}
     for a, b in zip(LEVELS, LEVELS[1:]):

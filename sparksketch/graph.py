@@ -363,9 +363,22 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     joins attaching them to edges, then explode + groupBy.
     """
     _validate_edges(edges)
-    und = (edges.select(F.least("src", "dst").alias("a"),
-                        F.greatest("src", "dst").alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+    return _triangle_counts_canonical(_canonical_und(edges))
+
+
+def _canonical_und(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edge set ``(a < b)`` — the shared first
+    step of every undirected graph operator here (self-loops dropped,
+    direction and parallel duplicates collapsed)."""
+    return (edges.select(F.least("src", "dst").alias("a"),
+                         F.greatest("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct())
+
+
+def _triangle_counts_canonical(und: DataFrame) -> DataFrame:
+    """:func:`triangle_counts` body over an ALREADY-canonical ``(a, b)``
+    edge set — lets :func:`triangle_estimate` feed its sampled subgraph in
+    without a redundant canonicalize pass."""
     deg = (und.select(F.col("a").alias("node"))
            .unionAll(und.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -394,6 +407,30 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                     F.coalesce("tri", F.lit(0)).cast("long").alias("tri")))
 
 
+def _und_cte_sql(src_table: str, name: str = "und") -> str:
+    """SQL mirror of :func:`_canonical_und` as a named CTE over
+    ``src_table`` — the one definition every undirected mirror shares."""
+    return (f"{name} AS (SELECT DISTINCT least(src, dst) AS a, "
+            f"greatest(src, dst) AS b FROM {src_table} WHERE src <> dst)")
+
+
+# deg/orientation/wedge CTE chain over a CTE named `und` — shared verbatim
+# by the exact and sampled triangle mirrors so the formulations can never
+# drift apart
+_TRI_WEDGE_CTES = (
+    "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM "
+    "(SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) "
+    "GROUP BY node), "
+    "o AS (SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u, "
+    "CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS x, "
+    "CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dx "
+    "FROM und "
+    "JOIN (SELECT node, deg AS da FROM deg) d1 ON und.a = d1.node "
+    "JOIN (SELECT node, deg AS db FROM deg) d2 ON und.b = d2.node), "
+    "wg AS (SELECT o1.u AS u, o1.x AS v, o2.x AS w FROM o o1 JOIN o o2 "
+    "ON o1.u = o2.u WHERE (o1.dx < o2.dx) OR (o1.dx = o2.dx AND o1.x < o2.x))")
+
+
 def triangle_counts_sql(edges_cte: str) -> str:
     """DuckDB mirror of :func:`triangle_counts`: the identical degree
     orientation, wedge join and closure semi-join over an ``edges`` CTE
@@ -401,19 +438,8 @@ def triangle_counts_sql(edges_cte: str) -> str:
     counts are exact, so the driver gate hash-compares them directly."""
     return (
         f"WITH {edges_cte}, "
-        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
-        "FROM edges WHERE src <> dst), "
-        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM "
-        "(SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) "
-        "GROUP BY node), "
-        "o AS (SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u, "
-        "CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS x, "
-        "CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dx "
-        "FROM und "
-        "JOIN (SELECT node, deg AS da FROM deg) d1 ON und.a = d1.node "
-        "JOIN (SELECT node, deg AS db FROM deg) d2 ON und.b = d2.node), "
-        "wg AS (SELECT o1.u AS u, o1.x AS v, o2.x AS w FROM o o1 JOIN o o2 "
-        "ON o1.u = o2.u WHERE (o1.dx < o2.dx) OR (o1.dx = o2.dx AND o1.x < o2.x)), "
+        + _und_cte_sql("edges") + ", "
+        + _TRI_WEDGE_CTES + ", "
         "t AS (SELECT wg.u, wg.v, wg.w FROM wg WHERE EXISTS "
         "(SELECT 1 FROM o WHERE o.u = wg.v AND o.x = wg.w)), "
         "per AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM "
@@ -424,11 +450,10 @@ def triangle_counts_sql(edges_cte: str) -> str:
 
 
 def _tri_total(und: DataFrame):
-    """One-row aggregate (edges, triangles) of a canonical undirected
-    simple edge set, via :func:`triangle_counts` — Σdeg/2 recovers the
-    edge count, Σtri/3 the triangle count; empty graphs coalesce to 0."""
-    per = triangle_counts(und.select(F.col("a").alias("src"),
-                                     F.col("b").alias("dst")))
+    """One-row aggregate (edges, triangles) of an ALREADY-canonical
+    undirected simple edge set — Σdeg/2 recovers the edge count, Σtri/3
+    the triangle count; empty graphs coalesce to 0."""
+    per = _triangle_counts_canonical(und)
     return per.agg(
         F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias("m"),
         F.coalesce(F.expr("sum(tri) div 3"), F.lit(0)).alias("t"))
@@ -473,13 +498,17 @@ def triangle_estimate(edges: DataFrame, keep_ppm: int = 500000,
 
     Returns one row ``(n_edges, n_kept, tri_sampled, est)``; ``est`` is
     the fixed-order IEEE chain ``((tri·10^6/ppm)·10^6/ppm)·10^6/ppm``.
+
+    The canonical edge set is eagerly ``localCheckpoint``-ed: n_edges and
+    the sampled count are separate jobs, and without the cut each re-runs
+    the full canonicalize shuffle (same rationale as ``_pagerank_run``'s
+    eager e⋈outdeg checkpoint — lazy variants leave AQE planning against
+    defaultSizeInBytes).
     """
     _validate_edges(edges)
     if not 0 < keep_ppm <= 10 ** 6:
         raise ValueError(f"keep_ppm must be in (0, 10^6], got {keep_ppm}")
-    und = (edges.select(F.least("src", "dst").alias("a"),
-                        F.greatest("src", "dst").alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+    und = _canonical_und(edges).localCheckpoint(eager=True)
     full = und.agg(F.count(F.lit(1)).alias("n_edges"))
     samp = _tri_total(und.filter(_edge_keep_pred(keep_ppm, salt)))
     return (full.crossJoin(samp)
@@ -499,22 +528,11 @@ def triangle_estimate_sql(edges_cte: str, keep_ppm: int = 500000,
     thr = _keep_hex_top(keep_ppm)
     return (
         f"WITH {edges_cte}, "
-        "undf AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
-        "FROM edges WHERE src <> dst), "
+        + _und_cte_sql("edges", name="undf") + ", "
         "und AS (SELECT a, b FROM undf WHERE "
         f"substring(md5(CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR) || "
         f"'|{salt}|'), 1, 8) <= '{thr}'), "
-        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM "
-        "(SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) "
-        "GROUP BY node), "
-        "o AS (SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u, "
-        "CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS x, "
-        "CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dx "
-        "FROM und "
-        "JOIN (SELECT node, deg AS da FROM deg) d1 ON und.a = d1.node "
-        "JOIN (SELECT node, deg AS db FROM deg) d2 ON und.b = d2.node), "
-        "wg AS (SELECT o1.u AS u, o1.x AS v, o2.x AS w FROM o o1 JOIN o o2 "
-        "ON o1.u = o2.u WHERE (o1.dx < o2.dx) OR (o1.dx = o2.dx AND o1.x < o2.x)), "
+        + _TRI_WEDGE_CTES + ", "
         "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tri_sampled FROM wg "
         "WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wg.v AND o.x = wg.w)), "
         "f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM undf), "
@@ -554,9 +572,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     _validate_edges(edges)
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    und = (edges.select(F.least("src", "dst").alias("a"),
-                        F.greatest("src", "dst").alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+    und = _canonical_und(edges)
     sym = (und.select(F.col("a").alias("v"), F.col("b").alias("n"))
            .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
            ).localCheckpoint(eager=True)
@@ -584,8 +600,7 @@ def label_propagation_sql(edges_cte: str, iters: int = 4,
     edge derivation."""
     parts = [
         edges_cte,
-        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
-        f"FROM {edges_table} WHERE src <> dst)",
+        _und_cte_sql(edges_table),
         "sym AS (SELECT a AS v, b AS n FROM und "
         "UNION ALL SELECT b AS v, a AS n FROM und)",
         "lab0 AS (SELECT DISTINCT v AS node, v AS label FROM sym)",

@@ -171,7 +171,8 @@ def read_jsonl_robust(spark: SparkSession, path: str, schema,
 
 def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
                compare_cols: list[str] | None = None,
-               status_col: str = "status") -> DataFrame:
+               status_col: str = "status",
+               on_duplicate: str = "error") -> DataFrame:
     """Classify every key across two table versions as ``added`` /
     ``removed`` / ``changed`` / ``unchanged`` — the incremental-refresh
     primitive (which pages did this crawl add, drop, or rewrite since the
@@ -187,13 +188,34 @@ def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
 
     Returns the key columns + ``status_col``; ``changed``/``unchanged``
     rows exist on both sides, ``added`` only in ``new``, ``removed`` only
-    in ``old``."""
+    in ``old``.
+
+    Duplicate keys: a full-outer join fans out — a key appearing twice on
+    a side yields one status row per matched PAIR (possibly contradictory
+    statuses for the same key), which silently corrupts per-status counts
+    downstream.  The default ``on_duplicate="error"`` therefore spends one
+    aggregate per side up front and raises naming an offending key;
+    pre-deduplicated callers pass ``on_duplicate="allow"`` to skip the
+    check (and accept pair-level semantics)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     if not key_cols:
         raise ValueError("table_diff needs at least one key column")
+    if on_duplicate not in ("error", "allow"):
+        raise ValueError(f"on_duplicate must be 'error' or 'allow', "
+                         f"got {on_duplicate!r}")
+    if on_duplicate == "error":
+        for side, df in (("old", old), ("new", new)):
+            dup = (df.groupBy(*key_cols).count()
+                   .filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                key = {c: dup[0][c] for c in key_cols}
+                raise ValueError(
+                    f"table_diff: duplicate key on the {side} side "
+                    f"(e.g. {key}, {dup[0]['count']} rows) — dedupe first "
+                    f"or pass on_duplicate='allow' for pair-level semantics")
     if compare_cols is None:
         compare_cols = [c for c in old.columns
                         if c in set(new.columns) and c not in set(key_cols)]
@@ -217,3 +239,35 @@ def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
               .when(same, F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return j.select(*key_cols, status.alias(status_col))
+
+
+def json_bad_pred_sql(col: str, field: str = "k") -> str:
+    """DuckDB predicate mirroring :func:`parse_json_robust`'s ``is_bad``
+    for a ``{field} long`` schema — TRUE exactly where Spark's
+    from_json-with-corrupt-column flags the record (probed semantics,
+    pinned by the parity pytest): malformed, valid-but-not-an-object
+    (JSON null / scalar / array), or ``field`` present with a
+    non-integer/overflowing value.  DuckDB wrinkles handled here:
+    ``json_type``/``json_extract`` THROW on malformed input and a CASE
+    guard does NOT reliably protect them (the vectorized executor
+    evaluated the guarded branch on a 100k-row input — measured at
+    sf0.1), so every access goes through ``TRY_CAST(col AS JSON)``,
+    which yields SQL NULL for malformed text and a safe input for every
+    json_* call; positive int64s and 2^63+ both type as ``UBIGINT``
+    (disambiguated with TRY_CAST to BIGINT), and an absent field types
+    as SQL NULL (coalesced to the JSON-null case, which Spark accepts).
+    SQL-NULL input is NOT bad (absent, not corrupt — Spark parity)."""
+    j = json_safe_sql(col)
+    t = f"json_type({j}, '$.{field}')"
+    return (
+        f"({col} IS NOT NULL AND NOT ({j} IS NOT NULL "
+        f"AND json_type({j}) = 'OBJECT' "
+        f"AND (coalesce({t}, 'NULL') IN ('BIGINT', 'NULL') "
+        f"OR ({t} = 'UBIGINT' AND TRY_CAST(json_extract_string({j}, "
+        f"'$.{field}') AS BIGINT) IS NOT NULL))))")
+
+
+def json_safe_sql(col: str) -> str:
+    """``TRY_CAST(col AS JSON)`` — the only DuckDB-safe gateway to json_*
+    functions over possibly-malformed text (NULL instead of a throw)."""
+    return f"TRY_CAST({col} AS JSON)"

@@ -390,3 +390,40 @@ def test_table_diff_validation(spark):
         table_diff(df, df, [])
     with _pt.raises(ValueError, match="absent"):
         table_diff(df, df, ["k"], ["nope"])
+
+
+def test_table_diff_duplicate_key_guard(spark):
+    import pytest as _pt
+    from sparksketch.sources import table_diff
+    old = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "k long, v long")
+    new = spark.createDataFrame([(1, 10), (2, 30)], "k long, v long")
+    with _pt.raises(ValueError, match="duplicate key on the old side"):
+        table_diff(old, new, ["k"])
+    # allow mode: pair-level fan-out, both statuses present for k=1
+    got = sorted((r.k, r.status) for r in
+                 table_diff(old, new, ["k"], on_duplicate="allow").collect())
+    assert got == [(1, "changed"), (1, "unchanged"), (2, "unchanged")]
+    with _pt.raises(ValueError, match="on_duplicate"):
+        table_diff(new, new, ["k"], on_duplicate="maybe")
+
+
+def test_json_bad_pred_sql_matches_spark(spark):
+    """The oracle predicate must agree with parse_json_robust row-for-row
+    on every probed edge shape, not just the testdata's clean objects."""
+    import duckdb
+    from sparksketch.sources import json_bad_pred_sql, parse_json_robust
+    rows = [("arr", "[1]"), ("kstr", '{"k": "5"}'), ("kfloat", '{"k": 1.5}'),
+            ("knull", '{"k": null}'), ("khuge", '{"k": 9223372036854775808}'),
+            ("kbool", '{"k": true}'), ("kok", '{"k": 7}'), ("kmiss", '{}'),
+            ("nested", '{"k": {"a": 1}}'), ("neg", '{"k": -3}'),
+            ("junk", "{oops"), ("trunc", '{"k": 7, "s'), ("jnull", "null"),
+            ("scal", "42"), ("absent", None)]
+    df = spark.createDataFrame(rows, "tag string, line string")
+    got = {r.tag: bool(r.is_bad)
+           for r in parse_json_robust(df, "line", "k long").collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (tag VARCHAR, line VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.sql(
+        f"SELECT tag, {json_bad_pred_sql('line')} FROM t").fetchall())
+    assert got == {k: bool(v) for k, v in want.items()}
