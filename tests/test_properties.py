@@ -350,3 +350,47 @@ def test_fd_spectral_guarantee_property(n, d, ell, seed):
     assert ev.size == 0 or ev[0] >= -tol
     assert ev.size == 0 or ev[-1] <= fd.delta + tol
     assert fd.delta <= fd.fro2 / ell + tol
+
+
+# ---------------- z-order layout (pure integer math) ----------------
+
+@given(st.lists(st.tuples(st.integers(0, 2**10 - 1), st.integers(0, 2**10 - 1)),
+                min_size=2, max_size=60, unique=True),
+       st.integers(min_value=1, max_value=10))
+@settings(max_examples=150, deadline=None)
+def test_morton_bijective_and_monotone_per_axis(pairs, bits):
+    from tests.test_layout import ref_morton
+    m = (1 << bits) - 1
+    masked = [(x & m, y & m) for x, y in pairs]
+    zs = {p: ref_morton(list(p), bits) for p in set(masked)}
+    # bijective on the masked domain
+    assert len(set(zs.values())) == len(zs)
+    # monotone in each axis with the other fixed
+    for (x, y), z in zs.items():
+        if (x + 1) & m > x and ((x + 1) & m, y) in zs:
+            assert zs[((x + 1) & m, y)] > z
+        if (y + 1) & m > y and (x, (y + 1) & m) in zs:
+            assert zs[(x, (y + 1) & m)] > z
+
+
+@given(st.integers(-2**40, 2**40), st.integers(0, 2**40),
+       st.integers(1, 2**20), st.integers(min_value=1, max_value=16))
+@settings(max_examples=300, deadline=None)
+def test_bucket_shift_minimal_and_in_range(lo, span, probe, bits):
+    from sparksketch.layout import _bucket_shift
+    hi = lo + span
+    s = _bucket_shift(lo, hi, bits)
+    assert (hi - lo) >> s < (1 << bits)          # fits
+    assert s == 0 or (hi - lo) >> (s - 1) >= (1 << bits)  # minimal
+    v = lo + (probe % (span + 1))                # any in-range value maps in
+    assert 0 <= (v - lo) >> s < (1 << bits)
+
+
+@given(st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_keep_hex_top_exact_fraction(ppm):
+    from sparksketch.graph import _keep_hex_top
+    top = _keep_hex_top(ppm)
+    assert len(top) == 8 and top == top.lower()
+    # number of 8-hex prefixes <= top is exactly floor(ppm * 2^32 / 10^6)
+    assert int(top, 16) + 1 == (ppm << 32) // 10**6
