@@ -142,13 +142,16 @@ def _shingle_window_hashes(arr: pa.Array, n: int) -> tuple[np.ndarray, np.ndarra
     pos = np.arange(total, dtype=np.int64) - g_starts[row_of] + off[:-1][row_of]
     sel = W[np.minimum(pos, max(W.size - 1, 0))] if W.size else np.zeros(total, dtype=np.uint64)
     # rows shorter than the window: hash their own bytes (window would cross
-    # into the next row); rare, so a scalar loop is fine
+    # into the next row); rare, so a scalar loop is fine.  uint64 wraparound
+    # is the hash's modular arithmetic — scoped errstate keeps the intended
+    # overflow silent so a REAL numeric regression elsewhere stays loud
     short = np.flatnonzero((lens > 0) & (lens < n))
-    for i in short:
-        h = np.uint64(0)
-        for byte in data[off[i] : off[i + 1]]:
-            h = h * B + byte
-        sel[g_starts[i]] = h
+    with np.errstate(over="ignore"):
+        for i in short:
+            h = np.uint64(0)
+            for byte in data[off[i] : off[i + 1]]:
+                h = h * B + byte
+            sel[g_starts[i]] = h
     from sparksketch.hashing import splitmix64
     return splitmix64(sel), g_starts[:-1], win_counts
 

@@ -149,7 +149,13 @@ def rowgroup_ranges(path: str, cols: list[str]) -> list[dict]:
             row = {"file": os.path.basename(f), "rg": rg, "n_rows": g.num_rows}
             for c in cols:
                 st = g.column(idx[c]).statistics
-                row[f"{c}_min"], row[f"{c}_max"] = st.min, st.max
+                # stats can be absent (disabled at write time, or a type
+                # parquet keeps no min/max for) — emit None rather than
+                # AttributeError so pruned_fraction degrades gracefully
+                if st is None:
+                    row[f"{c}_min"] = row[f"{c}_max"] = None
+                else:
+                    row[f"{c}_min"], row[f"{c}_max"] = st.min, st.max
             out.append(row)
     return out
 
@@ -164,7 +170,10 @@ def pruned_fraction(path: str, box: dict[str, tuple]) -> dict:
     skipped = rows_skipped = total_rows = 0
     for g in groups:
         total_rows += g["n_rows"]
-        if any(g[f"{c}_max"] < lo or g[f"{c}_min"] > hi
+        # a column with no stats (None min/max) can never prove a miss —
+        # the row group counts as not skippable, matching reader behavior
+        if any(g[f"{c}_min"] is not None
+               and (g[f"{c}_max"] < lo or g[f"{c}_min"] > hi)
                for c, (lo, hi) in box.items()):
             skipped += 1
             rows_skipped += g["n_rows"]

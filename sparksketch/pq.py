@@ -334,6 +334,23 @@ def pq_encode(df: DataFrame, vec_col: str, model: PQModel,
     return guarded.mapInArrow(fn, f"{schema}, `{out}` binary")
 
 
+def _codes_matrix(code_arr, m_sub: int) -> np.ndarray:
+    """Arrow binary column of ``m_sub``-byte PQ codes → (n, m_sub) uint8
+    matrix over the flat value buffer.  Offsets are validated explicitly:
+    ``reshape`` alone only raises when the TOTAL byte count is indivisible
+    by ``m_sub`` — a 7-byte and a 9-byte code would pass silently and
+    misalign every subsequent row's distances."""
+    if isinstance(code_arr, pa.ChunkedArray):
+        code_arr = code_arr.combine_chunks()
+    buf = np.frombuffer(code_arr.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(code_arr.buffers()[1], dtype=np.int32)[
+        code_arr.offset : code_arr.offset + len(code_arr) + 1]
+    if offs.size > 1 and not np.all(np.diff(offs) == m_sub):
+        raise ValueError(
+            f"ragged pq codes: every code must be exactly {m_sub} bytes")
+    return buf[offs[0]:offs[-1]].reshape(-1, m_sub)
+
+
 def adc_table(model: PQModel, query: np.ndarray) -> np.ndarray:
     """(m_sub, k) float32 lookup table: exact squared L2 distance of each
     query subvector to every centroid — ADC's one-off per-query cost."""
@@ -366,14 +383,7 @@ def pq_topk(df_encoded: DataFrame, id_col: str, model: PQModel,
         best_ids, best_d = [], []
         for batch in batches:
             ids = batch.column("_id").to_numpy(zero_copy_only=False)
-            code_arr = batch.column("_c")
-            if isinstance(code_arr, pa.ChunkedArray):
-                code_arr = code_arr.combine_chunks()
-            buf = np.frombuffer(code_arr.buffers()[2], dtype=np.uint8)
-            offs = np.frombuffer(code_arr.buffers()[1], dtype=np.int32)[
-                code_arr.offset : code_arr.offset + len(code_arr) + 1]
-            flat = buf[offs[0]:offs[-1]]
-            codes = flat.reshape(-1, m_sub)  # raises if any code is ragged
+            codes = _codes_matrix(batch.column("_c"), m_sub)
             # ADC: one table lookup per subspace, summed
             d = table[np.arange(m_sub)[None, :], codes].sum(axis=1)
             if d.shape[0] > k:
@@ -424,13 +434,7 @@ def ivfpq_topk(df_encoded: DataFrame, id_col: str, model: PQModel,
         for batch in batches:
             ids = batch.column("_id").to_numpy(zero_copy_only=False)
             lists = batch.column("_l").to_numpy(zero_copy_only=False)
-            code_arr = batch.column("_c")
-            if isinstance(code_arr, pa.ChunkedArray):
-                code_arr = code_arr.combine_chunks()
-            buf = np.frombuffer(code_arr.buffers()[2], dtype=np.uint8)
-            offs = np.frombuffer(code_arr.buffers()[1], dtype=np.int32)[
-                code_arr.offset : code_arr.offset + len(code_arr) + 1]
-            codes = buf[offs[0]:offs[-1]].reshape(-1, m_sub)
+            codes = _codes_matrix(batch.column("_c"), m_sub)
             rows = lut[lists.astype(np.int64)]
             d = T[rows[:, None], sub_ix, codes].sum(axis=1)
             if d.shape[0] > k:
@@ -536,13 +540,7 @@ def ivfpq_knn_join(df_encoded: DataFrame, id_col: str, model: PQModel,
         for batch in batches:
             ids = batch.column("_id").to_numpy(zero_copy_only=False)
             lvals = batch.column("_l").to_numpy(zero_copy_only=False)
-            code_arr = batch.column("_c")
-            if isinstance(code_arr, pa.ChunkedArray):
-                code_arr = code_arr.combine_chunks()
-            buf = np.frombuffer(code_arr.buffers()[2], dtype=np.uint8)
-            offs = np.frombuffer(code_arr.buffers()[1], dtype=np.int32)[
-                code_arr.offset : code_arr.offset + len(code_arr) + 1]
-            codes = buf[offs[0]:offs[-1]].reshape(-1, m_sub)
+            codes = _codes_matrix(batch.column("_c"), m_sub)
             for l in np.unique(lvals):
                 q_ix = lists_map.get(int(l))
                 if q_ix is None or not q_ix.size:

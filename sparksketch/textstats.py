@@ -63,6 +63,32 @@ def _class_count(c: Column, chars: str) -> Column:
     return (F.length(c) - F.length(F.translate(c, chars, ""))).cast("long")
 
 
+def _with_lower_tokens(df: DataFrame, col: str) -> tuple[DataFrame, str]:
+    """Append the LOWERCASED whitespace-token array as one named column in
+    its own projection, returning ``(df2, tmp_name)``.
+
+    Why a real column instead of inlining the expression per consumer:
+    since SPARK-36718 Catalyst's CollapseProject refuses to inline a
+    non-cheap alias the upper project references more than once, so every
+    downstream use (6 array_intersects + 2 sizes in the quality/lang
+    pipeline) reads the SAME materialized array — one regex split + one
+    lowercase pass per row instead of one per consumer.  Value-equivalence
+    with the previous ``transform(split(trim(text)), lower)`` form:
+    lowercasing maps no character to or from ``\\s`` (Java ``\\s`` is the
+    six ASCII whitespace chars, all caseless, and no uppercase letter
+    lowercases into one), so ``split(lower(x))`` and element-wise
+    ``lower(split(x))`` produce identical arrays, and the empty/NULL guard
+    fires identically (lower preserves emptiness and NULL)."""
+    tmp = "_sk_toks_lower"
+    while tmp in df.columns:
+        tmp += "_"
+    lowered = F.trim(F.lower(F.col(col)))
+    toksl = F.when(F.length(lowered) == 0,
+                   F.array().cast("array<string>")).otherwise(
+        F.split(lowered, r"\s+"))
+    return df.withColumn(tmp, toksl), tmp
+
+
 def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Appends deterministic quality-scoring features:
 
@@ -74,8 +100,9 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
       ratio, missing stopwords
     """
     c = F.col(col)
+    d2, tmp = _with_lower_tokens(df, col)
+    toks = F.col(tmp)
     n_chars = F.length(c).cast("long")
-    toks = tokens_col(col)
     n_tokens = F.size(toks).cast("long")
     nz = F.greatest(n_chars, F.lit(1)).cast("double")
     alpha = _class_count(c, ALPHA_CHARS) / nz
@@ -83,7 +110,7 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     space = _class_count(c, SPACE_CHARS) / nz
     punct = _class_count(c, PUNCT_CHARS) / nz
     stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    stop_hits = F.size(F.array_intersect(F.transform(toks, lambda t: F.lower(t)), stops))
+    stop_hits = F.size(F.array_intersect(toks, stops))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double")
     mean_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
     length_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
@@ -94,7 +121,7 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
         + F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(0.1)).otherwise(F.lit(0.0))
     )
     return (
-        df.withColumn("n_chars_t", n_chars)
+        d2.withColumn("n_chars_t", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("mean_token_len", F.round(mean_tok, 4))
         .withColumn("alpha_ratio", F.round(alpha, 4))
@@ -103,6 +130,7 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", F.round(punct, 4))
         .withColumn("stopword_ratio", F.round(stop_ratio, 4))
         .withColumn("quality_score", F.round(score, 4))
+        .drop(tmp)
     )
 
 
@@ -110,12 +138,13 @@ def lang_hits(df: DataFrame, col: str = "text") -> DataFrame:
     """Per-language stopword hit counts (h_en, h_de, …): the number of
     *distinct* stopwords of each language present in the lowercased tokens.
     Exact integers, oracle-reproducible (DuckDB list_intersect)."""
-    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
-    out = df
+    d2, tmp = _with_lower_tokens(df, col)
+    toks = F.col(tmp)
+    out = d2
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
         out = out.withColumn(f"h_{lang}", F.size(F.array_intersect(toks, arr)).cast("long"))
-    return out
+    return out.drop(tmp)
 
 
 def lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFrame:
@@ -125,12 +154,16 @@ def lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFra
     ANSI SQL (a CASE chain over the hit counts — see
     __spark_entry__.oracle_sql).
 
-    Implementation note: a single array_max over (hits, priority) structs —
+    Implementation notes: a single array_max over (hits, priority) structs —
     a withColumn-per-language CASE chain gets its hit subexpressions inlined
     once per comparison by Catalyst's CollapseProject, blowing the plan up
-    ~25×; one expression tree keeps each hit count computed once."""
+    ~25×; one expression tree keeps each hit count computed once.  The token
+    array itself lives in its own lower projection
+    (:func:`_with_lower_tokens`) so the regex split + lowercase run once per
+    row, not once per language."""
     langs = list(LANG_STOPWORDS)
-    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
+    d2, tmp = _with_lower_tokens(df, col)
+    toks = F.col(tmp)
     scores = []
     for i, (lang, words) in enumerate(LANG_STOPWORDS.items()):
         arr = F.array(*[F.lit(w) for w in words])
@@ -139,7 +172,7 @@ def lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFra
     best = F.array_max(F.array(*scores))
     names = F.array(*[F.lit(l) for l in reversed(langs)])  # prio 1 = last lang
     pred = F.when(best["hits"] > 0, F.element_at(names, best["prio"])).otherwise(F.lit("und"))
-    return df.withColumn(out, pred)
+    return d2.withColumn(out, pred).drop(tmp)
 
 
 def char_class_counts(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -186,16 +219,19 @@ def rolling_fingerprint(df: DataFrame, col: str, id_col: str, window: int = 8,
                 h = np.zeros(data.size - window + 1, dtype=np.uint64)
                 for j in range(window):
                     h = h * B + data[j : data.size - window + 1 + j]
-                for i in range(n):
-                    s, e = off[i], off[i + 1]
-                    if e - s >= window:
-                        hw = h[s : e - window + 1]
-                        k = min(keep, hw.size)
-                        sel = np.partition(hw, k - 1)[:k]
-                        acc = np.uint64(0xCBF29CE484222325)
-                        for v in np.sort(sel):
-                            acc = (acc ^ v) * B
-                        out[i] = acc
+                # scoped errstate: the scalar fold's uint64 wraparound is
+                # the hash arithmetic, not an error worth warning about
+                with np.errstate(over="ignore"):
+                    for i in range(n):
+                        s, e = off[i], off[i + 1]
+                        if e - s >= window:
+                            hw = h[s : e - window + 1]
+                            k = min(keep, hw.size)
+                            sel = np.partition(hw, k - 1)[:k]
+                            acc = np.uint64(0xCBF29CE484222325)
+                            for v in np.sort(sel):
+                                acc = (acc ^ v) * B
+                            out[i] = acc
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(out.view(np.int64))], names=["_id", "fingerprint"]
             )

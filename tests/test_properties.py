@@ -210,25 +210,28 @@ def test_shingle_window_hashes_match_scalar(texts):
     arr = pa.array(texts, pa.string())
     flat, starts, counts = _shingle_window_hashes(arr, n)
     B = np.uint64(0x100000001B3)
-    for i, t in enumerate(texts):
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if data.size == 0:
-            want = np.empty(0, dtype=np.uint64)
-        elif data.size < n:
-            h = np.uint64(0)
-            for byte in data:
-                h = h * B + byte
-            want = splitmix64(np.array([h], dtype=np.uint64))
-        else:
-            ws = []
-            for j in range(data.size - n + 1):
+    # uint64 wraparound IS the hash arithmetic — silence only the intended
+    # overflow so real numeric warnings elsewhere keep failing loudly
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if data.size == 0:
+                want = np.empty(0, dtype=np.uint64)
+            elif data.size < n:
                 h = np.uint64(0)
-                for byte in data[j : j + n]:
+                for byte in data:
                     h = h * B + byte
-                ws.append(h)
-            want = splitmix64(np.array(ws, dtype=np.uint64))
-        got = flat[starts[i] : starts[i] + counts[i]]
-        assert (got == want).all(), (i, t)
+                want = splitmix64(np.array([h], dtype=np.uint64))
+            else:
+                ws = []
+                for j in range(data.size - n + 1):
+                    h = np.uint64(0)
+                    for byte in data[j : j + n]:
+                        h = h * B + byte
+                    ws.append(h)
+                want = splitmix64(np.array(ws, dtype=np.uint64))
+            got = flat[starts[i] : starts[i] + counts[i]]
+            assert (got == want).all(), (i, t)
 
 
 @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
