@@ -1968,8 +1968,29 @@ def _weighted_quantile_docs(spark: SparkSession, sf: str) -> DataFrame:
     td = tdigest_weighted_build(t, "v", "w")
     est = td.quantile(0.5)
     g = t.groupBy("v").agg(F.sum("w").alias("w"))
-    c = g.select("v", "w",
-                 F.sum("w").over(W.orderBy("v")).alias("cw")).cache()
+    # two-phase cumulative sum (the quota_sample pre-bucket pattern): an
+    # unpartitioned `sum().over(orderBy(v))` puts every distinct v on ONE
+    # reducer (Spark's "No Partition Defined" warning); instead cumsum
+    # WITHIN ~256 value-range buckets (partitioned window) and add each
+    # bucket's offset = total mass of strictly-earlier buckets, computed
+    # by a bounded 256×256 self-join — cw is the identical exact-integer
+    # running sum, with no single-partition stage anywhere
+    mm = g.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    lo = int(mm.lo if mm.lo is not None else 0)
+    width = max(((int(mm.hi) - lo) if mm.hi is not None else 0) // 256 + 1, 1)
+    g2 = g.withColumn("_b", F.expr(f"(v - {lo}) div {width}"))
+    btot = g2.groupBy("_b").agg(F.sum("w").alias("_bw"))
+    boff = (btot.alias("a")
+            .join(btot.select(F.col("_b").alias("_b2"),
+                              F.col("_bw").alias("_bw2")),
+                  F.col("_b2") < F.col("_b"), "left")
+            .groupBy("_b").agg(F.coalesce(F.sum("_bw2"), F.lit(0))
+                               .alias("_off")))
+    c = (g2.withColumn("_cwi", F.sum("w").over(
+            W.partitionBy("_b").orderBy("v")))
+         .join(boff, "_b")
+         .select("v", "w", (F.col("_cwi") + F.col("_off")).alias("cw"))
+         .cache())
     try:
         total = c.agg(F.sum("w")).first()[0]
         exact_med = (c.filter(F.col("cw") * 2 >= F.lit(total))

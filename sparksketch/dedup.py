@@ -436,6 +436,51 @@ def _kgram_rows(df: DataFrame, col: str, id_col: str, k: int,
     return proj.mapInArrow(fn, "_id long, _gram long")
 
 
+def _kgram_doc_counts(df: DataFrame, col: str, id_col: str, k: int,
+                      sample_mod: int) -> DataFrame:
+    """(doc_id, n_grams) for the hash-mode gram population — the per-doc
+    branch of :func:`kgram_dup_stats` WITHOUT materializing gram rows: the
+    kernel already computes each row's distinct sampled grams for the
+    explode path, so counting them per row and emitting ONE row per doc
+    ships ~n_docs rows to the (trivial) downstream sum instead of the full
+    ~total-chars/sample_mod gram stream (explode + 16 B/gram shuffle +
+    groupBy).  Docs with zero sampled grams are omitted, exactly as they
+    are absent from the exploded rows."""
+    proj = df.filter(F.length(F.col(col)) >= k).select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(col).cast("string").alias("_t"))
+    mod = np.uint64(sample_mod)
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("_id").to_numpy(zero_copy_only=False)
+            hashes, starts, counts = _shingle_window_hashes(batch.column("_t"), k)
+            row_of = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+            g = hashes
+            if sample_mod > 1:
+                keep = (g % mod) == 0
+                g, row_of = g[keep], row_of[keep]
+            if g.size:
+                order = np.lexsort((g, row_of))
+                rg, gg = row_of[order], g[order]
+                first = np.ones(rg.size, dtype=bool)
+                first[1:] = (rg[1:] != rg[:-1]) | (gg[1:] != gg[:-1])
+                cnt = np.bincount(rg[first], minlength=len(ids))
+            else:
+                cnt = np.zeros(len(ids), dtype=np.int64)
+            nz = np.flatnonzero(cnt)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[nz], pa.int64()),
+                 pa.array(cnt[nz].astype(np.int64), pa.int64())],
+                names=["_id", "_n"])
+
+    # the sum-regroup keeps the degenerate duplicate-id shape identical to
+    # the exploded formulation (counts add); it shuffles ~n_docs rows only
+    return (proj.mapInArrow(fn, "_id long, _n long")
+            .groupBy(F.col("_id").alias("doc_id"))
+            .agg(F.sum("_n").alias("n_grams")))
+
+
 def kgram_dup_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                     k: int = 24, gram_key: str = "hash",
                     sample_mod: int = 1) -> DataFrame:
@@ -467,8 +512,14 @@ def kgram_dup_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     vectorized roll, and at 10¹² documents far more.
     """
     grams = _kgram_rows(df, col, id_col, k, gram_key, sample_mod)
-    per_doc = grams.groupBy(F.col("_id").alias("doc_id")).agg(
-        F.count("*").alias("n_grams"))
+    if gram_key == "hash":
+        # hash mode counts per-doc grams inside the kernel (one row per
+        # doc) instead of re-shuffling the exploded gram stream — same
+        # values, ~total-grams fewer shuffled rows (see _kgram_doc_counts)
+        per_doc = _kgram_doc_counts(df, col, id_col, k, sample_mod)
+    else:
+        per_doc = grams.groupBy(F.col("_id").alias("doc_id")).agg(
+            F.count("*").alias("n_grams"))
     winners = grams.groupBy("_gram").agg(F.min("_id").alias("_win"))
     wins_per_doc = winners.groupBy(F.col("_win").alias("doc_id")).agg(
         F.count("*").alias("_n_wins"))

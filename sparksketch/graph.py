@@ -375,10 +375,13 @@ def _canonical_und(edges: DataFrame) -> DataFrame:
             .filter(F.col("a") != F.col("b")).distinct())
 
 
-def _triangle_counts_canonical(und: DataFrame) -> DataFrame:
-    """:func:`triangle_counts` body over an ALREADY-canonical ``(a, b)``
-    edge set — lets :func:`triangle_estimate` feed its sampled subgraph in
-    without a redundant canonicalize pass."""
+def _wedge_closures(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered closure enumeration over an ALREADY-canonical
+    ``(a, b)`` edge set: returns ``(deg, tris)`` where ``deg`` is the
+    undirected simple degree table and ``tris`` has one row ``(u, v, w)``
+    per triangle (found exactly once, at its (lowest, middle) oriented
+    edge) — the shared core of the per-node counter and the DOULION total
+    estimator."""
     deg = (und.select(F.col("a").alias("node"))
            .unionAll(und.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -400,6 +403,14 @@ def _triangle_counts_canonical(und: DataFrame) -> DataFrame:
                   "x")
             .select(F.col("u"), F.col("x").alias("v"),
                     F.explode(F.array_intersect("nu", "nx")).alias("w")))
+    return deg, tris
+
+
+def _triangle_counts_canonical(und: DataFrame) -> DataFrame:
+    """:func:`triangle_counts` body over an ALREADY-canonical ``(a, b)``
+    edge set — lets :func:`triangle_estimate` feed its sampled subgraph in
+    without a redundant canonicalize pass."""
+    deg, tris = _wedge_closures(und)
     per = (tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("tri")))
     return (deg.join(per, "node", "left")
@@ -451,12 +462,16 @@ def triangle_counts_sql(edges_cte: str) -> str:
 
 def _tri_total(und: DataFrame):
     """One-row aggregate (edges, triangles) of an ALREADY-canonical
-    undirected simple edge set — Σdeg/2 recovers the edge count, Σtri/3
-    the triangle count; empty graphs coalesce to 0."""
-    per = _triangle_counts_canonical(und)
-    return per.agg(
-        F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias("m"),
-        F.coalesce(F.expr("sum(tri) div 3"), F.lit(0)).alias("t"))
+    undirected simple edge set.  Each closure row IS one triangle (found
+    once, at its (lowest, middle) edge) and each input row one edge, so
+    both are direct COUNTs — the old detour through the per-node counter
+    (3-way node explode + groupBy + degree join, then Σtri/3 and Σdeg/2)
+    computed the identical values with two extra exchanges; the DuckDB
+    mirror (:func:`triangle_estimate_sql`) has always counted closures
+    directly.  Empty graphs count to 0 on both sides."""
+    _deg, tris = _wedge_closures(und)
+    return und.agg(F.count(F.lit(1)).alias("m")).crossJoin(
+        tris.agg(F.count(F.lit(1)).alias("t")))
 
 
 def _edge_keep_pred(keep_ppm: int, salt: str):

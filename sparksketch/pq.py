@@ -318,9 +318,16 @@ def pq_encode(df: DataFrame, vec_col: str, model: PQModel,
                 mat = mat - C[assign]
                 kept.append(pa.array(assign, pa.int32()))
             codes = _assign_subspaces(mat, B)
-            raw = codes.tobytes()
-            kept.append(pa.array([raw[i * m_sub:(i + 1) * m_sub]
-                                  for i in range(codes.shape[0])], pa.binary()))
+            # binary array straight from the (n, m_sub) uint8 buffer — one
+            # offsets array over the flat bytes instead of n per-row Python
+            # slices (4M bytes objects per encode measured as the kernel's
+            # dominant cost; guide §4.2's re-slice-don't-copy property)
+            n = codes.shape[0]
+            offs = np.arange(0, (n + 1) * m_sub, m_sub, dtype=np.int32)
+            kept.append(pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(np.ascontiguousarray(codes).tobytes())]))
             yield pa.RecordBatch.from_arrays(
                 kept, names=[*passthrough,
                              *([out_list] if C is not None else []), out])

@@ -480,11 +480,13 @@ def write_bm25_index(df: DataFrame, path: str, col: str = "text",
 
     Terms truncate to ``max_word_chars`` pre-shuffle (the n-gram shuffle-key
     guard; real query terms are far shorter, so scores for them are
-    unaffected).  Build cost: the corpus is TOKENIZED ONCE (the postings
-    pass); doclens derive from the written postings (``dl = Σ tf`` — every
-    token contributes exactly one posting occurrence) left-joined to a
-    column-pruned id scan so zero-token docs keep ``dl = 0``, and the
-    stats row aggregates the tiny doclens table.  Returns
+    unaffected).  Build cost: one tokenize+explode pass for the postings;
+    doclens come from a second column-pruned scan of the corpus with ZERO
+    shuffle (``dl = size(tokens)``, which equals the old Σ tf over the
+    doc's postings exactly — every token contributes one posting occurrence
+    — without re-reading the postings table, its doc-keyed re-shuffle, or
+    the id join; zero-token and NULL docs coalesce to ``dl = 0`` as
+    before).  The stats row aggregates the tiny doclens table.  Returns
     ``{"n": ..., "total_len": ..., "n_buckets": ...}``."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -502,11 +504,8 @@ def write_bm25_index(df: DataFrame, path: str, col: str = "text",
     # caps at n_buckets — size n_buckets ≥ cluster parallelism at scale.
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket").parquet(f"{path}/postings")
-    tok_sums = (spark.read.parquet(f"{path}/postings")
-                .groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")))
-    (df.select(F.col(id_col).alias("doc_id"))
-     .join(tok_sums, ["doc_id"], "left")
-     .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+    (df.select(F.col(id_col).alias("doc_id"),
+               F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("dl"))
      .write.mode("overwrite").parquet(f"{path}/doclens"))
     stats = (spark.read.parquet(f"{path}/doclens")
              .agg(F.count("*").cast("long").alias("n"),
