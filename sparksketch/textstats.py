@@ -261,12 +261,13 @@ def repetition_features(df: DataFrame, col: str = "text",
       any engine).  Machine-generated spam shows up here.
 
     Shapes: the line features are pure JVM array expressions (zero
-    shuffle).  The 2-gram mode is explode → groupBy(id, gram) → one window
-    pass per id (rank by count desc, gram asc + running total) — the
-    Spark-first formulation of a per-group mode with a deterministic
-    tie-break.  At 100 TB the explode ships only (id, 2-gram) pairs, never
-    documents, and the map-side combine collapses repeated grams before the
-    shuffle.
+    shuffle).  The 2-gram mode is explode → groupBy(id, gram) → ONE
+    map-side-combined groupBy(id) with the argmax-with-min-tie-break
+    aggregate ``min(struct(-count, gram))`` (order-independent, so rank by
+    count desc / gram asc without a window's exchange+sort) and the
+    per-doc total in the same aggregate.  At 100 TB the explode ships only
+    (id, 2-gram) pairs, never documents, and the map-side combine
+    collapses repeated grams before the shuffle.
     """
     c = F.col(col)
     lines = F.split(c, "\n")
@@ -284,19 +285,16 @@ def repetition_features(df: DataFrame, col: str = "text",
         F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
                    F.slice(toks, 2, F.size(toks) - 1),
                    lambda a, b: F.concat(a, F.lit(" "), b)))
-    from pyspark.sql import Window as _W
     g = df.select(F.col(id_col), F.explode(grams).alias("_g"))
     counts = g.groupBy(id_col, "_g").count()
-    w = _W.partitionBy(id_col)
-    ranked = counts.select(
-        F.col(id_col), F.col("count"),
-        F.row_number().over(w.orderBy(F.desc("count"), F.col("_g"))).alias("_rn"),
-        F.sum("count").over(w).alias("_total"),
-    )
-    top = ranked.filter(F.col("_rn") == 1).select(
-        id_col, F.col("count").cast("long").alias("top_2gram_count"),
-        F.round(F.col("count") / F.col("_total"), 4).alias("top_2gram_ratio"),
-    )
+    top = (counts.groupBy(id_col)
+           .agg(F.min(F.struct((-F.col("count")).alias("_nc"),
+                               F.col("_g"))).alias("_best"),
+                F.sum("count").alias("_total"))
+           .select(id_col,
+                   (-F.col("_best._nc")).cast("long").alias("top_2gram_count"),
+                   F.round((-F.col("_best._nc")) / F.col("_total"), 4)
+                   .alias("top_2gram_ratio")))
     return (base.join(top, id_col, "left")
             .na.fill({"top_2gram_count": 0, "top_2gram_ratio": 0.0}))
 

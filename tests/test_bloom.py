@@ -371,8 +371,8 @@ def test_strict_parity_antipodal_shards(spark):
                   dtype=np.uint64).view(np.int64)
     h2 = np.array([spark_xxhash64("lonely-key", HASH_SEED_SELECTION[1])],
                   dtype=np.uint64).view(np.int64)
-    p1_t0 = int(h1.astype(np.int64) % n)
-    p1_t1 = int(h2.astype(np.int64) % n)
+    p1_t0 = int(h1.astype(np.int64)[0] % n)
+    p1_t1 = int(h2.astype(np.int64)[0] % n)
     off = (n - 1) // 2
     want = {(p1_t0, 0), ((p1_t0 + off) % n, 0), (p1_t1, 1), ((p1_t1 + off) % n, 1)}
     got = {(sid, t) for sid, cascade in state.shards.items()
